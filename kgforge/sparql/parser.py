@@ -1,0 +1,543 @@
+"""From-scratch SPARQL-subset parser -> triple patterns.
+
+The reference delegated parsing to rdflib (parseQuery -> translateQuery ->
+walk the algebra collecting BGP nodes, [R:QueryManager.py, SURVEY.md 2.9 U2]).
+rdflib is absent in this sandbox and porting is out of scope, so this module
+implements the grammar subset fixed in SURVEY.md U2:
+
+  prologue (PREFIX/BASE) + SELECT/ASK/CONSTRUCT/DESCRIBE
+  + WHERE { TriplesBlock ( '.' TriplesBlock )* } with nested groups,
+  OPTIONAL / UNION / GRAPH / MINUS / FILTER / BIND / VALUES recognized;
+  triple patterns are collected from ALL basic graph pattern groups
+  (the reference keeps the BGP content of the whole WHERE clause);
+  'a' keyword -> rdf:type; ';' predicate-object lists and ',' object lists;
+  literals with @lang / ^^dtype and numeric/boolean sugar; blank nodes.
+
+Anything outside the subset is a counted reject (parse_ok=False), mirroring
+the reference's skip-and-count behavior ([R:Stat.py], SURVEY.md 1.1).
+
+Pure Python, no Spark imports: executed inside pandas UDFs (SURVEY.md 2.9,
+"U2+U3 execute in ONE pandas UDF").
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, NamedTuple, Optional, Tuple
+
+from kgforge.sparql.terms import BNODE, IRI, LITERAL, RDF_TYPE, VAR, Term, TriplePattern
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# Token kinds, longest-match-first.  PN_LOCAL intentionally simplified vs the
+# full SPARQL 1.1 grammar (no percent-encoding / char escapes in local names);
+# out-of-subset names fail tokenization and become counted rejects.
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<STRING3>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<LANG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DTYPE_SEP>\^\^)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<BNODE>_:[A-Za-z_][A-Za-z_0-9.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9])?|[A-Za-z_][A-Za-z_0-9.-]*:)
+  | (?P<KEYWORD>[A-Za-z][A-Za-z_0-9]*)
+  | (?P<PUNCT>[{}().;,*\[\]]|\|\||&&|[!<>=]=?|[+\-/|])
+    """,
+    re.VERBOSE,
+)
+
+_NUM_INT = re.compile(r"^[+-]?\d+$")
+_NUM_DEC = re.compile(r"^[+-]?(?:\d+\.\d*|\.\d+)$")
+
+_KEYWORDS = {
+    "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "PREFIX", "BASE",
+    "OPTIONAL", "UNION", "FILTER", "GRAPH", "MINUS", "BIND", "VALUES",
+    "SERVICE", "DISTINCT", "REDUCED", "AS", "A", "TRUE", "FALSE",
+    "ORDER", "BY", "LIMIT", "OFFSET", "GROUP", "HAVING", "ASC", "DESC",
+    "FROM", "NAMED", "EXISTS", "NOT", "IN", "REGEX", "STR", "LANG",
+    "LANGMATCHES", "DATATYPE", "BOUND", "SAMETERM", "ISIRI", "ISURI",
+    "ISBLANK", "ISLITERAL", "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE",
+    "GROUP_CONCAT", "REPLACE", "CONTAINS", "STRSTARTS", "STRENDS", "ABS",
+    "CEIL", "FLOOR", "ROUND", "CONCAT", "STRLEN", "UCASE", "LCASE",
+}
+
+# Features that make a query "not a simple BGP" (reference flags these and
+# still extracts TPs from every group; SURVEY.md 2.9 U2, FIXTURES.md item 6).
+_COMPLEX = {"OPTIONAL", "UNION", "FILTER", "GRAPH", "MINUS", "BIND", "VALUES", "SERVICE"}
+
+
+class Token(NamedTuple):
+    kind: str
+    text: str
+    pos: int
+
+
+class ParseError(Exception):
+    pass
+
+
+def tokenize(text: str) -> List[Token]:
+    out: List[Token] = []
+    i, n = 0, len(text)
+    while i < n:
+        m = _TOKEN_RE.match(text, i)
+        if m is None:
+            raise ParseError(f"lex error at offset {i}: {text[i:i+20]!r}")
+        kind = m.lastgroup or ""
+        if kind != "WS":
+            # Unknown bare words tokenize as KEYWORD; the parser rejects them
+            # wherever a term is required (permissive inside skipped FILTER
+            # expressions, strict in triple positions).
+            out.append(Token(kind, m.group(), i))
+        i = m.end()
+    return out
+
+
+class ParseResult(NamedTuple):
+    parse_ok: bool
+    query_form: Optional[str]  # SELECT | ASK | CONSTRUCT | DESCRIBE
+    tps: List[TriplePattern]
+    simple: bool  # False when OPTIONAL/UNION/FILTER/... present
+    error: Optional[str]
+
+
+class _Parser:
+    def __init__(self, tokens: List[Token]):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes: dict = {}
+        self.base: Optional[str] = None
+        self.tps: List[TriplePattern] = []
+        self.simple = True
+        self._bnode_n = 0
+
+    # --- token helpers -------------------------------------------------
+    def peek(self) -> Optional[Token]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Token:
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "KEYWORD" and t.text.upper() in kws
+
+    def eat_kw(self, kw: str) -> None:
+        t = self.next()
+        if t.kind != "KEYWORD" or t.text.upper() != kw:
+            raise ParseError(f"expected {kw}, got {t.text!r} at {t.pos}")
+
+    def at_punct(self, p: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "PUNCT" and t.text == p
+
+    def eat_punct(self, p: str) -> None:
+        t = self.next()
+        if t.kind != "PUNCT" or t.text != p:
+            raise ParseError(f"expected {p!r}, got {t.text!r} at {t.pos}")
+
+    # --- terms ----------------------------------------------------------
+    def expand_pname(self, pname: str, pos: int) -> str:
+        pre, _, local = pname.partition(":")
+        ns = self.prefixes.get(pre)
+        if ns is None:
+            raise ParseError(f"undefined prefix {pre!r}: at {pos}")
+        return ns + local
+
+    def fresh_bnode(self) -> Term:
+        self._bnode_n += 1
+        return Term(BNODE, f"b{self._bnode_n}")
+
+    def parse_term(self, *, as_predicate: bool = False) -> Term:
+        t = self.next()
+        if t.kind == "VAR":
+            return Term(VAR, t.text[1:])
+        if t.kind == "IRIREF":
+            iri = t.text[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+                iri = self.base + iri
+            return Term(IRI, iri)
+        if t.kind == "PNAME":
+            return Term(IRI, self.expand_pname(t.text, t.pos))
+        if t.kind == "KEYWORD" and t.text == "a":
+            return Term(IRI, RDF_TYPE)  # 'a' keyword -> rdf:type
+        if as_predicate:
+            raise ParseError(f"bad predicate {t.text!r} at {t.pos}")
+        if t.kind == "BNODE":
+            return Term(BNODE, t.text[2:])
+        if t.kind in ("STRING", "STRING3"):
+            raw = t.text
+            body = raw[3:-3] if t.kind == "STRING3" else raw[1:-1]
+            value = _unescape(body)
+            nxt = self.peek()
+            if nxt is not None and nxt.kind == "LANG":
+                self.next()
+                return Term(LITERAL, value, lang=nxt.text[1:])
+            if nxt is not None and nxt.kind == "DTYPE_SEP":
+                self.next()
+                dt = self.next()
+                if dt.kind == "IRIREF":
+                    return Term(LITERAL, value, dtype=dt.text[1:-1])
+                if dt.kind == "PNAME":
+                    return Term(LITERAL, value, dtype=self.expand_pname(dt.text, dt.pos))
+                raise ParseError(f"bad datatype at {dt.pos}")
+            return Term(LITERAL, value)
+        if t.kind == "NUMBER":
+            if _NUM_INT.match(t.text):
+                return Term(LITERAL, t.text, dtype=XSD + "integer")
+            if _NUM_DEC.match(t.text):
+                return Term(LITERAL, t.text, dtype=XSD + "decimal")
+            return Term(LITERAL, t.text, dtype=XSD + "double")
+        if t.kind == "KEYWORD" and t.text.upper() in ("TRUE", "FALSE"):
+            return Term(LITERAL, t.text.lower(), dtype=XSD + "boolean")
+        if t.kind == "PUNCT" and t.text == "[":
+            # [] anonymous bnode or [ p o ; ... ] property list
+            node = self.fresh_bnode()
+            if not self.at_punct("]"):
+                self.parse_predicate_object_list(node)
+            self.eat_punct("]")
+            return node
+        raise ParseError(f"unexpected term {t.text!r} at {t.pos}")
+
+    # --- triples block ----------------------------------------------------
+    def parse_predicate_object_list(self, subject: Term) -> None:
+        while True:
+            pred = self.parse_term(as_predicate=True)
+            while True:
+                obj = self.parse_term()
+                self.tps.append(TriplePattern(subject, pred, obj))
+                if self.at_punct(","):
+                    self.next()
+                    continue
+                break
+            if self.at_punct(";"):
+                self.next()
+                if self.at_punct(";") or self.at_punct(".") or self.at_punct("}") or self.peek() is None:
+                    continue  # dangling ';' tolerated
+                continue
+            break
+
+    def parse_triples_block(self) -> None:
+        while True:
+            subj = self.parse_term()
+            # a bare [ p o ] as the whole triple (no following predicate) is legal
+            if subj.kind == BNODE and (self.at_punct(".") or self.at_punct("}")):
+                pass
+            else:
+                self.parse_predicate_object_list(subj)
+            if self.at_punct("."):
+                self.next()
+                t = self.peek()
+                if t is None or (t.kind == "PUNCT" and t.text == "}"):
+                    break
+                if t.kind == "KEYWORD" and t.text.upper() in _COMPLEX:
+                    break
+                if t.kind == "PUNCT" and t.text == "{":
+                    break
+                continue
+            break
+
+    # --- group graph pattern ------------------------------------------------
+    def parse_group(self) -> None:
+        self.eat_punct("{")
+        while not self.at_punct("}"):
+            t = self.peek()
+            if t is None:
+                raise ParseError("unterminated group")
+            up = t.text.upper() if t.kind == "KEYWORD" else ""
+            if t.kind == "PUNCT" and t.text == "{":
+                self.parse_group()  # nested group (possibly lhs of UNION)
+                if self.at_kw("UNION"):
+                    self.simple = False
+                    while self.at_kw("UNION"):
+                        self.next()
+                        self.parse_group()
+            elif up == "OPTIONAL":
+                self.simple = False
+                self.next()
+                self.parse_group()
+            elif up in ("MINUS",):
+                self.simple = False
+                self.next()
+                self.parse_group()
+            elif up == "GRAPH":
+                self.simple = False
+                self.next()
+                self.parse_term()  # var or iri
+                self.parse_group()
+            elif up == "SERVICE":
+                self.simple = False
+                self.next()
+                if self.at_kw("SILENT"):
+                    self.next()
+                self.parse_term()
+                self.parse_group()
+            elif up == "FILTER":
+                self.simple = False
+                self.next()
+                self.skip_filter_constraint()
+            elif up == "BIND":
+                self.simple = False
+                self.next()
+                self.skip_parens()
+            elif up == "VALUES":
+                self.simple = False
+                self.next()
+                self.skip_values()
+            elif up in ("SELECT",):
+                raise ParseError("subqueries out of subset")
+            else:
+                self.parse_triples_block()
+            if self.at_punct("."):
+                self.next()
+        self.eat_punct("}")
+
+    def skip_parens(self) -> None:
+        self.eat_punct("(")
+        depth = 1
+        while depth:
+            t = self.next()
+            if t.kind == "PUNCT" and t.text == "(":
+                depth += 1
+            elif t.kind == "PUNCT" and t.text == ")":
+                depth -= 1
+
+    def skip_filter_constraint(self) -> None:
+        t = self.peek()
+        if t is None:
+            raise ParseError("bad FILTER")
+        if t.kind == "PUNCT" and t.text == "(":
+            self.skip_parens()
+        elif t.kind == "KEYWORD":
+            self.next()  # builtin name (regex, bound, EXISTS...)
+            if self.at_kw("EXISTS"):  # NOT EXISTS
+                self.next()
+            if self.at_punct("("):
+                self.skip_parens()
+            elif self.at_punct("{"):
+                self.parse_group()  # FILTER EXISTS { ... } contributes TPs
+        else:
+            raise ParseError(f"bad FILTER at {t.pos}")
+
+    def skip_values(self) -> None:
+        t = self.peek()
+        if t is not None and t.kind == "VAR":
+            self.next()
+            self.eat_punct("{")
+            while not self.at_punct("}"):
+                self.next()
+            self.next()
+        elif t is not None and t.kind == "PUNCT" and t.text == "(":
+            self.skip_parens()
+            self.eat_punct("{")
+            depth = 1
+            while depth:
+                tt = self.next()
+                if tt.kind == "PUNCT" and tt.text == "{":
+                    depth += 1
+                elif tt.kind == "PUNCT" and tt.text == "}":
+                    depth -= 1
+        else:
+            raise ParseError("bad VALUES")
+
+    # --- top level -----------------------------------------------------------
+    def parse_prologue(self) -> None:
+        while True:
+            if self.at_kw("PREFIX"):
+                self.next()
+                pn = self.next()
+                if pn.kind != "PNAME" or not pn.text.endswith(":"):
+                    raise ParseError(f"bad PREFIX name at {pn.pos}")
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise ParseError(f"bad PREFIX IRI at {iri.pos}")
+                self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+            elif self.at_kw("BASE"):
+                self.next()
+                iri = self.next()
+                if iri.kind != "IRIREF":
+                    raise ParseError(f"bad BASE IRI at {iri.pos}")
+                self.base = iri.text[1:-1]
+            else:
+                return
+
+    def skip_select_clause(self) -> None:
+        if self.at_kw("DISTINCT", "REDUCED"):
+            self.next()
+        saw = False
+        while True:
+            t = self.peek()
+            if t is None:
+                raise ParseError("truncated SELECT")
+            if t.kind == "VAR":
+                self.next()
+                saw = True
+            elif t.kind == "PUNCT" and t.text == "*":
+                self.next()
+                saw = True
+            elif t.kind == "PUNCT" and t.text == "(":
+                # (expr AS ?x) projection expression
+                self.skip_parens()
+                self.simple = False
+                saw = True
+            else:
+                break
+        if not saw:
+            raise ParseError("empty SELECT clause")
+
+    def skip_dataset_clauses(self) -> None:
+        while self.at_kw("FROM"):
+            self.next()
+            if self.at_kw("NAMED"):
+                self.next()
+            t = self.next()
+            if t.kind not in ("IRIREF", "PNAME"):
+                raise ParseError(f"bad FROM at {t.pos}")
+
+    def skip_solution_modifiers(self) -> None:
+        # ORDER BY / LIMIT / OFFSET / GROUP BY / HAVING: recognized, ignored.
+        while True:
+            if self.at_kw("ORDER"):
+                self.next()
+                self.eat_kw("BY")
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        return
+                    if t.kind == "VAR":
+                        self.next()
+                    elif t.kind == "KEYWORD" and t.text.upper() in ("ASC", "DESC"):
+                        self.next()
+                        self.skip_parens()
+                    elif t.kind == "PUNCT" and t.text == "(":
+                        self.skip_parens()
+                    else:
+                        break
+            elif self.at_kw("GROUP"):
+                self.next()
+                self.eat_kw("BY")
+                while True:
+                    t = self.peek()
+                    if t is not None and t.kind == "VAR":
+                        self.next()
+                    elif t is not None and t.kind == "PUNCT" and t.text == "(":
+                        self.skip_parens()
+                    else:
+                        break
+            elif self.at_kw("HAVING"):
+                self.next()
+                self.skip_parens()
+            elif self.at_kw("LIMIT", "OFFSET"):
+                self.next()
+                t = self.next()
+                if t.kind != "NUMBER":
+                    raise ParseError(f"bad LIMIT/OFFSET at {t.pos}")
+            else:
+                return
+
+    def parse_query(self) -> Tuple[str, List[TriplePattern], bool]:
+        self.parse_prologue()
+        t = self.peek()
+        if t is None or t.kind != "KEYWORD":
+            raise ParseError("missing query form")
+        form = t.text.upper()
+        if form == "SELECT":
+            self.next()
+            self.skip_select_clause()
+            self.skip_dataset_clauses()
+            if self.at_kw("WHERE"):
+                self.next()
+            self.parse_group()
+            self.skip_solution_modifiers()
+        elif form == "ASK":
+            self.next()
+            self.skip_dataset_clauses()
+            if self.at_kw("WHERE"):
+                self.next()
+            self.parse_group()
+        elif form == "CONSTRUCT":
+            self.next()
+            if self.at_punct("{"):
+                # CONSTRUCT template: parse but DISCARD its TPs — the
+                # reference extracts the BGP from the WHERE clause
+                # ([R:QueryManager.py], SURVEY.md 2.9 U2).
+                saved = self.tps
+                self.tps = []
+                self.parse_group()
+                self.tps = saved
+            self.skip_dataset_clauses()
+            self.eat_kw("WHERE")
+            self.parse_group()
+            self.skip_solution_modifiers()
+        elif form == "DESCRIBE":
+            self.next()
+            saw = False
+            while True:
+                tt = self.peek()
+                if tt is not None and tt.kind in ("VAR", "IRIREF", "PNAME"):
+                    self.next()
+                    saw = True
+                elif tt is not None and tt.kind == "PUNCT" and tt.text == "*":
+                    self.next()
+                    saw = True
+                else:
+                    break
+            self.skip_dataset_clauses()
+            if self.at_kw("WHERE"):
+                self.next()
+                self.parse_group()
+            elif self.at_punct("{"):
+                self.parse_group()
+            elif not saw:
+                raise ParseError("empty DESCRIBE")
+            self.skip_solution_modifiers()
+        else:
+            raise ParseError(f"unsupported query form {form!r}")
+        t = self.peek()
+        if t is not None:
+            raise ParseError(f"trailing tokens at {t.pos}: {t.text!r}")
+        return form, self.tps, self.simple
+
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    if "\\" not in s:
+        return s
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt == "u" and i + 5 < len(s):
+                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def parse_query(text: str) -> ParseResult:
+    """Parse one SPARQL query string; never raises (rejects are counted,
+    [R:Stat.py] skip-and-count behavior)."""
+    try:
+        tokens = tokenize(text)
+        form, tps, simple = _Parser(tokens).parse_query()
+        return ParseResult(True, form, tps, simple, None)
+    except ParseError as e:
+        return ParseResult(False, None, [], True, str(e))
+    except RecursionError:
+        return ParseResult(False, None, [], True, "nesting too deep")
