@@ -1,0 +1,82 @@
+"""Per-partition checkpointing for resumable runs [B:6, B:14].
+
+Partition identity is DETERMINISTIC — ``pid = pmod(xxhash64(repo, path,
+commit), n_parts)`` derived from data, never ``spark_partition_id()`` of a
+nondeterministic shuffle (SURVEY.md hard part 5).  A resumed run anti-joins
+the completed pid set (J5) and processes only the remainder; the checkpoint
+row carries lineage counts and a content-sha fingerprint so an auditor can
+verify what each partition contributed (stage metrics per [B:6]).
+
+Sandbox backend is a parquet directory (no Iceberg jar present, SURVEY.md
+1.2); the store is append-only with last-write-wins semantics on
+(stage, pid) — the same contract an Iceberg MERGE INTO would provide.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PID_COL = "kg_pid"
+
+CHECKPOINT_SCHEMA = (
+    "stage string, kg_pid int, status string, n_in long, n_out long, "
+    "wall_ms long, sha_fingerprint long, updated_at double"
+)
+
+
+def with_pid(df: DataFrame, n_parts: int) -> DataFrame:
+    return df.withColumn(
+        PID_COL, F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_parts)).cast("int")
+    )
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.parquet(self.path)
+
+    def done_pids(self, stage: str) -> DataFrame:
+        """Latest-status pids marked done for a stage (last write wins)."""
+        cp = self.read().filter(F.col("stage") == stage)
+        latest = cp.groupBy(PID_COL).agg(F.max_by("status", "updated_at").alias("status"))
+        return latest.filter(F.col("status") == "done").select(PID_COL)
+
+    def filter_pending(self, df: DataFrame, stage: str) -> DataFrame:
+        """J5 resume: drop rows whose partition already completed ``stage``."""
+        return df.join(self.done_pids(stage), on=PID_COL, how="left_anti")
+
+    def mark_done(self, stage: str, stats: DataFrame, wall_ms: int) -> None:
+        """``stats``: (kg_pid, n_in, n_out, sha_fingerprint) per partition."""
+        out = stats.select(
+            F.lit(stage).alias("stage"),
+            F.col(PID_COL),
+            F.lit("done").alias("status"),
+            F.col("n_in").cast("long"),
+            F.col("n_out").cast("long"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.col("sha_fingerprint").cast("long"),
+            F.lit(time.time()).alias("updated_at"),
+        )
+        out.write.mode("append").parquet(self.path)
+
+
+def sha_fingerprint_col() -> F.Column:
+    """Order-insensitive partition fingerprint: XOR of the leading 60 bits of
+    each row's content sha (bit_xor is commutative -> shuffle-order-proof)."""
+    return F.expr(
+        "bit_xor(cast(conv(substring(content_sha256, 1, 15), 16, 10) as bigint))"
+    ).alias("sha_fingerprint")

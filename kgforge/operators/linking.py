@@ -1,0 +1,92 @@
+"""U4 entity linking: broadcast dictionary + scored candidate ranking [B:6].
+
+Scale design (SURVEY.md 4.3.2, J1, W1): the candidate *ranking* runs on the
+dictionary side — a few hundred/thousand rows — producing one winning entity
+per (surface, expected-entity-type) key.  The 10^12-row fact side then takes
+two plain **broadcast equi-joins** (subject surface, object surface) with no
+window function and no shuffle over the big table.  A per-occurrence window
+(row_number over mention_id) would shuffle the whole fact table; pushing the
+argmax into the dim side is the difference between O(dict) and O(corpus)
+shuffle bytes at 100 TB.
+
+Scoring: score = prior * ctx, ctx = 1.0 when the predicate's expected entity
+type (kgforge.corpus.PRED_ETYPE) matches the candidate's etype, else 0.5;
+ties broken by entity_id ascending (deterministic, FIXTURES.md section 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NO_ETYPE = "~"  # join-key sentinel for "predicate selects no entity type"
+
+
+def best_entity_per_surface(entity_dict: DataFrame) -> DataFrame:
+    """dict(surface, entity_id, prior, etype) -> best(surface, etype_key,
+    entity_id, score): the W1 scored ranking, computed once on the dim side."""
+    keys = entity_dict.select(F.col("etype").alias("etype_key")).distinct()
+    keys = keys.union(keys.sparkSession.createDataFrame([(NO_ETYPE,)], ["etype_key"])).distinct()
+    scored = (
+        entity_dict.crossJoin(keys)
+        .withColumn(
+            "score",
+            F.col("prior")
+            * F.when(F.col("etype") == F.col("etype_key"), F.lit(1.0)).otherwise(F.lit(0.5)),
+        )
+    )
+    w = Window.partitionBy("surface", "etype_key").orderBy(
+        F.desc("score"), F.asc("entity_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("surface", "etype_key", "entity_id", "score")
+    )
+
+
+def link_terms(exploded: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Input: one row per TP with columns s_r/p_r/o_r, s_surface/o_surface,
+    exp_etype.  Output: adds subj/obj = linked entity id or original
+    rendering (unlinked terms keep their rendering, SURVEY.md U4)."""
+    best = best_entity_per_surface(entity_dict)
+    etype_key = F.coalesce(F.col("exp_etype"), F.lit(NO_ETYPE))
+
+    s_best = best.select(
+        F.col("surface").alias("s_surface_k"),
+        F.col("etype_key").alias("s_etype_k"),
+        F.col("entity_id").alias("s_entity"),
+    )
+    o_best = best.select(
+        F.col("surface").alias("o_surface_k"),
+        F.col("etype_key").alias("o_etype_k"),
+        F.col("entity_id").alias("o_entity"),
+    )
+    out = (
+        exploded.join(
+            F.broadcast(s_best),
+            (F.col("s_surface") == F.col("s_surface_k"))
+            & (etype_key == F.col("s_etype_k")),
+            "left",
+        )
+        .join(
+            F.broadcast(o_best),
+            (F.col("o_surface") == F.col("o_surface_k"))
+            & (etype_key == F.col("o_etype_k")),
+            "left",
+        )
+        # vars/bnodes and predicates are never linked; ground s/o fall back
+        # to their canonical rendering when the surface is unknown
+        .withColumn(
+            "subj",
+            F.when(F.col("s_kind").isin("iri", "literal"), F.coalesce("s_entity", "s_r"))
+            .otherwise(F.col("s_r")),
+        )
+        .withColumn("pred", F.col("p_r"))
+        .withColumn(
+            "obj",
+            F.when(F.col("o_kind").isin("iri", "literal"), F.coalesce("o_entity", "o_r"))
+            .otherwise(F.col("o_r")),
+        )
+    )
+    return out.drop("s_surface_k", "s_etype_k", "o_surface_k", "o_etype_k")

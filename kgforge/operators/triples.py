@@ -1,0 +1,93 @@
+"""U5 emit + A1 hash-aggregation + J9 salted skew handling.
+
+``explode_tps`` and the aggregations are pure JVM operators (whole-stage
+codegen); Python is never re-entered after the fused parse stage.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Hot predicates whose key groups dwarf the others at DBpedia-like skew
+# ([B:6]; FIXTURES.md plants a 5% flood of them).
+HOT_PREDICATES = (
+    "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+    "<http://dbpedia.org/ontology/wikiPageWikiLink>",
+)
+
+
+def explode_tps(parsed: DataFrame) -> DataFrame:
+    """One row per triple pattern, JVM-side explode (SURVEY.md U5)."""
+    keep = ["repo", "path", "commit", "content_sha256", "kind", "bgp_hash"]
+    return (
+        parsed.filter(F.col("parse_ok"))
+        .select(*keep, F.posexplode("tps").alias("tp_pos", "tp"))
+        .select(*keep, "tp_pos", "tp.*")
+    )
+
+
+def fixture_triples(linked: DataFrame) -> DataFrame:
+    """BGP-fixture emission mode: every TP (canonical var names), the rowset
+    the P/R>=0.95 gate scores [B:2] (SURVEY.md U5)."""
+    return linked.select("subj", "pred", "obj", "content_sha256").distinct()
+
+
+def graph_triples(linked: DataFrame, lineage_cap: int = 20) -> DataFrame:
+    """Graph emission mode: fully-ground TPs only, hash-aggregated with
+    bounded lineage pooling (A1/A7; collect_set capped via slice to bound
+    aggregation state, SURVEY.md 4.3.4)."""
+    ground = linked.filter(
+        F.col("s_kind").isin("iri", "literal")
+        & (F.col("p_kind") == "iri")
+        & F.col("o_kind").isin("iri", "literal")
+    )
+    return (
+        ground.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").alias("src_count"),
+            F.slice(
+                F.array_sort(
+                    F.collect_set(F.struct("repo", "path", "commit", "content_sha256"))
+                ),
+                1,
+                lineage_cap,
+            ).alias("lineage"),
+        )
+    )
+
+
+def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 32) -> DataFrame:
+    """J9 two-phase aggregation: partial count over (keys, salt) defuses
+    hot-key skew before the final combine.  The salt is derived from the
+    row's non-key content so hot groups split evenly across tasks."""
+    non_key = [c for c in df.columns if c not in keys]
+    salt = F.pmod(F.xxhash64(*non_key) if non_key else F.xxhash64(*keys), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("count"))
+
+
+def write_graph(triples: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Materialize the graph table: partition by predicate family (namespace),
+    salting the hot predicates so no single output partition-task carries a
+    whole hot key ([B:6]); sortWithinPartitions gives parquet RLE/dict-friendly
+    pages (SURVEY.md O2)."""
+    pred_family = F.regexp_extract(F.col("pred"), r"^<([a-z]+://[^/>]+/?[^/>#]*)", 1)
+    is_hot = F.col("pred").isin(*HOT_PREDICATES)
+    salt = F.when(is_hot, F.pmod(F.xxhash64("subj"), F.lit(n_buckets))).otherwise(F.lit(0))
+    (
+        triples.withColumn("pred_family", F.coalesce(pred_family, F.lit("other")))
+        .withColumn("_salt", salt)
+        .repartition(F.col("pred_family"), F.col("_salt"))
+        .sortWithinPartitions("pred", "subj")
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy("pred_family")
+        .parquet(path)
+    )
