@@ -1,0 +1,243 @@
+"""Deduplication operators over a document corpus (exact, n-gram Jaccard,
+MinHash+LSH, SimHash).
+
+These are the training-data-pipeline ops a 100 TB corpus engine needs beside
+the KG extraction core.  Design rules:
+
+* shingling / hashing / banding are **JVM expressions** (split, transform,
+  xxhash64, explode) — whole-stage codegen, no Python in the hot path;
+* candidate generation is **equi-join on band signature** (shuffle keyed on
+  a short hash), never an O(n^2) cross join;
+* only SimHash uses Python (numpy bit-packing via mapInPandas, one Arrow
+  batch at a time) because 64-lane popcount majority has no clean
+  whole-stage-codegen form.
+
+Hot-shingle guard: ``max_df`` drops shingles occurring in more than a set
+number of documents before the self-join (stop-shingle removal) — without it
+one ubiquitous shingle makes the candidate join quadratic at corpus scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, computed JVM-side."""
+    words = _words()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one keeper (min id) + group size."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with n-gram Jaccard >= threshold.
+
+    Plan: shingle -> drop hot shingles (df > max_df) -> self-equi-join on
+    shingle -> count common -> join per-doc sizes -> Jaccard filter.
+    The only shuffles are keyed on shingle and on (a, b)."""
+    sh = word_shingles(docs, n, id_col)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "inner").select(
+        id_col, "shingle"
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, hk, minh): k MinHash lanes per doc.  Lane h of doc d is
+    min over d's shingles of xxhash64(shingle, h) — the per-lane seed is the
+    second xxhash64 argument, so no string concat in the hot loop."""
+    sh = word_shingles(docs, n, id_col)
+    lanes = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hk")
+    return (
+        sh.select(id_col, "shingle")
+        .select(id_col, "shingle", lanes)
+        .withColumn("h", F.xxhash64("shingle", "hk"))
+        .groupBy(id_col, "hk")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    band signature = xxhash64 of the lane values in one band; docs sharing
+    any (band, signature) bucket become candidates (equi-join on the bucket
+    key — this is the scale path: candidates ~ true dups, not n^2)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k, n, id_col)
+    band = (
+        sig.withColumn("band", (F.col("hk") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("hk", "minh"))).alias("lanes"))
+        .withColumn(
+            "band_sig",
+            F.xxhash64(F.concat_ws(",", F.transform("lanes", lambda s: s["minh"].cast("string")))),
+        )
+        .select(id_col, "band", "band_sig")
+    )
+    cand = (
+        band.alias("x")
+        .join(band.alias("y"), ["band", "band_sig"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+    # verify candidates with true Jaccard (join back shingle sets)
+    sh = word_shingles(docs, n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("sh_b")), "b")
+        .filter(F.col("shingle") == F.col("sh_b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (token-hash bit majority), computed with
+    numpy inside mapInPandas — one Arrow batch per call, never per-row."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                toks = text.split()
+                if not toks:
+                    out.append((did, 0))
+                    continue
+                # deterministic 64-bit token hashes (FNV-1a, vectorized-ish)
+                hs = np.fromiter(
+                    (_fnv1a64(t) for t in set(toks)), dtype=np.uint64, count=len(set(toks))
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+                vote = (2 * bits - 1).sum(axis=0)
+                sim = np.uint64(0)
+                for i in range(64):
+                    if vote[i] > 0:
+                        sim |= np.uint64(1) << np.uint64(i)
+                out.append((did, int(np.int64(sim))))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
+        gen, schema=SIMHASH_SCHEMA
+    )
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys; any
+    pair within hamming distance 3 shares at least one exact 16-bit band
+    (pigeonhole), so candidates come from 4 equi-joins, not a cross join."""
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

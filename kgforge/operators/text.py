@@ -1,0 +1,93 @@
+"""Text analysis operators: quality scoring, token counting, language ID,
+document fingerprinting.  All pure JVM expressions (whole-stage codegen) —
+no Python in any of these paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+_PUNCT = "[.,;:!?'\"()]"
+# BPE-ish token regex: words, numbers, or single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "zh": ("的", "是", "了", "我", "不"),
+}
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a combined
+    score, all expressible in ANSI SQL (DuckDB-oracle-checkable)."""
+    words = _words()
+    n_tokens = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", _PUNCT, ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - n_punct) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens (SURVEY-adjacent training-
+    data op; both countable in DuckDB for the oracle)."""
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("re_tokens"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: score = marker hits per language, argmax via
+    array_max over (score, lang) structs; deterministic tiebreak by lang desc
+    then alphabetic via struct ordering."""
+    words = _words()
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(words, lambda w: w.isin(*marks))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return docs.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["score"].alias("marker_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 4, k: int = 5) -> DataFrame:
+    """Rolling-hash document fingerprint: the k smallest xxhash64 values over
+    word n-grams (a k-min sketch — stable under small edits)."""
+    words = _words()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    hashes = F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
+    return docs.select(
+        "doc_id",
+        F.slice(hashes, 1, k).alias("kmin_sketch"),
+        F.xxhash64(F.concat_ws(",", F.transform(F.slice(hashes, 1, k), lambda h: h.cast("string")))).alias(
+            "fingerprint"
+        ),
+    )

@@ -1,0 +1,883 @@
+"""Driver-contract query registry (SURVEY.md section 2 "Driver check" keys).
+
+Each entry couples a Spark DataFrame query with its DuckDB oracle SQL so the
+two cannot drift apart.  Conventions that keep the driver's order-insensitive
+value-hash comparison stable (BASELINE.md):
+
+* every computed column is aliased identically on both sides;
+* double aggregates are ``round(x, 2..6)`` on both sides (double summation
+  order differs between engines at the last ulp);
+* timestamps are projected as formatted strings (Spark session TZ is pinned
+  UTC, DuckDB is UTC-naive);
+* sums of integer columns are cast to BIGINT in SQL (DuckDB widens to
+  HUGEINT, Spark stays long).
+
+Entries whose semantics DuckDB cannot replicate (xxhash64 sketches, LSH,
+language ID) register ``sql=None`` -> the driver records a rows-only check
+and pytest carries the semantic assertions instead (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kgforge.operators import dedup, similarity, text
+
+REGISTRY: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def q(name: str, sql: Optional[str]):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =============================================================================
+# 2.1 / 2.2  scans, projections, filters, predicates
+# =============================================================================
+
+@q(
+    "scan_project",
+    """SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'""",
+)
+def scan_project(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") >= "1996-01-01")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@q("project_columns", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def project_columns(spark, sf):
+    return T(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@q(
+    "filter_contains",
+    """SELECT doc_id, n_chars FROM documents
+       WHERE contains(text, 'spark') AND lang = 'en'""",
+)
+def filter_contains(spark, sf):
+    return (
+        T(spark, sf, "documents")
+        .filter(F.col("text").contains("spark") & (F.col("lang") == "en"))
+        .select("doc_id", "n_chars")
+    )
+
+
+@q(
+    "regexp_extract_fields",
+    """SELECT doc_id, regexp_extract(source, 'src([0-9]+)', 1) AS src_num FROM documents""",
+)
+def regexp_extract_fields(spark, sf):
+    return T(spark, sf, "documents").select(
+        "doc_id", F.regexp_extract("source", r"src([0-9]+)", 1).alias("src_num")
+    )
+
+
+@q(
+    "url_decode_param",
+    "SELECT doc_id, concat('q ', lang, ' v') AS decoded FROM documents",
+)
+def url_decode_param(spark, sf):
+    # Spark-side url_decode (P4) against a DuckDB-computed expected plaintext
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.url_decode(F.concat(F.lit("q%20"), F.col("lang"), F.lit("+v"))).alias("decoded"),
+    )
+
+
+@q(
+    "null_guard",
+    """SELECT c_custkey,
+              coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+              CASE WHEN c_acctbal IS NULL THEN 0.0 ELSE round(c_acctbal, 2) END AS bal
+       FROM customer""",
+)
+def null_guard(spark, sf):
+    return T(spark, sf, "customer").select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+        F.when(F.col("c_acctbal").isNull(), F.lit(0.0))
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("bal"),
+    )
+
+
+# =============================================================================
+# 2.3  joins
+# =============================================================================
+
+@q(
+    "join_broadcast",
+    """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+              round(sum(l.l_extendedprice), 2) AS revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def join_broadcast(spark, sf):
+    l, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "join_sortmerge",
+    """SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS price
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_totalprice > 300000""",
+)
+def join_sortmerge(spark, sf):
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "c_name", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@q(
+    "join_shufflehash",
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       GROUP BY s.s_name""",
+)
+def join_shufflehash(spark, sf):
+    l, s = T(spark, sf, "lineitem"), T(spark, sf, "supplier")
+    return (
+        l.join(s.hint("shuffle_hash"), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 400000)""",
+)
+def join_semi(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return c.join(
+        o.filter(F.col("o_totalprice") > 400000),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_anti(spark, sf):
+    c, o = T(spark, sf, "customer"), T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "join_theta",
+    """SELECT n.n_name, r.r_name FROM nation n JOIN region r
+       ON n.n_regionkey < r.r_regionkey""",
+)
+def join_theta(spark, sf):
+    n, r = T(spark, sf, "nation"), T(spark, sf, "region")
+    return n.join(r, n.n_regionkey < r.r_regionkey).select("n_name", "r_name")
+
+
+@q(
+    "join_range",
+    """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_in_window
+       FROM orders o JOIN lineitem l
+         ON l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate
+        AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+       GROUP BY o.o_orderkey""",
+)
+def join_range(spark, sf):
+    o, l = T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate <= F.date_add(o.o_orderdate.cast("date"), 30).cast("timestamp")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_in_window"))
+    )
+
+
+@q(
+    "join_asof",
+    """SELECT o.o_orderkey,
+              strftime(max(e.ts), '%Y-%m-%d %H:%M:%S') AS last_event_ts
+       FROM orders o JOIN events e
+         ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+       GROUP BY o.o_orderkey""",
+)
+def join_asof(spark, sf):
+    o, e = T(spark, sf, "orders"), T(spark, sf, "events")
+    return (
+        o.join(e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate))
+        .groupBy("o_orderkey")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_event_ts"))
+    )
+
+
+@q(
+    "join_salted_count",
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS count
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def join_salted_count(spark, sf):
+    # J9 two-phase salted aggregation must equal the plain GROUP BY
+    from kgforge.operators.triples import salted_count
+
+    return salted_count(T(spark, sf, "lineitem"), ["l_returnflag"], n_salts=16)
+
+
+# =============================================================================
+# 2.4  aggregations
+# =============================================================================
+
+@q(
+    "agg_dedup",
+    """SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS src_count
+       FROM lineitem GROUP BY l_partkey, l_suppkey""",
+)
+def agg_dedup(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count("*").alias("src_count"))
+    )
+
+
+@q(
+    "agg_count_group",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+)
+def agg_count_group(spark, sf):
+    return T(spark, sf, "documents").groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@q(
+    "agg_multi",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS total, round(avg(o_totalprice), 2) AS mean
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_multi(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean"),
+        )
+    )
+
+
+@q(
+    "agg_distinct",
+    """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_distinct(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@q("agg_approx_distinct", None)  # HLL++ sketch differs from DuckDB's -> rows-only
+def agg_approx_distinct(spark, sf):
+    return T(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def agg_rollup(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def agg_cube(spark, sf):
+    return (
+        T(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@q(
+    "agg_basic",
+    """SELECT round(min(l_extendedprice), 2) AS min_p, round(max(l_extendedprice), 2) AS max_p,
+              round(avg(l_discount), 6) AS avg_d, round(sum(l_quantity), 2) AS sum_q
+       FROM lineitem""",
+)
+def agg_basic(spark, sf):
+    return T(spark, sf, "lineitem").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_p"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_p"),
+        F.round(F.avg("l_discount"), 6).alias("avg_d"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_q"),
+    )
+
+
+@q(
+    "agg_collect",
+    """SELECT n_regionkey,
+              array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+       FROM nation GROUP BY n_regionkey""",
+)
+def agg_collect(spark, sf):
+    return (
+        T(spark, sf, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias("nations"))
+    )
+
+
+@q(
+    "agg_max_by",
+    """SELECT o_custkey, o_orderkey AS best_order FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def agg_max_by(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("best_order"))
+    )
+
+
+# =============================================================================
+# 2.5  windows
+# =============================================================================
+
+@q(
+    "win_rank_candidates",
+    """SELECT p_brand, p_partkey, rn FROM (
+         SELECT p_brand, p_partkey,
+                row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+         FROM part) WHERE rn <= 3""",
+)
+def win_rank_candidates(spark, sf):
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        T(spark, sf, "part")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "rn")
+    )
+
+
+@q(
+    "win_lag_dedup",
+    """SELECT event_id FROM (
+         SELECT event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events) WHERE prev IS NULL OR prev <> event_type""",
+)
+def win_lag_dedup(spark, sf):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf, "events")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("event_id")
+    )
+
+
+@q(
+    "win_dense_rank",
+    """SELECT s_nationkey, s_name, dr FROM (
+         SELECT s_nationkey, s_name,
+                dense_rank() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC) AS dr
+         FROM supplier) WHERE dr <= 2""",
+)
+def win_dense_rank(spark, sf):
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return (
+        T(spark, sf, "supplier")
+        .withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= 2)
+        .select("s_nationkey", "s_name", "dr")
+    )
+
+
+@q(
+    "win_running_sum",
+    """SELECT event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running
+       FROM events""",
+)
+def win_running_sum(spark, sf):
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return T(spark, sf, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("running")
+    )
+
+
+@q(
+    "win_percent_rank",
+    """SELECT c_custkey,
+              round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal), 6) AS pr
+       FROM customer""",
+)
+def win_percent_rank(spark, sf):
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return T(spark, sf, "customer").select(
+        "c_custkey", F.round(F.percent_rank().over(w), 6).alias("pr")
+    )
+
+
+# =============================================================================
+# 2.6 / 2.7  sorts, top-k, set ops
+# =============================================================================
+
+@q(
+    "sort_global",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def sort_global(spark, sf):
+    return (
+        T(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(100)
+    )
+
+
+@q(
+    "topk_limit",
+    """SELECT p_partkey, round(p_retailprice, 2) AS price FROM part
+       ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+)
+def topk_limit(spark, sf):
+    return (
+        T(spark, sf, "part")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", F.round("p_retailprice", 2).alias("price"))
+        .limit(10)
+    )
+
+
+@q(
+    "set_union",
+    """SELECT c_nationkey AS nationkey FROM customer
+       UNION SELECT s_nationkey FROM supplier""",
+)
+def set_union(spark, sf):
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@q(
+    "set_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier""",
+)
+def set_intersect(spark, sf):
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "set_except",
+    """SELECT n_nationkey AS nationkey FROM nation
+       EXCEPT SELECT s_nationkey FROM supplier""",
+)
+def set_except(spark, sf):
+    n = T(spark, sf, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s).distinct()
+
+
+# =============================================================================
+# 2.8  scalar function surface
+# =============================================================================
+
+@q(
+    "fn_string",
+    """SELECT p_partkey, lower(p_name) AS lname, trim(p_brand) AS tbrand,
+              substring(p_type, 1, 5) AS type5,
+              concat(p_brand, ':', p_type) AS joined,
+              CAST(length(p_name) AS INT) AS nlen,
+              CAST(starts_with(p_type, 'STANDARD') AS BOOLEAN) AS is_std,
+              replace(p_brand, 'Brand#', 'B') AS brand_short
+       FROM part""",
+)
+def fn_string(spark, sf):
+    return T(spark, sf, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.trim("p_brand").alias("tbrand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws(":", "p_brand", "p_type").alias("joined"),
+        F.length("p_name").alias("nlen"),
+        F.col("p_type").startswith("STANDARD").alias("is_std"),
+        F.regexp_replace("p_brand", r"Brand#", "B").alias("brand_short"),
+    )
+
+
+@q(
+    "fn_hash",
+    """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha
+       FROM customer""",
+)
+def fn_hash(spark, sf):
+    return T(spark, sf, "customer").select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha"),
+    )
+
+
+@q(
+    "fn_date",
+    """SELECT o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS ds,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+       FROM orders""",
+)
+def fn_date(spark, sf):
+    return T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ds"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@q(
+    "fn_math",
+    """SELECT l_orderkey, l_linenumber,
+              round(abs(l_discount - 0.05), 6) AS d_abs,
+              round(ln(l_extendedprice), 6) AS price_ln,
+              round(power(l_quantity, 2), 2) AS q_sq,
+              round(greatest(l_tax, l_discount), 2) AS g,
+              round(least(l_tax, l_discount), 2) AS l
+       FROM lineitem""",
+)
+def fn_math(spark, sf):
+    li = T(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("d_abs"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("q_sq"),
+        F.round(F.greatest("l_tax", "l_discount"), 2).alias("g"),
+        F.round(F.least("l_tax", "l_discount"), 2).alias("l"),
+    )
+
+
+@q(
+    "fn_array",
+    """SELECT p_partkey,
+              CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,
+              array_to_string(list_sort(string_split(p_type, ' ')), '_') AS sorted_words,
+              string_split(p_type, ' ')[1] AS first_word
+       FROM part""",
+)
+def fn_array(spark, sf):
+    words = F.split(F.col("p_type"), " ")
+    return T(spark, sf, "part").select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.concat_ws("_", F.array_sort(words)).alias("sorted_words"),
+        words.getItem(0).alias("first_word"),
+    )
+
+
+@q(
+    "fn_json",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+       FROM events""",
+)
+def fn_json(spark, sf):
+    return T(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@q(
+    "fn_cond",
+    """SELECT c_custkey,
+              CASE WHEN c_acctbal < 0 THEN 'debt'
+                   WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band
+       FROM customer""",
+)
+def fn_cond(spark, sf):
+    return T(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("band"),
+    )
+
+
+@q("fn_map", None)  # DuckDB map extraction returns LIST in 1.0 -> rows-only
+def fn_map(spark, sf):
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_v"),
+        F.map_keys(m).alias("keys"),
+    )
+
+
+@q(
+    "win_tumbling",
+    """SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+              event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def win_tumbling(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+# =============================================================================
+# training-data ops: dedup / similarity / text (SURVEY-adjacent, first-class)
+# =============================================================================
+
+@q(
+    "dedup_exact",
+    """SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf):
+    return dedup.exact_duplicates(T(spark, sf, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), sh0 AS (
+         SELECT DISTINCT doc_id,
+                unnest([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS shingle
+         FROM words
+       ), sh AS (SELECT doc_id, shingle FROM sh0 WHERE length(shingle) > 0),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT a, b, round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+       FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.8""",
+)
+def dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(T(spark, sf, "documents"), n=3, threshold=0.8)
+
+
+@q("dedup_minhash", None)  # xxhash64 sketch not replicable in DuckDB -> rows-only
+def dedup_minhash(spark, sf):
+    return dedup.minhash_lsh_pairs(T(spark, sf, "documents"), threshold=0.5)
+
+
+@q("dedup_simhash", None)  # FNV/numpy sketch -> rows-only + pytest goldens
+def dedup_simhash(spark, sf):
+    return dedup.simhash_near_pairs(T(spark, sf, "documents"), max_hamming=3)
+
+
+@q(
+    "dedup_embed_cosine",
+    """SELECT x.vec_id AS a, y.vec_id AS b,
+              round(list_cosine_similarity(x.embedding, y.embedding), 6) AS cosine
+       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+       WHERE x.vec_id < 100 AND y.vec_id < 100
+         AND list_cosine_similarity(x.embedding, y.embedding) >= 0.8""",
+)
+def dedup_embed_cosine(spark, sf):
+    e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return similarity.cosine_pairs(e, threshold=0.8)
+
+
+@q(
+    "ann_cosine_topk",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, round(list_cosine_similarity(embedding, q.qe), 6) AS cosine
+       FROM embeddings, q ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf):
+    e = T(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(e, [float(x) for x in qvec], k=10)
+
+
+@q("ann_lsh", None)  # bucket assignment uses seeded hyperplanes -> rows-only
+def ann_lsh(spark, sf):
+    e = T(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_topk(e, [float(x) for x in qvec], k=10)
+
+
+@q(
+    "text_quality",
+    """SELECT doc_id,
+              CAST(length(text) AS INT) AS n_chars_m,
+              CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+              round((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))
+                    / greatest(length(text), 1), 6) AS punct_ratio,
+              round(len(list_filter(string_split(trim(text), ' '),
+                    x -> x IN ('the','a','of','and','to','in','is','it')))
+                    / greatest(len(string_split(trim(text), ' ')), 1), 6) AS stopword_ratio,
+              round((length(text) - (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))))
+                    / greatest(len(string_split(trim(text), ' ')), 1), 6) AS mean_token_len
+       FROM documents""",
+)
+def text_quality(spark, sf):
+    return text.quality_features(T(spark, sf, "documents"))
+
+
+@q(
+    "text_tokens",
+    """SELECT doc_id,
+              CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+                AS re_tokens
+       FROM documents""",
+)
+def text_tokens(spark, sf):
+    return text.token_counts(T(spark, sf, "documents"))
+
+
+@q("text_langid", None)  # heuristic, not SQL-replicable -> rows-only + pytest
+def text_langid(spark, sf):
+    return text.langid(T(spark, sf, "documents"))
+
+
+@q("text_fingerprint", None)  # xxhash64 k-min sketch -> rows-only + pytest
+def text_fingerprint(spark, sf):
+    return text.fingerprints(T(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+# =============================================================================
+# KG-domain ops on a deterministic corpus (non-SQL-expressible -> rows-only;
+# full semantics are pytest-gated at P/R >= 0.95, SURVEY.md section 5)
+# =============================================================================
+
+@q("kg_extract_triples", None)
+def kg_extract_triples(spark, sf):
+    from kgforge.corpus import generate_rows
+    from kgforge.operators.extract import (
+        detect_mentions_df,
+        parse_canonicalize_df,
+        prefilter,
+        with_content_sha,
+    )
+    from kgforge.operators.linking import link_terms
+    from kgforge.operators.triples import explode_tps, fixture_triples
+    from kgforge.pipeline import default_entity_dict
+
+    src = spark.createDataFrame(generate_rows(600)[0])
+    parsed = parse_canonicalize_df(detect_mentions_df(prefilter(with_content_sha(src))))
+    return fixture_triples(link_terms(explode_tps(parsed), default_entity_dict(spark)))
+
+
+@q("kg_bgp_ranking", None)
+def kg_bgp_ranking(spark, sf):
+    from kgforge.corpus import generate_rows
+    from kgforge.operators.extract import (
+        detect_mentions_df,
+        parse_canonicalize_df,
+        prefilter,
+        with_content_sha,
+    )
+
+    src = spark.createDataFrame(generate_rows(600)[0])
+    parsed = parse_canonicalize_df(detect_mentions_df(prefilter(with_content_sha(src))))
+    return (
+        parsed.filter(F.col("parse_ok"))
+        .groupBy("bgp_hash")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@q("udaf_mean_pool", None)  # pandas UDAF surface (U6) -> rows-only
+def udaf_mean_pool(spark, sf):
+    """Custom aggregation in pandas: per-label embedding centroid via
+    applyInPandas with one-row-per-group output (the UDAF pattern the
+    pyspark guide prescribes when grouped-agg annotations can't express
+    an array-typed result)."""
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = np.mean(np.stack(pdf["embedding"].to_numpy()), axis=0).round(6)
+        return pd.DataFrame({"label": [pdf["label"].iloc[0]], "centroid": [c.tolist()]})
+
+    return (
+        T(spark, sf, "embeddings")
+        .select("label", F.col("embedding").cast("array<double>").alias("embedding"))
+        .groupBy("label")
+        .applyInPandas(centroid, schema="label int, centroid array<double>")
+    )

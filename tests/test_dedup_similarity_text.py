@@ -1,0 +1,154 @@
+"""Semantic tests for the training-data operators whose driver check is
+rows-only (MinHash/SimHash/LSH/langid/fingerprint): planted near-duplicates
+must be found, disjoint documents must not pair, ANN must agree with exact
+top-k on its bucket, language ID must classify marker-bearing text."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    # 0 and 1: near-identical (one word changed at the end)
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    # 2: exact copy of 0
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),
+    # 3: unrelated
+    (3, "completely different content about spark shuffles and parquet files"),
+    # 4: unrelated
+    (4, "numerical linear algebra kernels on tensor cores with mixed precision"),
+    # 5: permuted variant of 3 (moderate similarity)
+    (5, "content about spark shuffles and parquet files completely different"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = {r.keeper_id: r.n_copies for r in dedup.exact_duplicates(docs).collect()}
+    assert rows[0] == 2  # doc 2 collapses onto doc 0
+    assert rows[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 2) in pairs
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0  # identical text -> identical simhash
+    assert (0, 1) in pairs  # one-token edit -> small hamming distance
+    assert (3, 4) not in pairs
+
+
+def test_simhash_deterministic(docs, spark):
+    a = {(r.doc_id, r.simhash) for r in dedup.simhash_signatures(docs).collect()}
+    b = {(r.doc_id, r.simhash) for r in dedup.simhash_signatures(docs).collect()}
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist(), i % 2))
+    # 100: tiny perturbation of vector 0 -> cosine ~1
+    pert = base[0] + 0.01 * rng.randn(16)
+    rows.append((100, (pert / np.linalg.norm(pert)).astype("float32").tolist(), 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(embeddings):
+    qvec = embeddings.filter("vec_id = 0").head().embedding
+    top = similarity.cosine_topk(embeddings, [float(x) for x in qvec], k=3).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == pytest.approx(1.0)
+    assert top[1].vec_id == 100 and top[1].cosine > 0.99
+
+
+def test_cosine_pairs_threshold(embeddings):
+    pairs = {(r.a, r.b) for r in similarity.cosine_pairs(embeddings, threshold=0.99).collect()}
+    assert pairs == {(0, 100)}
+
+
+def test_lsh_topk_contains_near_dup(embeddings):
+    qvec = embeddings.filter("vec_id = 0").head().embedding
+    got = similarity.lsh_topk(embeddings, [float(x) for x in qvec], k=3, n_planes=4).collect()
+    ids = [r.vec_id for r in got]
+    assert 0 in ids and 100 in ids  # near-identical vectors share every bucket
+
+
+def test_lsh_bucket_prunes(embeddings):
+    qvec = embeddings.filter("vec_id = 0").head().embedding
+    planes = similarity.hyperplanes(16, 8, 42)
+    bucketed = embeddings.withColumn(
+        "bucket", similarity.lsh_bucket_col("embedding", planes)
+    )
+    n_buckets = bucketed.select("bucket").distinct().count()
+    assert n_buckets > 1  # bucketing actually partitions the space
+
+
+def test_langid_markers(spark):
+    rows = [
+        (1, "the cat and the dog of the house is big"),
+        (2, "le chat et la maison les arbres des fleurs"),
+        (3, "el perro y los gatos una casa"),
+        (4, "der hund und die katze das haus nicht"),
+        (5, "qwerty zxcvb asdfgh"),
+    ]
+    out = {r.doc_id: r.pred_lang for r in text.langid(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "und"}
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(1, "the cat, the hat!")], "doc_id long, text string")
+    r = text.quality_features(df).head()
+    assert r.n_tokens == 4
+    assert r.punct_ratio == pytest.approx(2 / 17, abs=1e-6)
+    assert r.stopword_ratio == pytest.approx(0.5)
+
+
+def test_fingerprint_stability(docs):
+    fp = {r.doc_id: r.fingerprint for r in text.fingerprints(docs).collect()}
+    assert fp[0] == fp[2]  # identical docs -> identical fingerprint
+    assert fp[0] != fp[3]
+
+
+def test_multimodal_features_shape(spark):
+    assets = multimodal.synth_assets(spark, 12)
+    feats = multimodal.extract_features(assets, mode="fake").collect()
+    assert len(feats) == 12
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+
+
+def test_multimodal_real_decode_raises(spark):
+    assets = multimodal.synth_assets(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(assets, mode="real").collect()
+
+
+def test_multimodal_frame_sample(spark):
+    assets = multimodal.synth_assets(spark, 9)
+    frames = multimodal.frame_sample(assets, n_frames=4, frame_bytes=16).collect()
+    n_videos = assets.filter("kind = 'video'").count()
+    assert len(frames) == 4 * n_videos
+    assert all(len(bytes(r.frame)) == 16 for r in frames)
