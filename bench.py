@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the KG-construction pipeline itself on a
+deterministically generated corpus (the BASELINE.md files/sec metric).
+
+Output: {"metric": "total_wall_sec", "value": N, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": 0.1,
+         "kg_files_per_sec": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "scan_project",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_range",
+    "agg_dedup",
+    "agg_rollup",
+    "win_running_sum",
+    "win_rank_candidates",
+    "sort_global",
+    "fn_math",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+KG_CORPUS_ROWS = int(os.environ.get("KGFORGE_BENCH_ROWS", "60000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from kgforge import pipeline
+    from kgforge.conf import get_spark
+    from kgforge.corpus import write_corpus_parquet
+    from kgforge.queries import REGISTRY
+
+    spark = get_spark("kgforge-bench", master=f"local[{cpus}]")
+
+    # warm the session (JVM/codegen/Arrow worker startup out of the measurement)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    q_secs: dict = {}
+    t_total = time.time()
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        q_secs[name] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput: corpus generated once, cached on disk
+    corpus_path = f"/tmp/kgforge_bench_corpus_{KG_CORPUS_ROWS}.parquet"
+    if not os.path.exists(corpus_path):
+        write_corpus_parquet(corpus_path, KG_CORPUS_ROWS)
+    out_dir = "/tmp/kgforge_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    src = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    pipeline.run(spark, src, out_dir, n_parts=256, resume=False, run_id="bench")
+    kg_wall = time.time() - t0
+    q_secs["kg_pipeline"] = round(kg_wall, 3)
+
+    total = time.time() - t_total
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": q_secs,
+                "sf": sf,
+                "kg_corpus_rows": KG_CORPUS_ROWS,
+                "kg_files_per_sec": round(KG_CORPUS_ROWS / kg_wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -318,11 +318,13 @@ def _pool_pick(j: int) -> PoolQuery:
     return POOL[(j * 7 + 3) % len(POOL)]
 
 
-def generate_rows(n_rows: int) -> Tuple[List[dict], List[Plant]]:
-    """Returns (source_files rows, plants).  Pure deterministic arithmetic."""
+def generate_rows(n_rows: int, start: int = 0) -> Tuple[List[dict], List[Plant]]:
+    """Returns (source_files rows, plants) for row ids [start, start+n_rows).
+    Pure deterministic arithmetic — chunked generation (start > 0) produces
+    byte-identical rows to one-shot generation."""
     rows: List[dict] = []
     plants: List[Plant] = []
-    for i in range(n_rows):
+    for i in range(start, start + n_rows):
         slot = i % 20
         if slot <= 6:  # noise
             lang = "txt" if slot % 2 else "py"
@@ -374,12 +376,23 @@ def content_sha256(content: str) -> str:
     return hashlib.sha256(content.encode("utf-8")).hexdigest()
 
 
-def write_corpus_parquet(path: str, n_rows: int) -> None:
-    """Materialize a corpus as a single-directory parquet dataset (row-group
-    sized for parallel scan)."""
+def write_corpus_parquet(path: str, n_rows: int, n_files: int = 64) -> None:
+    """Materialize a corpus as a MULTI-FILE parquet dataset directory.
+
+    Real source tables are many files; a single file caps the scan at one
+    input split regardless of cluster size (observed: local[32] slower than
+    local[8] on a 1-file corpus), so the generator writes ~n_files files."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows, _ = generate_rows(n_rows)
-    table = pa.Table.from_pylist(rows)
-    pq.write_table(table, path, row_group_size=max(1000, n_rows // 64))
+    os.makedirs(path, exist_ok=True)
+    per = max(1, n_rows // n_files)
+    for f in range(0, n_rows, per):
+        chunk, _ = generate_rows(min(per, n_rows - f), start=f)  # chunked: O(per) memory
+        pq.write_table(
+            pa.Table.from_pylist(chunk),
+            os.path.join(path, f"part-{f // per:05d}.parquet"),
+            row_group_size=max(500, len(chunk) // 4),
+        )

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from kgforge.corpus import PRED_ETYPE  # predicate -> entity-type config (linking)
-from kgforge.sparql.canonical import bgp_hash, canonicalize_bgp
+from kgforge.sparql.canonical import bgp_hash, canonicalize_with_names
 from kgforge.sparql.mentions import detect_mentions_batch
 from kgforge.sparql.parser import parse_query
 from kgforge.sparql.terms import render_term
@@ -67,23 +67,22 @@ def detect_mentions_df(df: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mention_lists = detect_mentions_batch(pdf["content"])
-            out = {k: [] for k in
-                   ("repo", "path", "commit", "content_sha256", "kind",
-                    "span_start", "span_end", "raw")}
+            repo = pdf["repo"].to_numpy()
+            path = pdf["path"].to_numpy()
+            commit = pdf["commit"].to_numpy()
+            sha = pdf["content_sha256"].to_numpy()
+            rows = []
             for row_pos, mentions in enumerate(mention_lists):
-                if not mentions:
-                    continue
-                base = pdf.iloc[row_pos]
                 for m in mentions:
-                    out["repo"].append(base["repo"])
-                    out["path"].append(base["path"])
-                    out["commit"].append(base["commit"])
-                    out["content_sha256"].append(base["content_sha256"])
-                    out["kind"].append(m.kind)
-                    out["span_start"].append(m.span_start)
-                    out["span_end"].append(m.span_end)
-                    out["raw"].append(m.raw)
-            yield pd.DataFrame(out)
+                    rows.append(
+                        (repo[row_pos], path[row_pos], commit[row_pos], sha[row_pos],
+                         m.kind, m.span_start, m.span_end, m.raw)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["repo", "path", "commit", "content_sha256", "kind",
+                         "span_start", "span_end", "raw"],
+            )
 
     cols = ["repo", "path", "commit", "content_sha256", "content"]
     return df.select(*cols).mapInPandas(gen, schema=MENTION_SCHEMA)
@@ -111,11 +110,7 @@ def _parse_one(raw: str) -> Tuple:
     r = parse_query(raw)
     if not r.parse_ok:
         return (False, r.error, None, True, 0, None, None, [])
-    canonical = canonicalize_bgp(r.tps)
-    # canonical var names: recover the winning bijection by re-deriving the
-    # rename map from the canonical serialization is unnecessary — we
-    # re-render each TP under the canonical naming directly:
-    names = _canonical_names(r.tps, canonical)
+    canonical, names = canonicalize_with_names(r.tps)
     tps_out: List[dict] = []
     for tp in r.tps:
         s, p, o = tp.s, tp.p, tp.o
@@ -137,47 +132,36 @@ def _parse_one(raw: str) -> Tuple:
             bgp_hash(canonical), canonical, tps_out)
 
 
-def _canonical_names(tps, canonical: str) -> dict:
-    """Derive the original-name -> canonical-name map consistent with the
-    canonical serialization by re-running the canonical search and keeping
-    the winning bijection (cheap: same bounded search as canonicalize_bgp)."""
-    from itertools import permutations
+def extract_parse_df(df: DataFrame) -> DataFrame:
+    """U1+U2+U3 fully fused: source rows -> parsed BGP rows in ONE Python
+    stage (one Arrow crossing; the intermediate mention text never round-trips
+    through the JVM).  This is the pipeline's hot path; the separate
+    detect_mentions_df / parse_canonicalize_df operators remain for API and
+    tests."""
 
-    from kgforge.sparql.canonical import _MAX_EXACT, _renameables, _serialize
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mention_lists = detect_mentions_batch(pdf["content"])
+            repo = pdf["repo"].to_numpy()
+            path = pdf["path"].to_numpy()
+            commit = pdf["commit"].to_numpy()
+            sha = pdf["content_sha256"].to_numpy()
+            rows = []
+            for row_pos, mentions in enumerate(mention_lists):
+                if not mentions:
+                    continue
+                prov = (repo[row_pos], path[row_pos], commit[row_pos], sha[row_pos])
+                for m in mentions:
+                    rows.append(prov + (m.kind, m.span_start, m.span_end) + _parse_one(m.raw))
+            yield pd.DataFrame(
+                rows,
+                columns=["repo", "path", "commit", "content_sha256", "kind",
+                         "span_start", "span_end", "parse_ok", "error", "query_form",
+                         "simple", "n_tps", "bgp_hash", "canonical", "tps"],
+            )
 
-    vs, bs = _renameables(tps)
-    if not vs and not bs:
-        return {}
-    if len(vs) <= _MAX_EXACT and len(bs) <= 3:
-        for vperm in permutations(range(len(vs))) if vs else [()]:
-            vnames = {vs[src]: f"v{dst}" for dst, src in enumerate(vperm)}
-            for bperm in permutations(range(len(bs))) if bs else [()]:
-                names = dict(vnames)
-                for dst, src in enumerate(bperm):
-                    names["_:" + bs[src]] = f"cb{dst}"
-                if _serialize(tps, names) == canonical:
-                    return names
-    # greedy path: replicate _greedy's final naming
-    from kgforge.sparql.canonical import _greedy  # noqa: F401  (same fixpoint)
-    names: dict = {}
-    for _ in range(len(tps) + 2):
-        from kgforge.sparql.terms import render_tp
-
-        order = sorted(range(len(tps)), key=lambda i: render_tp(tps[i], names))
-        new: dict = {}
-        vi = bi = 0
-        for i in order:
-            for t in (tps[i].s, tps[i].p, tps[i].o):
-                if t.kind == "var" and t.value not in new:
-                    new[t.value] = f"v{vi}"
-                    vi += 1
-                elif t.kind == "bnode" and ("_:" + t.value) not in new:
-                    new["_:" + t.value] = f"cb{bi}"
-                    bi += 1
-        if new == names:
-            break
-        names = new
-    return names
+    cols = ["repo", "path", "commit", "content_sha256", "content"]
+    return df.select(*cols).mapInPandas(gen, schema=PARSED_SCHEMA)
 
 
 def parse_canonicalize_df(mentions: DataFrame) -> DataFrame:

@@ -34,6 +34,10 @@ def best_entity_per_surface(entity_dict: DataFrame) -> DataFrame:
             F.col("prior")
             * F.when(F.col("etype") == F.col("etype_key"), F.lit(1.0)).otherwise(F.lit(0.5)),
         )
+        # dim-side data: collapse to a handful of partitions so the window
+        # below doesn't fan a few thousand rows across 2*cores reduce tasks
+        # (task-launch overhead dwarfed the work; measured 4.7s -> sub-second)
+        .repartition(2, "surface")
     )
     w = Window.partitionBy("surface", "etype_key").orderBy(
         F.desc("score"), F.asc("entity_id")

@@ -26,14 +26,9 @@ from pyspark.sql import functions as F
 from kgforge.catalog import ParquetCatalog
 from kgforge.checkpoint import PID_COL, CheckpointStore, sha_fingerprint_col, with_pid
 from kgforge.corpus import entity_dict_rows
-from kgforge.operators.extract import (
-    detect_mentions_df,
-    parse_canonicalize_df,
-    prefilter,
-    with_content_sha,
-)
+from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
 from kgforge.operators.linking import link_terms
-from kgforge.operators.triples import explode_tps, fixture_triples, graph_triples, write_graph
+from kgforge.operators.triples import explode_tps, graph_triples, write_graph
 
 
 def _count_parquet(spark: SparkSession, path: str) -> int:
@@ -73,23 +68,41 @@ def run(
     src = with_pid(with_content_sha(source), n_parts)
     pending = store.filter_pending(src, "parsed") if resume else src
 
-    n_in_by_pid = pending.groupBy(PID_COL).agg(
-        F.count("*").alias("n_in"), sha_fingerprint_col()
-    )
+    # in-flight input count via observe(): measured DURING the main write
+    # action instead of a second full source scan (which cost ~35% of a
+    # single-core stage-1 wall)
+    from pyspark.sql import Observation
 
-    parsed = parse_canonicalize_df(detect_mentions_df(prefilter(pending)))
+    obs = Observation(f"ingest_{run_id}")
+    pending_plain = pending  # observation nodes are single-action; reuse the plain plan
+    pending = pending.observe(obs, F.count(F.lit(1)).alias("n_in"))
+
+    parsed = extract_parse_df(prefilter(pending))
     # re-attach pid deterministically (derived from data, SURVEY.md hard part 5)
     parsed = with_pid(parsed, n_parts)
     cat.append_table(parsed, "parsed")
+    metrics["t_parse_write_s"] = round(time.time() - t0, 2)
+    metrics["n_pending"] = int(obs.get["n_in"])
 
-    stats = (
+    t = time.time()
+    # per-pid output stats + content-sha fingerprint from the (narrow) parsed
+    # table.  Done pids = pids PRESENT in this run's pending scan (a pid this
+    # run never saw must stay pending — marking range(n_parts) would swallow
+    # data on partial-source resumes).  Column pruning makes the distinct-pid
+    # job read only (repo, path, commit) — content is never materialized.
+    present = pending_plain.select(PID_COL).distinct()
+    out_stats = (
         spark.read.parquet(cat.path("parsed"))
         .groupBy(PID_COL)
-        .agg(F.count("*").alias("n_out"))
-        .join(n_in_by_pid, PID_COL, "right")  # pids with zero mentions still complete
-        .na.fill({"n_out": 0})
+        .agg(F.count("*").alias("n_out"), sha_fingerprint_col())
+    )
+    stats = (
+        present.join(out_stats, PID_COL, "left")
+        .na.fill({"n_out": 0, "sha_fingerprint": 0})
+        .withColumn("n_in", F.lit(-1).cast("long"))  # total tracked in metrics
     )
     store.mark_done("parsed", stats, int((time.time() - t0) * 1000))
+    metrics["t_checkpoint_s"] = round(time.time() - t, 2)
     metrics["stage1_wall_s"] = time.time() - t0
 
     # ---- stage 2: explode + link + aggregate + write (JVM only) ------------
@@ -101,35 +114,70 @@ def run(
     except Exception:  # zero mentions ever written -> empty-but-valid run
         parsed_all = spark.createDataFrame([], PARSED_SCHEMA + f", {PID_COL} int")
 
+    t = time.time()
     rejects = parsed_all.filter(~F.col("parse_ok"))
     cat.write_table(
         rejects.groupBy("kind", "error").agg(F.count("*").alias("n")), "quarantine"
     )
+    metrics["t_quarantine_s"] = round(time.time() - t, 2)
 
+    # materialize triples_raw ONCE (SURVEY.md 1.2 data model); fixture and
+    # graph emissions then scan the narrow raw table instead of re-running
+    # explode+link lineage per output (measured: halves stage-2 wall)
+    t = time.time()
     linked = link_terms(explode_tps(parsed_all), ed)
-    fixture = fixture_triples(linked)
+    cat.write_table(
+        linked.select(
+            "repo", "path", "commit", "content_sha256", "kind", "bgp_hash",
+            "tp_pos", "s_kind", "p_kind", "o_kind", "subj", "pred", "obj",
+        ),
+        "triples_raw",
+    )
+    raw = spark.read.parquet(cat.path("triples_raw"))
+    metrics["t_raw_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    obs_fx = Observation(f"fx_{run_id}")
+    fixture = (
+        raw.select("subj", "pred", "obj", "content_sha256")
+        .distinct()
+        .observe(obs_fx, F.count(F.lit(1)).alias("n"))
+    )
     cat.write_table(fixture, "triples_fixture")
+    metrics["t_fixture_s"] = round(time.time() - t, 2)
 
-    graph = graph_triples(linked)
+    t = time.time()
+    obs_graph = Observation(f"graph_{run_id}")
+    graph = graph_triples(raw).observe(obs_graph, F.count(F.lit(1)).alias("n"))
     write_graph(graph, cat.path("triples"))
+    metrics["t_graph_s"] = round(time.time() - t, 2)
 
+    # no global orderBy: a stored ranking table doesn't need a range-exchange
+    # sort at write time; consumers ORDER BY at read (top-k reads use
+    # TakeOrderedAndProject and never see a full sort)
     ranking = (
         parsed_all.filter(F.col("parse_ok"))
         .groupBy("bgp_hash")
         .agg(F.count("*").alias("count"), F.first("canonical").alias("canonical"))
-        .orderBy(F.desc("count"), F.asc("bgp_hash"))
     )
     cat.write_table(ranking, "bgp_ranking")
     metrics["stage2_wall_s"] = time.time() - t1
 
     # ---- stage metrics ------------------------------------------------------
+    # one aggregation job for the parsed-side metrics (not one job per count)
+    agg_row = parsed_all.agg(
+        F.count("*").alias("n_mentions"),
+        F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("n_parse_ok"),
+        F.countDistinct(F.when(F.col("parse_ok"), F.col("bgp_hash"))).alias("n_bgps"),
+    ).collect()[0]
     counts = {
-        "n_source": source.count(),
-        "n_mentions": parsed_all.count(),
-        "n_parse_ok": parsed_all.filter("parse_ok").count(),
-        "n_fixture_triples": _count_parquet(spark, cat.path("triples_fixture")),
-        "n_graph_triples": _count_parquet(spark, cat.path("triples")),
-        "n_distinct_bgps": _count_parquet(spark, cat.path("bgp_ranking")),
+        "n_source": source.count(),  # parquet sources: metadata-only
+        "n_mentions": int(agg_row["n_mentions"] or 0),
+        "n_parse_ok": int(agg_row["n_parse_ok"] or 0),
+        "n_distinct_bgps": int(agg_row["n_bgps"] or 0),
+        # measured during the writes themselves (observe), not re-count jobs
+        "n_fixture_triples": int(obs_fx.get["n"]),
+        "n_graph_triples": int(obs_graph.get["n"]),
     }
     metrics.update(counts)
     rows = [(run_id, "pipeline", k, float(v)) for k, v in counts.items()] + [

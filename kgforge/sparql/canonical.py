@@ -62,8 +62,11 @@ def _serialize(tps: Sequence[TriplePattern], names: Dict[str, str]) -> str:
     return "\n".join(sorted(render_tp(tp, names) for tp in tps))
 
 
-def _exact_min(tps: Sequence[TriplePattern], vs: List[str], bs: List[str]) -> str:
+def _exact_min(
+    tps: Sequence[TriplePattern], vs: List[str], bs: List[str]
+) -> Tuple[str, Dict[str, str]]:
     best: str | None = None
+    best_names: Dict[str, str] = {}
     var_perms = permutations(range(len(vs))) if vs else [()]
     for vperm in var_perms:
         vnames = {vs[src]: f"v{dst}" for dst, src in enumerate(vperm)}
@@ -74,12 +77,14 @@ def _exact_min(tps: Sequence[TriplePattern], vs: List[str], bs: List[str]) -> st
                 names["_:" + bs[src]] = f"cb{dst}"
             s = _serialize(tps, names)
             if best is None or s < best:
-                best = s
+                best, best_names = s, names
     assert best is not None
-    return best
+    return best, best_names
 
 
-def _greedy(tps: Sequence[TriplePattern], vs: List[str], bs: List[str]) -> str:
+def _greedy(
+    tps: Sequence[TriplePattern], vs: List[str], bs: List[str]
+) -> Tuple[str, Dict[str, str]]:
     """Fallback for >_MAX_EXACT renameables: sort TPs by masked rendering
     (unnamed renameables render as '?'), assign names in first-occurrence
     order over the sorted list, re-sort, iterate to fixpoint.  Deterministic;
@@ -101,20 +106,29 @@ def _greedy(tps: Sequence[TriplePattern], vs: List[str], bs: List[str]) -> str:
         if new == names:
             break
         names = new
-    return _serialize(tps, names)
+    return _serialize(tps, names), names
+
+
+def canonicalize_with_names(
+    tps: Sequence[TriplePattern],
+) -> Tuple[str, Dict[str, str]]:
+    """(canonical serialization, winning original-name -> canonical-name map).
+    The names map keys vars by bare name and bnodes by '_:label' (matching
+    render_term's lookup)."""
+    if not tps:
+        return "", {}
+    vs, bs = _renameables(tps)
+    if not vs and not bs:
+        return _serialize(tps, {}), {}
+    if len(vs) <= _MAX_EXACT and len(bs) <= 3:
+        return _exact_min(tps, vs, bs)
+    return _greedy(tps, vs, bs)
 
 
 def canonicalize_bgp(tps: Sequence[TriplePattern]) -> str:
     """Canonical serialization: one rendered TP per line, sorted; variables
     renamed ?v0,?v1,... and bnodes _:cb0,... minimizing the serialization."""
-    if not tps:
-        return ""
-    vs, bs = _renameables(tps)
-    if not vs and not bs:
-        return _serialize(tps, {})
-    if len(vs) <= _MAX_EXACT and len(bs) <= 3:
-        return _exact_min(tps, vs, bs)
-    return _greedy(tps, vs, bs)
+    return canonicalize_with_names(tps)[0]
 
 
 def bgp_hash(canonical: str) -> str:

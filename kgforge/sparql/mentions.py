@@ -162,12 +162,14 @@ def detect_mentions(content: str) -> List[Mention]:
     return sorted(logs + blocks, key=lambda m: m.span_start)
 
 
-def detect_mentions_batch(contents: pd.Series) -> pd.Series:
-    """Vectorized batch entry: returns a Series of list[Mention] aligned with
-    ``contents``.  The prefilter is a single C-backed regex pass over the
-    batch; only hit rows enter the Python candidate scanner."""
-    hit = contents.str.contains(_PREFILTER_RE, na=False)
-    result = pd.Series([[] for _ in range(len(contents))], index=contents.index, dtype=object)
-    for idx in contents.index[hit]:
-        result.at[idx] = detect_mentions(contents.at[idx])
-    return result
+_EMPTY: List[Mention] = []
+
+
+def detect_mentions_batch(contents: pd.Series) -> List[List[Mention]]:
+    """Vectorized batch entry: returns a positionally-aligned list of
+    list[Mention].  The prefilter is a single C-backed regex pass over the
+    batch; only hit rows enter the Python candidate scanner.  (Plain-list
+    assembly: pandas per-cell .at writes measured at ~45% of batch time.)"""
+    hit = contents.str.contains(_PREFILTER_RE, na=False).to_numpy()
+    vals = contents.to_numpy()
+    return [detect_mentions(vals[i]) if hit[i] else _EMPTY for i in range(len(vals))]

@@ -1,0 +1,72 @@
+"""Incremental ingest: new source files -> parsed BGP rows, exactly-once.
+
+``run_incremental`` is the foreachBatch driver of SURVEY.md 2.10: a parquet
+file source discovers new files, each micro-batch runs the SAME fused
+extract stage as the batch pipeline, and Spark's streaming checkpoint gives
+exactly-once file processing (the batch pipeline's pid-checkpoints are the
+coarse-grained equivalent for restarts of the batch job).
+
+In production the file source is replaced by an Iceberg incremental read
+(snapshot range) — same foreachBatch body, different reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_batch: int = 32,
+) -> None:
+    """Process all currently-available new files (availableNow trigger), then
+    stop.  Rerunning picks up only files not yet seen by the stream
+    checkpoint — incremental, restart-safe."""
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+
+    stream = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        parsed = extract_parse_df(prefilter(with_content_sha(batch_df)))
+        parsed.write.mode("append").parquet(f"{out_dir}/parsed")
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling daily windows with late-data watermark (SURVEY.md 2.10)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def dedup_within_watermark(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup keyed on event_id (the streaming analogue of
+    the reference's per-day seen-set, SURVEY.md 2.10)."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -1,0 +1,100 @@
+"""Physical-plan discipline gates (SURVEY.md 4.2): pushdown, pruning,
+broadcast, top-k, partial aggregation, filter-before-UDF staging.  A plan
+regression (e.g. a filter silently stops reaching the parquet scan) fails
+here instead of surfacing as a 100TB-scale slowdown."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.plans import physical_plan
+from kgforge.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return REGISTRY[name][0](spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = physical_plan(_q(spark, "scan_project"))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    plan = physical_plan(_q(spark, "scan_project"))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_broadcast_join_used(spark):
+    assert "BroadcastHashJoin" in physical_plan(_q(spark, "join_broadcast"))
+
+
+def test_entity_linking_join_is_broadcast(spark):
+    """The 10^12-row fact side must never shuffle for linking (SURVEY.md J1):
+    both surface joins are broadcast, and no SortMergeJoin appears."""
+    from kgforge.corpus import generate_rows
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+    from kgforge.operators.linking import link_terms
+    from kgforge.operators.triples import explode_tps
+    from kgforge.pipeline import default_entity_dict
+
+    src = spark.createDataFrame(generate_rows(40)[0])
+    parsed = extract_parse_df(prefilter(with_content_sha(src)))
+    linked = link_terms(explode_tps(parsed), default_entity_dict(spark))
+    plan = physical_plan(linked)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = physical_plan(_q(spark, "topk_limit"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_salted_agg_is_two_phase(spark):
+    plan = physical_plan(_q(spark, "join_salted_count"))
+    # partial (keys+salt), final-of-partial, then partial+final over keys
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_prefilter_stays_below_python_stage(spark):
+    """SURVEY.md 4.1: the cheap JVM contains/rlike must execute BEFORE the
+    Arrow Python stage.  Parents print first in the tree, so the Python node
+    must appear at a smaller offset than its child Filter."""
+    from kgforge.corpus import generate_rows
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+
+    src = spark.createDataFrame(generate_rows(40)[0])
+    parsed = extract_parse_df(prefilter(with_content_sha(src)))
+    plan = physical_plan(parsed, mode="simple")
+    i_py = max(plan.find("MapInPandas"), plan.find("FlatMapGroupsInPandas"), plan.find("PythonMapInArrow"))
+    i_filter = plan.find("Filter")
+    assert i_py != -1 and i_filter != -1
+    assert i_py < i_filter, "prefilter must be a child of (execute before) the Python stage"
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = physical_plan(_q(spark, "agg_dedup"))
+    # partial HashAggregate -> Exchange -> final HashAggregate
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_scan(spark):
+    plan = physical_plan(_q(spark, "fn_math"), mode="simple")
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash", "dedup_ngram_jaccard"])
+def test_dedup_candidates_via_equi_join(spark, name):
+    """Candidate generation must be a hash-partitioned equi-join, never a
+    cartesian product."""
+    plan = physical_plan(REGISTRY[name][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,108 @@
+"""Structured-Streaming tests: incremental file ingest (exactly-once across
+restarts) and windowed aggregation with a memory sink."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.corpus import generate_rows
+from kgforge.streaming.incremental import (
+    dedup_within_watermark,
+    run_incremental,
+    windowed_event_counts,
+)
+
+
+def _write_chunk(dirpath: str, name: str, rows: list) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(dirpath, name))
+
+
+def test_incremental_ingest_exactly_once(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    out = os.path.join(tmpdir_path, "out")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    rows, _ = generate_rows(400)
+
+    _write_chunk(src, "a.parquet", rows[:200])
+    run_incremental(spark, src, out, ckpt)
+    n1 = spark.read.parquet(f"{out}/parsed").count()
+    assert n1 > 0
+
+    # restart with the SAME checkpoint: no new files -> no new rows
+    run_incremental(spark, src, out, ckpt)
+    assert spark.read.parquet(f"{out}/parsed").count() == n1
+
+    # second batch of files arrives -> only the delta is processed
+    _write_chunk(src, "b.parquet", rows[200:])
+    run_incremental(spark, src, out, ckpt)
+    n2 = spark.read.parquet(f"{out}/parsed").count()
+    assert n2 > n1
+
+    # the union must equal a one-shot batch run over all files
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+
+    batch = extract_parse_df(prefilter(with_content_sha(spark.read.parquet(src))))
+    assert n2 == batch.count()
+
+
+@pytest.fixture()
+def events_stream(spark, tmpdir_path):
+    # file streaming sources require a DIRECTORY; stage the single parquet file
+    d = os.path.join(tmpdir_path, "events_dir")
+    os.makedirs(d, exist_ok=True)
+    os.symlink("/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet"))
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _drain(df, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_windowed_agg_matches_batch(spark, events_stream):
+    _drain(windowed_event_counts(events_stream, watermark="0 seconds"), "win_out")
+    got = {
+        (r.day, r.event_type): (r.n, r.total)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "event_type", "n", "total")
+    )
+    # append-mode emits only windows closed by the watermark; every emitted
+    # window must match the batch result exactly
+    expect = {(r.day, r.event_type): (r.n, r.total) for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert expect[k] == v
+
+
+def test_streaming_dedup(spark, events_stream):
+    _drain(dedup_within_watermark(events_stream), "dedup_out")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
+    distinct_ids = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert n == distinct_ids
