@@ -52,8 +52,18 @@ def best_entity_per_surface(entity_dict: DataFrame) -> DataFrame:
 def link_terms(exploded: DataFrame, entity_dict: DataFrame) -> DataFrame:
     """Input: one row per TP with columns s_r/p_r/o_r, s_surface/o_surface,
     exp_etype.  Output: adds subj/obj = linked entity id or original
-    rendering (unlinked terms keep their rendering, SURVEY.md U4)."""
-    best = best_entity_per_surface(entity_dict)
+    rendering (unlinked terms keep their rendering, SURVEY.md U4).
+
+    The ranked dictionary is materialized ONCE (driver-side localCheckpoint-
+    style collect) so the subject and object joins broadcast the same small
+    relation instead of re-running the crossJoin+window lineage twice —
+    broadcast construction is serial driver time that a wide cluster cannot
+    parallelize away."""
+    spark = exploded.sparkSession
+    best_rows = best_entity_per_surface(entity_dict).collect()
+    best = spark.createDataFrame(
+        best_rows, "surface string, etype_key string, entity_id string, score double"
+    )
     etype_key = F.coalesce(F.col("exp_etype"), F.lit(NO_ETYPE))
 
     s_best = best.select(

@@ -114,13 +114,6 @@ def run(
     except Exception:  # zero mentions ever written -> empty-but-valid run
         parsed_all = spark.createDataFrame([], PARSED_SCHEMA + f", {PID_COL} int")
 
-    t = time.time()
-    rejects = parsed_all.filter(~F.col("parse_ok"))
-    cat.write_table(
-        rejects.groupBy("kind", "error").agg(F.count("*").alias("n")), "quarantine"
-    )
-    metrics["t_quarantine_s"] = round(time.time() - t, 2)
-
     # materialize triples_raw ONCE (SURVEY.md 1.2 data model); fixture and
     # graph emissions then scan the narrow raw table instead of re-running
     # explode+link lineage per output (measured: halves stage-2 wall)
@@ -136,40 +129,69 @@ def run(
     raw = spark.read.parquet(cat.path("triples_raw"))
     metrics["t_raw_s"] = round(time.time() - t, 2)
 
-    t = time.time()
+    # the remaining outputs are independent scans over parsed/raw: submit
+    # them as CONCURRENT jobs (driver threads) — serial job-scheduling gaps
+    # are constant cost that a 4N-size cluster pays proportionally 4x harder
     obs_fx = Observation(f"fx_{run_id}")
-    fixture = (
-        raw.select("subj", "pred", "obj", "content_sha256")
-        .distinct()
-        .observe(obs_fx, F.count(F.lit(1)).alias("n"))
-    )
-    cat.write_table(fixture, "triples_fixture")
-    metrics["t_fixture_s"] = round(time.time() - t, 2)
-
-    t = time.time()
     obs_graph = Observation(f"graph_{run_id}")
-    graph = graph_triples(raw).observe(obs_graph, F.count(F.lit(1)).alias("n"))
-    write_graph(graph, cat.path("triples"))
-    metrics["t_graph_s"] = round(time.time() - t, 2)
 
-    # no global orderBy: a stored ranking table doesn't need a range-exchange
-    # sort at write time; consumers ORDER BY at read (top-k reads use
-    # TakeOrderedAndProject and never see a full sort)
-    ranking = (
-        parsed_all.filter(F.col("parse_ok"))
-        .groupBy("bgp_hash")
-        .agg(F.count("*").alias("count"), F.first("canonical").alias("canonical"))
-    )
-    cat.write_table(ranking, "bgp_ranking")
+    def _timed(name, fn):
+        s = time.time()
+        out = fn()
+        metrics[name] = round(time.time() - s, 2)
+        return out
+
+    def _w_quarantine():
+        cat.write_table(
+            parsed_all.filter(~F.col("parse_ok"))
+            .groupBy("kind", "error")
+            .agg(F.count("*").alias("n")),
+            "quarantine",
+        )
+
+    def _w_fixture():
+        fixture = (
+            raw.select("subj", "pred", "obj", "content_sha256")
+            .distinct()
+            .observe(obs_fx, F.count(F.lit(1)).alias("n"))
+        )
+        cat.write_table(fixture, "triples_fixture")
+
+    def _w_graph():
+        graph = graph_triples(raw).observe(obs_graph, F.count(F.lit(1)).alias("n"))
+        write_graph(graph, cat.path("triples"))
+
+    def _w_ranking():
+        # no global orderBy: a stored ranking table doesn't need a range-
+        # exchange sort at write time; top-k reads use TakeOrderedAndProject
+        cat.write_table(
+            parsed_all.filter(F.col("parse_ok"))
+            .groupBy("bgp_hash")
+            .agg(F.count("*").alias("count"), F.first("canonical").alias("canonical")),
+            "bgp_ranking",
+        )
+
+    def _metrics_agg():
+        return parsed_all.agg(
+            F.count("*").alias("n_mentions"),
+            F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("n_parse_ok"),
+            F.countDistinct(F.when(F.col("parse_ok"), F.col("bgp_hash"))).alias("n_bgps"),
+        ).collect()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        futs = {
+            "t_fixture_s": ex.submit(_timed, "t_fixture_s", _w_fixture),
+            "t_graph_s": ex.submit(_timed, "t_graph_s", _w_graph),
+            "t_quarantine_s": ex.submit(_timed, "t_quarantine_s", _w_quarantine),
+            "t_ranking_s": ex.submit(_timed, "t_ranking_s", _w_ranking),
+            "agg": ex.submit(_metrics_agg),
+        }
+        agg_row = futs["agg"].result()
+        for k, f in futs.items():
+            f.result()  # propagate any failure
     metrics["stage2_wall_s"] = time.time() - t1
-
-    # ---- stage metrics ------------------------------------------------------
-    # one aggregation job for the parsed-side metrics (not one job per count)
-    agg_row = parsed_all.agg(
-        F.count("*").alias("n_mentions"),
-        F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("n_parse_ok"),
-        F.countDistinct(F.when(F.col("parse_ok"), F.col("bgp_hash"))).alias("n_bgps"),
-    ).collect()[0]
     counts = {
         "n_source": source.count(),  # parquet sources: metadata-only
         "n_mentions": int(agg_row["n_mentions"] or 0),

@@ -115,6 +115,59 @@ def null_guard(spark, sf):
     )
 
 
+@q(
+    "partitioned_write",
+    """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS ds FROM events""",
+)
+def partitioned_write(spark, sf):
+    """S2: per-date partitioned write + partition-pruned read-back; the oracle
+    checks the round-trip loses/duplicates nothing."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="kg_partwrite_") + "/t"
+    df = T(spark, sf, "events").select(
+        "event_id", "event_type", F.date_format("ts", "yyyy-MM-dd").alias("ds")
+    )
+    df.write.mode("overwrite").partitionBy("ds").parquet(out)
+    return spark.read.parquet(out).select("event_id", "event_type", "ds")
+
+
+@q(
+    "sort_within",
+    """SELECT l_orderkey, l_linenumber FROM lineitem""",
+)
+def sort_within(spark, sf):
+    """O2: sortWithinPartitions is layout-only — content must round-trip
+    unchanged (order-insensitive hash equality vs the plain table)."""
+    return (
+        T(spark, sf, "lineitem")
+        .repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "fn_url",
+    """SELECT doc_id,
+              concat(source, '.example.com') AS host,
+              concat('/d/', doc_id) AS path,
+              concat('q ', lang) AS qdec
+       FROM documents""",
+)
+def fn_url(spark, sf):
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"), F.lit("?x=q%20"), F.col("lang"),
+    )
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("x"))).alias("qdec"),
+    )
+
+
 # =============================================================================
 # 2.3  joins
 # =============================================================================
@@ -860,6 +913,13 @@ def kg_bgp_ranking(spark, sf):
         .groupBy("bgp_hash")
         .agg(F.count("*").alias("count"))
     )
+
+
+@q("multimodal_features", None)  # binary-column plumbing; decode stubbed
+def multimodal_features(spark, sf):
+    from kgforge.operators.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(spark, 96), mode="fake")
 
 
 @q("udaf_mean_pool", None)  # pandas UDAF surface (U6) -> rows-only
