@@ -46,26 +46,24 @@ def default_entity_dict(spark: SparkSession) -> DataFrame:
     )
 
 
-def run(
+def run_stage1(
     spark: SparkSession,
     source: DataFrame,
-    out_dir: str,
-    entity_dict: DataFrame | None = None,
-    n_parts: int = 64,
-    resume: bool = True,
-    run_id: str | None = None,
+    cat: ParquetCatalog,
+    store: CheckpointStore,
+    n_parts: int,
+    resume: bool,
+    run_id: str,
+    pid_filter=None,
 ) -> dict:
-    """Run the full pipeline; returns the metrics dict that is also persisted
-    to ``stage_metrics``."""
-    run_id = run_id or uuid.uuid4().hex[:12]
-    cat = ParquetCatalog(out_dir)
-    store = CheckpointStore(spark, cat.path("checkpoints"))
-    ed = entity_dict if entity_dict is not None else default_entity_dict(spark)
-    metrics: dict = {"run_id": run_id}
-
-    # ---- stage 1: extract + parse (Python stages), checkpointed ------------
+    """Stage 1: extract + parse (Python stages), checkpointed per pid.
+    ``pid_filter`` optionally restricts this invocation to a pid subset
+    (chunked execution, see run_chunked)."""
+    metrics: dict = {}
     t0 = time.time()
     src = with_pid(with_content_sha(source), n_parts)
+    if pid_filter is not None:
+        src = src.filter(pid_filter)
     pending = store.filter_pending(src, "parsed") if resume else src
 
     # in-flight input count via observe(): measured DURING the main write
@@ -104,8 +102,20 @@ def run(
     store.mark_done("parsed", stats, int((time.time() - t0) * 1000))
     metrics["t_checkpoint_s"] = round(time.time() - t, 2)
     metrics["stage1_wall_s"] = time.time() - t0
+    return metrics
 
-    # ---- stage 2: explode + link + aggregate + write (JVM only) ------------
+
+def run_stage2(
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    ed: DataFrame,
+    run_id: str,
+) -> dict:
+    """Stage 2 (JVM only): explode + link + aggregate + write all outputs
+    from the materialized ``parsed`` table."""
+    metrics: dict = {}
+    from pyspark.sql import Observation
+
     t1 = time.time()
     from kgforge.operators.extract import PARSED_SCHEMA
 
@@ -192,17 +202,26 @@ def run(
         for k, f in futs.items():
             f.result()  # propagate any failure
     metrics["stage2_wall_s"] = time.time() - t1
-    counts = {
-        "n_source": source.count(),  # parquet sources: metadata-only
-        "n_mentions": int(agg_row["n_mentions"] or 0),
-        "n_parse_ok": int(agg_row["n_parse_ok"] or 0),
-        "n_distinct_bgps": int(agg_row["n_bgps"] or 0),
-        # measured during the writes themselves (observe), not re-count jobs
-        "n_fixture_triples": int(obs_fx.get["n"]),
-        "n_graph_triples": int(obs_graph.get["n"]),
-    }
-    metrics.update(counts)
-    rows = [(run_id, "pipeline", k, float(v)) for k, v in counts.items()] + [
+    metrics.update(
+        {
+            "n_mentions": int(agg_row["n_mentions"] or 0),
+            "n_parse_ok": int(agg_row["n_parse_ok"] or 0),
+            "n_distinct_bgps": int(agg_row["n_bgps"] or 0),
+            # measured during the writes themselves (observe), not re-count jobs
+            "n_fixture_triples": int(obs_fx.get["n"]),
+            "n_graph_triples": int(obs_graph.get["n"]),
+        }
+    )
+    return metrics
+
+
+def _finish(spark, cat, source, run_id, metrics) -> dict:
+    metrics["n_source"] = source.count()  # parquet sources: metadata-only
+    count_keys = [
+        "n_source", "n_mentions", "n_parse_ok", "n_distinct_bgps",
+        "n_fixture_triples", "n_graph_triples",
+    ]
+    rows = [(run_id, "pipeline", k, float(metrics[k])) for k in count_keys] + [
         (run_id, "pipeline", "stage1_wall_s", metrics["stage1_wall_s"]),
         (run_id, "pipeline", "stage2_wall_s", metrics["stage2_wall_s"]),
     ]
@@ -211,3 +230,59 @@ def run(
         "stage_metrics",
     )
     return metrics
+
+
+def run(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    entity_dict: DataFrame | None = None,
+    n_parts: int = 64,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> dict:
+    """Run the full pipeline; returns the metrics dict that is also persisted
+    to ``stage_metrics``."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    cat = ParquetCatalog(out_dir)
+    store = CheckpointStore(spark, cat.path("checkpoints"))
+    ed = entity_dict if entity_dict is not None else default_entity_dict(spark)
+    metrics: dict = {"run_id": run_id}
+    metrics.update(run_stage1(spark, source, cat, store, n_parts, resume, run_id))
+    metrics.update(run_stage2(spark, cat, ed, run_id))
+    return _finish(spark, cat, source, run_id, metrics)
+
+
+def run_chunked(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    entity_dict: DataFrame | None = None,
+    n_parts: int = 256,
+    n_chunks: int = 8,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> dict:
+    """Finer-grained mid-run resumability [B:14]: stage 1 runs as n_chunks
+    sequential sub-jobs over disjoint pid groups, each committing its
+    checkpoint rows on completion — a crash loses at most one chunk of work
+    and a rerun resumes from the last completed chunk (test:
+    tests/test_pipeline_e2e.py::test_chunked_resume_mid_run).  Stage 2 runs
+    once over the union.  Tradeoff knob: each chunk re-scans the source
+    (the pid predicate is a hash, not pushed to parquet), so prefer few
+    large chunks; n_chunks=1 degenerates to run()."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    cat = ParquetCatalog(out_dir)
+    store = CheckpointStore(spark, cat.path("checkpoints"))
+    ed = entity_dict if entity_dict is not None else default_entity_dict(spark)
+    metrics: dict = {"run_id": run_id, "n_chunks": n_chunks}
+    t0 = time.time()
+    for c in range(n_chunks):
+        chunk = run_stage1(
+            spark, source, cat, store, n_parts, resume, f"{run_id}_c{c}",
+            pid_filter=F.pmod(F.col(PID_COL), F.lit(n_chunks)) == c,
+        )
+        metrics[f"chunk{c}_wall_s"] = round(chunk["stage1_wall_s"], 2)
+    metrics["stage1_wall_s"] = time.time() - t0
+    metrics.update(run_stage2(spark, cat, ed, run_id))
+    return _finish(spark, cat, source, run_id, metrics)

@@ -82,6 +82,41 @@ def test_parse_reject_counting(spark, run_out):
     assert metrics["n_parse_ok"] < metrics["n_mentions"]
 
 
+def test_chunked_resume_mid_run(spark, corpus_rows, tmp_path_factory):
+    """[B:14] finer-grained resume: simulate a crash between stage-1 chunks
+    by running only chunk 0, then rerun chunked end-to-end — the rerun must
+    skip the completed chunk's pids and the final output must equal an
+    uninterrupted single-shot run."""
+    from kgforge.catalog import ParquetCatalog
+    from kgforge.checkpoint import CheckpointStore, PID_COL
+
+    rows = corpus_rows[:1200]
+    src = spark.createDataFrame(rows)
+    out = str(tmp_path_factory.mktemp("kg_chunk"))
+    ref_out = str(tmp_path_factory.mktemp("kg_chunk_ref"))
+
+    # "crash" after the first of 4 chunks: run stage1 for chunk 0 only
+    cat = ParquetCatalog(out)
+    store = CheckpointStore(spark, cat.path("checkpoints"))
+    pipeline.run_stage1(
+        spark, src, cat, store, n_parts=16, resume=True, run_id="crash_c0",
+        pid_filter=F.pmod(F.col(PID_COL), F.lit(4)) == 0,
+    )
+    done_before = {r[PID_COL] for r in store.done_pids("parsed").collect()}
+    assert done_before  # chunk 0 committed its pids
+
+    # rerun the whole job; completed pids must not be re-parsed
+    pipeline.run_chunked(spark, src, out, n_parts=16, n_chunks=4, run_id="rerun")
+    pipeline.run(spark, src, ref_out, n_parts=16, run_id="chunk_ref")
+    assert _got_triples(spark, out) == _got_triples(spark, ref_out)
+
+    parsed = spark.read.parquet(os.path.join(out, "parsed"))
+    dupes = (
+        parsed.groupBy("content_sha256", "span_start", "kind").count().filter("count > 1").count()
+    )
+    assert dupes == 0
+
+
 def test_resume_equivalence(spark, corpus_rows, tmp_path_factory):
     """[B:14]: interrupt after some partitions -> resume -> identical output.
     Simulated by running half the pid space first, then the full source with
