@@ -210,6 +210,16 @@ POOL: List[PoolQuery] = [
         ],
     ),
     PoolQuery(
+        "q17",
+        f"PREFIX dbo: <{DBO}> SELECT ?x WHERE {{ ?x dbo:birthPlace/dbo:country ?c }}",
+        "SELECT", False,  # path sugar -> simple=False
+        [
+            TP(V("x"), I(DBO + "birthPlace"), V("_path1")),
+            TP(V("_path1"), I(DBO + "country"), V("c")),
+        ],
+        (f"PREFIX dbo: <{DBO}> SELECT ?a WHERE {{ ?a dbo:birthPlace ?m . ?m dbo:country ?b }}",),
+    ),
+    PoolQuery(
         "q16",
         f"PREFIX dbo: <{DBO}> SELECT DISTINCT ?s WHERE "
         "{ ?s dbo:populationTotal ?pop } ORDER BY DESC(?pop) LIMIT 10",

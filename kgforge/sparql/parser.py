@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
   | (?P<BNODE>_:[A-Za-z_][A-Za-z_0-9.-]*)
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9])?|[A-Za-z_][A-Za-z_0-9.-]*:)
   | (?P<KEYWORD>[A-Za-z][A-Za-z_0-9]*)
-  | (?P<PUNCT>[{}().;,*\[\]]|\|\||&&|[!<>=]=?|[+\-/|])
+  | (?P<PUNCT>[{}().;,*\[\]]|\|\||&&|[!<>=]=?|[+\-/|^])
     """,
     re.VERBOSE,
 )
@@ -114,6 +114,7 @@ class _Parser:
         self.tps: List[TriplePattern] = []
         self.simple = True
         self._bnode_n = 0
+        self._path_n = 0
 
     # --- token helpers -------------------------------------------------
     def peek(self) -> Optional[Token]:
@@ -207,13 +208,57 @@ class _Parser:
             return node
         raise ParseError(f"unexpected term {t.text!r} at {t.pos}")
 
+    # --- property paths (decomposable subset) -------------------------------
+    # sequence 'p1/p2' and inverse '^p' decompose into plain TPs with fresh
+    # intermediate variables (the BGP-equivalent form); alternatives '|' and
+    # quantifiers '*'/'+' have no BGP equivalent -> counted rejects
+    # (SURVEY.md U2 subset policy).
+    def parse_path(self) -> List[Tuple[bool, Term]]:
+        steps = self.parse_path_elt()
+        while self.at_punct("/"):
+            self.next()
+            steps.extend(self.parse_path_elt())
+        if self.at_punct("|"):
+            raise ParseError("property-path alternative '|' out of subset")
+        return steps
+
+    def parse_path_elt(self) -> List[Tuple[bool, Term]]:
+        inverse = False
+        if self.at_punct("^"):
+            self.next()
+            inverse = True
+        t = self.peek()
+        if t is not None and t.kind == "PUNCT" and t.text == "(":
+            self.next()
+            inner = self.parse_path()
+            self.eat_punct(")")
+        else:
+            inner = [(False, self.parse_term(as_predicate=True))]
+        if self.at_punct("*") or self.at_punct("+"):
+            raise ParseError("property-path quantifier out of subset")
+        if inverse:
+            inner = [(not inv, p) for inv, p in reversed(inner)]
+        return inner
+
+    def fresh_path_var(self) -> Term:
+        self._path_n += 1
+        return Term(VAR, f"_path{self._path_n}")
+
+    def emit_path(self, subject: Term, steps: List[Tuple[bool, Term]], obj: Term) -> None:
+        nodes = [subject] + [self.fresh_path_var() for _ in steps[1:]] + [obj]
+        for i, (inv, p) in enumerate(steps):
+            s_, o_ = nodes[i], nodes[i + 1]
+            self.tps.append(TriplePattern(o_, p, s_) if inv else TriplePattern(s_, p, o_))
+
     # --- triples block ----------------------------------------------------
     def parse_predicate_object_list(self, subject: Term) -> None:
         while True:
-            pred = self.parse_term(as_predicate=True)
+            steps = self.parse_path()
+            if len(steps) > 1 or steps[0][0]:
+                self.simple = False  # path sugar used
             while True:
                 obj = self.parse_term()
-                self.tps.append(TriplePattern(subject, pred, obj))
+                self.emit_path(subject, steps, obj)
                 if self.at_punct(","):
                     self.next()
                     continue
