@@ -754,6 +754,100 @@ def win_tumbling(spark, sf):
 
 
 # =============================================================================
+# TPC-H-shaped headline analytics (classic OLAP breadth over the star schema)
+# =============================================================================
+
+@q(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+              round(avg(l_quantity), 4) AS avg_qty,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf):
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "tpch_q3",
+    """SELECT l.l_orderkey,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1995-03-15'
+         AND l.l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l.l_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def tpch_q3(spark, sf):
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = T(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5",
+    """SELECT n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01'
+       GROUP BY n.n_name""",
+)
+def tpch_q5(spark, sf):
+    c, o, l, s, n, r = (T(spark, sf, x) for x in
+                        ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    o = o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+    r = r.filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# =============================================================================
 # training-data ops: dedup / similarity / text (SURVEY-adjacent, first-class)
 # =============================================================================
 
