@@ -129,7 +129,11 @@ def partitioned_write(spark, sf):
         "event_id", "event_type", F.date_format("ts", "yyyy-MM-dd").alias("ds")
     )
     df.write.mode("overwrite").partitionBy("ds").parquet(out)
-    return spark.read.parquet(out).select("event_id", "event_type", "ds")
+    # partition-column type inference would read ds back as DATE; the
+    # oracle (and the written data) is a string -> cast explicitly
+    return spark.read.parquet(out).select(
+        "event_id", "event_type", F.col("ds").cast("string").alias("ds")
+    )
 
 
 @q(

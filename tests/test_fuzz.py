@@ -1,0 +1,36 @@
+"""Crash-robustness fuzz: arbitrary content must never raise through the
+mention-detect + parse + canonicalize chain (malformed input is a counted
+reject, [R:Stat.py] skip-and-count semantics)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgforge.operators.extract import _parse_one
+from kgforge.sparql.mentions import detect_mentions
+
+_fragments = st.sampled_from(
+    [
+        "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "PREFIX p: <http://x/>",
+        "WHERE", "{", "}", "?v", "<http://a/b>", '"lit"@en', "^^", "a", ";",
+        ",", ".", "/sparql?query=SELECT%20", "OPTIONAL", "UNION", "FILTER(",
+        ")", "|", "^", "/", "+", "*", "[", "]", "GET ", 'HTTP/1.1" 200 1 ',
+        "[15/Aug/2026:10:00:00 +0200]", "\\", "\n", "  ", "🎉", "中文", "%ZZ",
+        "'''", '"""', "_:b", "$x", "123", "1.5e10", "true",
+    ]
+)
+
+
+@given(st.lists(_fragments, min_size=0, max_size=40).map("".join))
+@settings(max_examples=400, deadline=None)
+def test_detect_and_parse_never_raise(content):
+    for m in detect_mentions(content):
+        r = _parse_one(m.raw)
+        assert isinstance(r[0], bool)
+        assert 0 <= m.span_start <= m.span_end <= len(content)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_arbitrary_unicode_never_raises(content):
+    for m in detect_mentions(content):
+        _parse_one(m.raw)
