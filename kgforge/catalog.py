@@ -36,6 +36,18 @@ class ParquetCatalog:
     def append_table(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
+        """Idempotent per-partition write: only the partitions PRESENT in
+        ``df`` are replaced (dynamic partition overwrite) — re-running a
+        crashed stage over the same partition set cannot double-append rows.
+        This is the parquet stand-in for Iceberg's ``overwritePartitions``."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.path(name))
+        )
+
 
 class IcebergCatalog:
     """Production backend.  Requires, at spark-submit time:
@@ -81,3 +93,7 @@ class IcebergCatalog:
     def append_table(self, df: DataFrame, name: str) -> None:
         self._check(df.sparkSession)
         df.writeTo(self._ident(name)).append()
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
+        self._check(df.sparkSession)
+        df.writeTo(self._ident(name)).overwritePartitions()

@@ -54,16 +54,13 @@ def link_terms(exploded: DataFrame, entity_dict: DataFrame) -> DataFrame:
     exp_etype.  Output: adds subj/obj = linked entity id or original
     rendering (unlinked terms keep their rendering, SURVEY.md U4).
 
-    The ranked dictionary is materialized ONCE (driver-side localCheckpoint-
-    style collect) so the subject and object joins broadcast the same small
-    relation instead of re-running the crossJoin+window lineage twice —
-    broadcast construction is serial driver time that a wide cluster cannot
-    parallelize away."""
-    spark = exploded.sparkSession
-    best_rows = best_entity_per_surface(entity_dict).collect()
-    best = spark.createDataFrame(
-        best_rows, "surface string, etype_key string, entity_id string, score double"
-    )
+    The ranked dictionary is materialized ONCE via ``localCheckpoint`` (eager,
+    executor-side) so the subject and object joins broadcast the same small
+    relation instead of re-running the crossJoin+window lineage twice.  Unlike
+    a driver collect/createDataFrame round-trip, this keeps the dictionary
+    distributed: at a real DBpedia dict (~10^7 surfaces) driver memory and
+    re-serialization would otherwise become the bottleneck (VERDICT round 1)."""
+    best = best_entity_per_surface(entity_dict).localCheckpoint(eager=True)
     etype_key = F.coalesce(F.col("exp_etype"), F.lit(NO_ETYPE))
 
     s_best = best.select(

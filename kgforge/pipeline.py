@@ -31,6 +31,28 @@ from kgforge.operators.linking import link_terms
 from kgforge.operators.triples import explode_tps, graph_triples, write_graph
 
 
+def _obs_get(obs, key: str) -> int:
+    """Observation value, 0 when the observed node never executed (a
+    dynamic-partition overwrite of 0 rows skips the job entirely, so the
+    observation row is never produced)."""
+    try:
+        return int(obs.get[key])
+    except Exception:
+        return 0
+
+
+def _read_parsed(spark: SparkSession, cat: ParquetCatalog) -> DataFrame:
+    """Read the parsed table; empty-but-valid when nothing was ever written
+    (a partitioned dynamic-overwrite of 0 rows leaves no parquet footers to
+    infer a schema from)."""
+    from kgforge.operators.extract import PARSED_SCHEMA
+
+    try:
+        return spark.read.parquet(cat.path("parsed"))
+    except Exception:
+        return spark.createDataFrame([], PARSED_SCHEMA + f", {PID_COL} int")
+
+
 def _count_parquet(spark: SparkSession, path: str) -> int:
     """Row count, 0 when the table is empty-partitioned (no parquet footers to
     infer a schema from — happens on empty input)."""
@@ -78,9 +100,12 @@ def run_stage1(
     parsed = extract_parse_df(prefilter(pending))
     # re-attach pid deterministically (derived from data, SURVEY.md hard part 5)
     parsed = with_pid(parsed, n_parts)
-    cat.append_table(parsed, "parsed")
+    # idempotent per-pid write (ADVICE round 1): a crash between this write
+    # and mark_done leaves the pid 'pending'; the rerun then REPLACES the
+    # pid's partition instead of appending duplicates.
+    cat.overwrite_partitions(parsed, "parsed", [PID_COL])
     metrics["t_parse_write_s"] = round(time.time() - t0, 2)
-    metrics["n_pending"] = int(obs.get["n_in"])
+    metrics["n_pending"] = _obs_get(obs, "n_in")
 
     t = time.time()
     # per-pid output stats + content-sha fingerprint from the (narrow) parsed
@@ -90,7 +115,7 @@ def run_stage1(
     # job read only (repo, path, commit) — content is never materialized.
     present = pending_plain.select(PID_COL).distinct()
     out_stats = (
-        spark.read.parquet(cat.path("parsed"))
+        _read_parsed(spark, cat)
         .groupBy(PID_COL)
         .agg(F.count("*").alias("n_out"), sha_fingerprint_col())
     )
@@ -117,12 +142,7 @@ def run_stage2(
     from pyspark.sql import Observation
 
     t1 = time.time()
-    from kgforge.operators.extract import PARSED_SCHEMA
-
-    try:
-        parsed_all = spark.read.parquet(cat.path("parsed"))
-    except Exception:  # zero mentions ever written -> empty-but-valid run
-        parsed_all = spark.createDataFrame([], PARSED_SCHEMA + f", {PID_COL} int")
+    parsed_all = _read_parsed(spark, cat)
 
     # materialize triples_raw ONCE (SURVEY.md 1.2 data model); fixture and
     # graph emissions then scan the narrow raw table instead of re-running
@@ -208,8 +228,8 @@ def run_stage2(
             "n_parse_ok": int(agg_row["n_parse_ok"] or 0),
             "n_distinct_bgps": int(agg_row["n_bgps"] or 0),
             # measured during the writes themselves (observe), not re-count jobs
-            "n_fixture_triples": int(obs_fx.get["n"]),
-            "n_graph_triples": int(obs_graph.get["n"]),
+            "n_fixture_triples": _obs_get(obs_fx, "n"),
+            "n_graph_triples": _obs_get(obs_graph, "n"),
         }
     )
     return metrics

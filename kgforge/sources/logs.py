@@ -32,12 +32,15 @@ def read_apache_log(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract(c, LOG_PATTERN, 7).try_cast("long").alias("size"),
         c.alias("raw_line"),
     )
-    # the /sparql?query= param, URL-decoded JVM-side (P4)
+    # the /sparql?query= param, URL-decoded JVM-side (P4).  try_url_decode:
+    # a malformed percent-encoding (query=%ZZ) must become a NULL query (a
+    # counted reject), never a CANNOT_DECODE_URL job abort — the module
+    # contract is skip-and-count quarantine (ADVICE round 1).
     query_enc = F.regexp_extract(F.col("url"), r"[?&]query=([^&]*)", 1)
     return df.withColumn(
         "query",
         F.when(
             F.col("url").startswith("/sparql") & (query_enc != ""),
-            F.url_decode(F.regexp_replace(query_enc, r"\+", "%20")),
+            F.try_url_decode(F.regexp_replace(query_enc, r"\+", "%20")),
         ),
     )

@@ -563,10 +563,18 @@ def _unescape(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < len(s):
             nxt = s[i + 1]
-            if nxt == "u" and i + 5 < len(s):
-                out.append(chr(int(s[i + 2 : i + 6], 16)))
-                i += 6
-                continue
+            # \uXXXX / \UXXXXXXXX with hex validation: malformed escapes fall
+            # through to the raw characters instead of raising (a single bad
+            # literal must never kill a mapInPandas task — ADVICE round 1)
+            if nxt in ("u", "U"):
+                width = 4 if nxt == "u" else 8
+                hexs = s[i + 2 : i + 2 + width]
+                if len(hexs) == width and all(ch in "0123456789abcdefABCDEF" for ch in hexs):
+                    cp = int(hexs, 16)
+                    if cp <= 0x10FFFF:
+                        out.append(chr(cp))
+                        i += 2 + width
+                        continue
             out.append(_ESCAPES.get(nxt, nxt))
             i += 2
             continue
@@ -585,4 +593,7 @@ def parse_query(text: str) -> ParseResult:
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))
     except RecursionError:
-        return ParseResult(False, None, [], True, "nesting too deep")
+        return ParseResult(False, None, [], True, "[nesting] nesting too deep")
+    except Exception as e:  # contract: NEVER raise — any defect in this module
+        # must degrade to a counted reject, not fail the Spark stage
+        return ParseResult(False, None, [], True, f"[internal] {type(e).__name__}: {e}")

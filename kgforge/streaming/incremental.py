@@ -38,7 +38,11 @@ def run_incremental(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         parsed = extract_parse_df(prefilter(with_content_sha(batch_df)))
-        parsed.write.mode("append").parquet(f"{out_dir}/parsed")
+        # foreachBatch is only at-least-once unless the sink write is
+        # idempotent per epoch (ADVICE round 1): write each epoch to its own
+        # partition with overwrite, so a retried micro-batch replaces its own
+        # half-written output instead of appending it twice.
+        parsed.write.mode("overwrite").parquet(f"{out_dir}/parsed/epoch={epoch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

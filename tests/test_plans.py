@@ -48,6 +48,10 @@ def test_entity_linking_join_is_broadcast(spark):
     plan = physical_plan(linked)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+    # ranked-dict lineage is truncated by localCheckpoint: the crossJoin +
+    # window ranking is computed ONCE, not re-run per broadcast side
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert plan.count("ExistingRDD") >= 2 or plan.count("Scan ExistingRDD") >= 2
 
 
 def test_topk_avoids_global_sort(spark):
