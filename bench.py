@@ -25,8 +25,8 @@ HEADLINE = [
     "join_sortmerge",
     "join_range",
     "agg_dedup",
-    "agg_rollup",
-    "win_running_sum",
+    "agg_rollup_cube",
+    "win_lag_running",
     "win_rank_candidates",
     "sort_global",
     "fn_math",

@@ -25,8 +25,8 @@ def _words(col: str = "text") -> F.Column:
 
 
 def quality_features(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + a combined
-    score, all expressible in ANSI SQL (DuckDB-oracle-checkable)."""
+    """Length / punctuation / stopword-ratio quality features plus the BPE-ish
+    regex token count, all expressible in ANSI SQL (DuckDB-oracle-checkable)."""
     words = _words()
     n_tokens = F.size(words)
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN)))
@@ -35,6 +35,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("re_tokens"),
         F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
         F.round(

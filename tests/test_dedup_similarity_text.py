@@ -95,6 +95,50 @@ def test_lsh_topk_contains_near_dup(embeddings):
     assert 0 in ids and 100 in ids  # near-identical vectors share every bucket
 
 
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    """60 random unit vectors + 20 planted near-duplicates (cosine >= ~0.99)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), 0))
+    for j in range(20):
+        pert = base[j] + 0.02 * rng.randn(32)
+        rows.append((1000 + j, (pert / np.linalg.norm(pert)).tolist(), 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_lsh_near_pairs_recall_vs_bruteforce(planted_embeddings):
+    """The bucketed pair generator must recover >= 0.9 of the brute-force
+    near-dup pairs (VERDICT round 1 item 4)."""
+    truth = {
+        (r.a, r.b)
+        for r in similarity.cosine_pairs(planted_embeddings, threshold=0.95).collect()
+    }
+    assert len(truth) >= 20  # the planted pairs are all above threshold
+    got = {
+        (r.a, r.b)
+        for r in similarity.lsh_near_pairs(
+            planted_embeddings, threshold=0.95, n_planes=24, bands=6, dim=32
+        ).collect()
+    }
+    assert got <= truth  # exact verify: no false positives
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_lsh_near_pairs_plan_has_no_cartesian(planted_embeddings):
+    from kgforge.plans import physical_plan
+
+    plan = physical_plan(
+        similarity.lsh_near_pairs(planted_embeddings, threshold=0.9, dim=32)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_bucket_prunes(embeddings):
     qvec = embeddings.filter("vec_id = 0").head().embedding
     planes = similarity.hyperplanes(16, 8, 42)

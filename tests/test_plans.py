@@ -55,7 +55,7 @@ def test_entity_linking_join_is_broadcast(spark):
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = physical_plan(_q(spark, "topk_limit"))
+    plan = physical_plan(_q(spark, "sort_global"))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
 
