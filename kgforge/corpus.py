@@ -226,6 +226,46 @@ POOL: List[PoolQuery] = [
         "SELECT", True,
         [TP(V("s"), I(DBO + "populationTotal"), V("pop"))],
     ),
+    PoolQuery(
+        # property-path alternative: decomposes to one TP per branch — the
+        # UNION-equivalent, so its canonical BGP collapses with the UNION form
+        "q18",
+        f"PREFIX dbo: <{DBO}> SELECT ?x WHERE "
+        f"{{ ?x dbo:birthPlace|dbo:deathPlace <{DBR}Nantes> }}",
+        "SELECT", False,
+        [
+            TP(V("x"), I(DBO + "birthPlace"), I(DBR + "Nantes")),
+            TP(V("x"), I(DBO + "deathPlace"), I(DBR + "Nantes")),
+        ],
+        (
+            f"PREFIX dbo: <{DBO}> SELECT ?w WHERE {{ {{ ?w dbo:birthPlace <{DBR}Nantes> }} "
+            f"UNION {{ ?w dbo:deathPlace <{DBR}Nantes> }} }}",
+        ),
+    ),
+    PoolQuery(
+        # subquery: TPs inside the sub-SELECT's WHERE are collected too
+        "q19",
+        f"PREFIX dbo: <{DBO}> SELECT ?x WHERE "
+        "{ { SELECT ?x WHERE { ?x dbo:populationTotal ?pop } ORDER BY DESC(?pop) LIMIT 5 } "
+        f"?x dbo:capital <{DBR}Paris> }}",
+        "SELECT", False,
+        [
+            TP(V("x"), I(DBO + "populationTotal"), V("pop")),
+            TP(V("x"), I(DBO + "capital"), I(DBR + "Paris")),
+        ],
+    ),
+    PoolQuery(
+        # VALUES inline data: parsed + validated, binds solutions, adds no TPs
+        "q20",
+        f"PREFIX dbo: <{DBO}> SELECT ?x WHERE "
+        f"{{ ?x dbo:country ?c . VALUES ?c {{ <{DBR}France> <{DBR}Spain> }} }}",
+        "SELECT", False,
+        [TP(V("x"), I(DBO + "country"), V("c"))],
+        (
+            f"PREFIX dbo: <{DBO}> SELECT ?y WHERE {{ ?y dbo:country ?k . "
+            f"VALUES (?k) {{ (<{DBR}France>) (UNDEF) }} }}",
+        ),
+    ),
 ]
 
 POOL_BY_ID: Dict[str, PoolQuery] = {q.qid: q for q in POOL}

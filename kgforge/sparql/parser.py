@@ -7,7 +7,12 @@ implements the grammar subset fixed in SURVEY.md U2:
 
   prologue (PREFIX/BASE) + SELECT/ASK/CONSTRUCT/DESCRIBE
   + WHERE { TriplesBlock ( '.' TriplesBlock )* } with nested groups,
-  OPTIONAL / UNION / GRAPH / MINUS / FILTER / BIND / VALUES recognized;
+  OPTIONAL / UNION / GRAPH / MINUS / FILTER / BIND recognized;
+  sub-SELECT groups parsed (their WHERE TPs are collected);
+  VALUES inline data parsed and validated (binds solutions, adds no TPs);
+  property paths: sequence '/', inverse '^' (fresh-var decomposition) and
+  alternative '|' (one TP group per branch, the UNION-equivalent);
+  quantifiers '+'/'*'/'?' are counted rejects with code [path_quantifier];
   triple patterns are collected from ALL basic graph pattern groups
   (the reference keeps the BGP content of the whole WHERE clause);
   'a' keyword -> rdf:type; ';' predicate-object lists and ',' object lists;
@@ -210,19 +215,34 @@ class _Parser:
 
     # --- property paths (decomposable subset) -------------------------------
     # sequence 'p1/p2' and inverse '^p' decompose into plain TPs with fresh
-    # intermediate variables (the BGP-equivalent form); alternatives '|' and
-    # quantifiers '*'/'+' have no BGP equivalent -> counted rejects
-    # (SURVEY.md U2 subset policy).
-    def parse_path(self) -> List[Tuple[bool, Term]]:
-        steps = self.parse_path_elt()
+    # intermediate variables; alternative 'p1|p2' decomposes into one TP
+    # group per branch (the UNION-equivalent — the reference collected TPs
+    # from every UNION arm, so alternatives get the same treatment);
+    # quantifiers '*'/'+'/'?' have no BGP equivalent -> counted rejects with
+    # a dedicated code (SURVEY.md U2 subset policy, VERDICT r1 item 5).
+    MAX_PATH_ALTS = 8
+
+    def parse_path(self) -> List[List[Tuple[bool, Term]]]:
+        """Returns the list of ALTERNATIVES; each alternative is a step list."""
+        alts = self.parse_path_seq()
+        while self.at_punct("|"):
+            self.next()
+            alts = alts + self.parse_path_seq()
+            if len(alts) > self.MAX_PATH_ALTS:
+                raise ParseError("[path_alts] too many property-path alternatives")
+        return alts
+
+    def parse_path_seq(self) -> List[List[Tuple[bool, Term]]]:
+        alts = self.parse_path_elt()
         while self.at_punct("/"):
             self.next()
-            steps.extend(self.parse_path_elt())
-        if self.at_punct("|"):
-            raise ParseError("property-path alternative '|' out of subset")
-        return steps
+            rhs = self.parse_path_elt()
+            alts = [a + b for a in alts for b in rhs]
+            if len(alts) > self.MAX_PATH_ALTS:
+                raise ParseError("[path_alts] too many property-path alternatives")
+        return alts
 
-    def parse_path_elt(self) -> List[Tuple[bool, Term]]:
+    def parse_path_elt(self) -> List[List[Tuple[bool, Term]]]:
         inverse = False
         if self.at_punct("^"):
             self.next()
@@ -233,11 +253,11 @@ class _Parser:
             inner = self.parse_path()
             self.eat_punct(")")
         else:
-            inner = [(False, self.parse_term(as_predicate=True))]
+            inner = [[(False, self.parse_term(as_predicate=True))]]
         if self.at_punct("*") or self.at_punct("+"):
-            raise ParseError("property-path quantifier out of subset")
+            raise ParseError("[path_quantifier] property-path quantifier out of subset")
         if inverse:
-            inner = [(not inv, p) for inv, p in reversed(inner)]
+            inner = [[(not inv, p) for inv, p in reversed(alt)] for alt in inner]
         return inner
 
     def fresh_path_var(self) -> Term:
@@ -253,12 +273,13 @@ class _Parser:
     # --- triples block ----------------------------------------------------
     def parse_predicate_object_list(self, subject: Term) -> None:
         while True:
-            steps = self.parse_path()
-            if len(steps) > 1 or steps[0][0]:
+            alts = self.parse_path()
+            if len(alts) > 1 or len(alts[0]) > 1 or alts[0][0][0]:
                 self.simple = False  # path sugar used
             while True:
                 obj = self.parse_term()
-                self.emit_path(subject, steps, obj)
+                for steps in alts:
+                    self.emit_path(subject, steps, obj)
                 if self.at_punct(","):
                     self.next()
                     continue
@@ -336,9 +357,19 @@ class _Parser:
             elif up == "VALUES":
                 self.simple = False
                 self.next()
-                self.skip_values()
-            elif up in ("SELECT",):
-                raise ParseError("subqueries out of subset")
+                self.parse_values()
+            elif up == "SELECT":
+                # subquery: { SELECT ... WHERE { ... } modifiers } — the
+                # reference (via rdflib algebra walk) collected TPs from the
+                # inner WHERE too, so its group parses into the same
+                # accumulator (VERDICT r1 item 5: sub-SELECT TP collection).
+                self.simple = False
+                self.next()
+                self.skip_select_clause()
+                if self.at_kw("WHERE"):
+                    self.next()
+                self.parse_group()
+                self.skip_solution_modifiers()
             else:
                 self.parse_triples_block()
             if self.at_punct("."):
@@ -372,26 +403,58 @@ class _Parser:
         else:
             raise ParseError(f"bad FILTER at {t.pos}")
 
-    def skip_values(self) -> None:
+    def parse_data_term(self) -> None:
+        """One VALUES data-block value: IRI / literal / UNDEF (vars and
+        bnodes are NOT legal here — SPARQL 1.1 grammar rule [65] DataBlockValue)."""
+        if self.at_kw("UNDEF"):
+            self.next()
+            return
         t = self.peek()
-        if t is not None and t.kind == "VAR":
+        if t is None:
+            raise ParseError("[values] truncated VALUES data block")
+        if t.kind in ("IRIREF", "PNAME", "STRING", "STRING3", "NUMBER") or (
+            t.kind == "KEYWORD" and t.text.upper() in ("TRUE", "FALSE")
+        ):
+            term = self.parse_term()
+            if term.kind not in (IRI, LITERAL):
+                raise ParseError(f"[values] bad VALUES value at {t.pos}")
+            return
+        raise ParseError(f"[values] bad VALUES value {t.text!r} at {t.pos}")
+
+    def parse_values(self) -> None:
+        """VALUES inline data, both forms, with term-level validation
+        (VERDICT r1 item 5).  Contributes no TPs — VALUES binds solutions,
+        it does not add graph patterns."""
+        t = self.peek()
+        if t is not None and t.kind == "VAR":  # VALUES ?x { v1 v2 ... }
             self.next()
             self.eat_punct("{")
             while not self.at_punct("}"):
-                self.next()
+                self.parse_data_term()
             self.next()
         elif t is not None and t.kind == "PUNCT" and t.text == "(":
-            self.skip_parens()
+            # VALUES (?x ?y) { (v1 v2) (UNDEF v3) ... }
+            self.next()
+            n_vars = 0
+            while not self.at_punct(")"):
+                v = self.next()
+                if v.kind != "VAR":
+                    raise ParseError(f"[values] bad VALUES var at {v.pos}")
+                n_vars += 1
+            self.next()
             self.eat_punct("{")
-            depth = 1
-            while depth:
-                tt = self.next()
-                if tt.kind == "PUNCT" and tt.text == "{":
-                    depth += 1
-                elif tt.kind == "PUNCT" and tt.text == "}":
-                    depth -= 1
+            while not self.at_punct("}"):
+                self.eat_punct("(")
+                n_vals = 0
+                while not self.at_punct(")"):
+                    self.parse_data_term()
+                    n_vals += 1
+                self.next()
+                if n_vals != n_vars:
+                    raise ParseError("[values] VALUES row arity mismatch")
+            self.next()
         else:
-            raise ParseError("bad VALUES")
+            raise ParseError("[values] bad VALUES")
 
     # --- top level -----------------------------------------------------------
     def parse_prologue(self) -> None:

@@ -1,6 +1,7 @@
 """Property-path subset: sequence '/' and inverse '^' decompose to BGP TPs
-with fresh intermediate variables; alternatives and quantifiers are counted
-rejects (no BGP equivalent)."""
+with fresh intermediate variables; alternative '|' decomposes to one TP group
+per branch (UNION-equivalent); quantifiers are counted rejects (no BGP
+equivalent), tagged [path_quantifier]."""
 
 from kgforge.sparql import canonicalize_bgp, parse_query
 
@@ -37,11 +38,57 @@ def test_path_with_object_list():
     assert r.tps[0].o != r.tps[2].o
 
 
-def test_alternative_and_quantifiers_rejected():
+def test_alternative_decomposes_like_union():
+    r = parse_query("SELECT ?x WHERE { ?x <http://p>|<http://q> ?y }")
+    assert r.parse_ok and len(r.tps) == 2 and not r.simple
+    assert {tp.p.value for tp in r.tps} == {"http://p", "http://q"}
+    u = parse_query(
+        "SELECT ?x WHERE { { ?x <http://p> ?y } UNION { ?x <http://q> ?y } }"
+    ).tps
+    assert canonicalize_bgp(r.tps) == canonicalize_bgp(u)
+
+
+def test_alternative_distributes_over_sequence():
+    r = parse_query("SELECT ?x WHERE { ?x (<http://p>|<http://q>)/<http://r> ?y }")
+    assert r.parse_ok and len(r.tps) == 4  # two 2-step chains
+
+
+def test_alternative_blowup_is_rejected():
+    # 2^4 = 16 > MAX_PATH_ALTS -> counted reject, not a combinatorial bomb
+    path = "/".join("(<http://a>|<http://b>)" for _ in range(4))
+    r = parse_query("SELECT ?x WHERE { ?x " + path + " ?y }")
+    assert not r.parse_ok and "[path_alts]" in r.error
+
+
+def test_quantifiers_rejected_with_code():
     for q in (
-        "SELECT ?x WHERE { ?x <http://p>|<http://q> ?y }",
         "SELECT ?x WHERE { ?x <http://p>+ ?y }",
         "SELECT ?x WHERE { ?x <http://p>* ?y }",
     ):
         r = parse_query(q)
-        assert not r.parse_ok and "out of subset" in r.error
+        assert not r.parse_ok and "[path_quantifier]" in r.error
+
+
+def test_subquery_tps_collected():
+    r = parse_query(
+        "SELECT ?x WHERE { { SELECT ?x WHERE { ?x <http://p> ?pop } "
+        "ORDER BY ?pop LIMIT 5 } ?x <http://q> ?c }"
+    )
+    assert r.parse_ok and len(r.tps) == 2 and not r.simple
+    assert {tp.p.value for tp in r.tps} == {"http://p", "http://q"}
+
+
+def test_values_parsed_and_validated():
+    ok = parse_query(
+        'SELECT ?x WHERE { ?x <http://p> ?c . VALUES ?c { <http://F> "s" 4 true } }'
+    )
+    assert ok.parse_ok and len(ok.tps) == 1 and not ok.simple
+    multi = parse_query(
+        "SELECT ?x WHERE { ?x <http://p> ?c . "
+        "VALUES (?c ?d) { (<http://F> UNDEF) (1 2) } }"
+    )
+    assert multi.parse_ok and len(multi.tps) == 1
+    bad_arity = parse_query("SELECT ?x WHERE { VALUES (?c ?d) { (<http://F>) } }")
+    assert not bad_arity.parse_ok and "[values]" in bad_arity.error
+    bad_term = parse_query("SELECT ?x WHERE { VALUES ?c { ?y } }")
+    assert not bad_term.parse_ok and "[values]" in bad_term.error
