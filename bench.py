@@ -73,7 +73,7 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     src = spark.read.parquet(corpus_path)
     t0 = time.time()
-    pipeline.run(spark, src, out_dir, n_parts=256, resume=False, run_id="bench")
+    pipeline.run(spark, src, out_dir, n_parts=64, resume=False, run_id="bench")
     kg_wall = time.time() - t0
     q_secs["kg_pipeline"] = round(kg_wall, 3)
 

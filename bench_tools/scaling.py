@@ -44,7 +44,7 @@ src.count()  # warm: file listing + footer reads out of the measurement
 out = "/dev/shm/kgforge_scaling_out_{cores}"
 shutil.rmtree(out, ignore_errors=True)
 t0 = time.time()
-m = pipeline.run(spark, src, out, n_parts=256, resume=False, run_id="scale{cores}")
+m = pipeline.run(spark, src, out, n_parts=64, resume=False, run_id="scale{cores}")
 wall = time.time() - t0
 print("RESULT " + json.dumps({{"wall": wall, "n": m["n_source"],
     "stage1": m["stage1_wall_s"], "stage2": m["stage2_wall_s"],

@@ -9,7 +9,16 @@ verify what each partition contributed (stage metrics per [B:6]).
 
 Sandbox backend is a parquet directory (no Iceberg jar present, SURVEY.md
 1.2); the store is append-only with last-write-wins semantics on
-(stage, pid) — the same contract an Iceberg MERGE INTO would provide.
+(stage, pid) — the same contract an Iceberg MERGE INTO would provide
+(behavioral tests: tests/test_checkpoint_merge.py).
+
+Round 2: the store also carries the COMMITTED ATTEMPT id per (stage, pid).
+Data tables are written append-only with a kg_attempt column; readers see a
+row iff its (pid, attempt) is committed here — snapshot visibility, the
+parquet stand-in for Iceberg snapshot isolation.  This makes stage writes
+idempotent with zero write-path overhead (the partitioned-overwrite
+alternative measured +15% stage-1 wall from the extra shuffle + per-pid
+directory commits).
 """
 
 from __future__ import annotations
@@ -23,8 +32,8 @@ from pyspark.sql import functions as F
 PID_COL = "kg_pid"
 
 CHECKPOINT_SCHEMA = (
-    "stage string, kg_pid int, status string, n_in long, n_out long, "
-    "wall_ms long, sha_fingerprint long, updated_at double"
+    "stage string, kg_pid int, status string, attempt string, n_in long, "
+    "n_out long, wall_ms long, sha_fingerprint long, updated_at double"
 )
 
 
@@ -49,22 +58,45 @@ class CheckpointStore:
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
         return self.spark.read.parquet(self.path)
 
+    def _latest(self, stage: str) -> DataFrame:
+        """Latest checkpoint row per pid for a stage (last write wins — the
+        MERGE INTO upsert view, tests/test_checkpoint_merge.py)."""
+        cp = self.read().filter(F.col("stage") == stage)
+        return (
+            cp.groupBy(PID_COL)
+            .agg(F.max_by(F.struct("status", "attempt"), "updated_at").alias("l"))
+            .select(PID_COL, F.col("l.status").alias("status"), F.col("l.attempt").alias("attempt"))
+        )
+
     def done_pids(self, stage: str) -> DataFrame:
         """Latest-status pids marked done for a stage (last write wins)."""
-        cp = self.read().filter(F.col("stage") == stage)
-        latest = cp.groupBy(PID_COL).agg(F.max_by("status", "updated_at").alias("status"))
-        return latest.filter(F.col("status") == "done").select(PID_COL)
+        return self._latest(stage).filter(F.col("status") == "done").select(PID_COL)
+
+    def committed_attempts(self, stage: str) -> DataFrame:
+        """(kg_pid, attempt) of the COMMITTED attempt per done pid — the
+        snapshot-visibility set: rows of the data table are visible iff their
+        (pid, attempt) pair is in here.  This is what makes plain append
+        writes idempotent: a crashed attempt's rows exist physically but are
+        never committed, so readers never see them (the parquet stand-in for
+        Iceberg snapshot isolation)."""
+        return (
+            self._latest(stage)
+            .filter(F.col("status") == "done")
+            .select(PID_COL, "attempt")
+        )
 
     def filter_pending(self, df: DataFrame, stage: str) -> DataFrame:
         """J5 resume: drop rows whose partition already completed ``stage``."""
         return df.join(self.done_pids(stage), on=PID_COL, how="left_anti")
 
-    def mark_done(self, stage: str, stats: DataFrame, wall_ms: int) -> None:
-        """``stats``: (kg_pid, n_in, n_out, sha_fingerprint) per partition."""
+    def mark_done(self, stage: str, stats: DataFrame, wall_ms: int, attempt: str = "") -> None:
+        """``stats``: (kg_pid, n_in, n_out, sha_fingerprint) per partition.
+        ``attempt`` commits this attempt's rows for those pids (visibility)."""
         out = stats.select(
             F.lit(stage).alias("stage"),
             F.col(PID_COL),
             F.lit("done").alias("status"),
+            F.lit(attempt).alias("attempt"),
             F.col("n_in").cast("long"),
             F.col("n_out").cast("long"),
             F.lit(wall_ms).cast("long").alias("wall_ms"),

@@ -32,7 +32,8 @@ DBO = "http://dbpedia.org/ontology/"
 DBR = "http://dbpedia.org/resource/"
 FOAF = "http://xmlns.com/foaf/0.1/"
 XSD = "http://www.w3.org/2001/XMLSchema#"
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS_C = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS_C + "type"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 
 
@@ -255,6 +256,20 @@ POOL: List[PoolQuery] = [
         ],
     ),
     PoolQuery(
+        # RDF collection: expands to the rdf:first/rdf:rest bnode chain
+        "q21",
+        f"PREFIX dbo: <{DBO}> PREFIX dbr: <{DBR}> SELECT ?x WHERE "
+        "{ ?x dbo:wikiPageWikiLink ( dbr:France dbr:Spain ) }",
+        "SELECT", True,
+        [
+            TP(B("b1"), I(RDF_NS_C + "first"), I(DBR + "France")),
+            TP(B("b1"), I(RDF_NS_C + "rest"), B("b2")),
+            TP(B("b2"), I(RDF_NS_C + "first"), I(DBR + "Spain")),
+            TP(B("b2"), I(RDF_NS_C + "rest"), I(RDF_NS_C + "nil")),
+            TP(V("x"), I(DBO + "wikiPageWikiLink"), B("b1")),
+        ],
+    ),
+    PoolQuery(
         # VALUES inline data: parsed + validated, binds solutions, adds no TPs
         "q20",
         f"PREFIX dbo: <{DBO}> SELECT ?x WHERE "
@@ -365,7 +380,10 @@ class Plant(NamedTuple):
 
 
 def _pool_pick(j: int) -> PoolQuery:
-    return POOL[(j * 7 + 3) % len(POOL)]
+    # stride 1 is coprime with EVERY pool size: all entries get planted
+    # (a fixed stride of 7 silently collapsed coverage to gcd(7, len) entries
+    # when the pool grew to 21 — caught by n_distinct_bgps dropping)
+    return POOL[(j + 3) % len(POOL)]
 
 
 def generate_rows(n_rows: int, start: int = 0) -> Tuple[List[dict], List[Plant]]:

@@ -139,6 +139,72 @@ def lsh_near_pairs(
     )
 
 
+def ivf_centroids(
+    sample: "np.ndarray", n_centroids: int = 16, n_iters: int = 8, seed: int = 42
+) -> "np.ndarray":
+    """Deterministic spherical k-means on a driver-side SAMPLE (the centroid
+    set is dim-side data, like the entity dictionary: hundreds of rows, never
+    the corpus).  Lloyd iterations on cosine similarity; empty clusters are
+    re-seeded from the farthest points."""
+    import numpy as np
+
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        newc = []
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members) == 0:  # re-seed from the worst-covered point
+                newc.append(x[sims.max(axis=1).argmin()])
+            else:
+                m = members.mean(axis=0)
+                newc.append(m / max(np.linalg.norm(m), 1e-12))
+        c = np.stack(newc)
+    return c.round(6)
+
+
+def ivf_assign_col(vec_col: str, centroids: "np.ndarray") -> F.Column:
+    """IVF list assignment as pure JVM expressions: argmax cosine against the
+    centroid literals (array_max over (score, idx) structs — the broadcast-
+    literal pattern; no UDF, stays in whole-stage codegen)."""
+    vec = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(_dot(vec, _lit_vec(cvec)).alias("score"), F.lit(i).alias("idx"))
+            for i, cvec in enumerate(centroids.tolist())
+        ]
+    )
+    return F.array_max(scored)["idx"]
+
+
+def ivf_topk(
+    embeddings: DataFrame, query: Sequence[float], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4, sample_size: int = 512,
+    seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: train centroids on a bounded sample, assign
+    every vector to its nearest centroid (inverted list), then run the exact
+    scorer over only the query's n_probe closest lists.  At corpus scale the
+    table is written partitioned by ivf_bucket, so a probe is a
+    partition-pruned scan of n_probe/n_centroids of the data; n_probe =
+    n_centroids degenerates to exact brute force (tested equal)."""
+    import numpy as np
+
+    sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    sample = np.array([r[0] for r in sample_rows], dtype="float64")
+    c = ivf_centroids(sample, n_centroids, seed=seed)
+    q = np.asarray(query, dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in (c @ qn).argsort()[::-1][:n_probe]]
+    bucketed = embeddings.withColumn("ivf_bucket", ivf_assign_col(vec_col, c))
+    return cosine_topk(
+        bucketed.filter(F.col("ivf_bucket").isin(probes)), query, k, id_col, vec_col
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame, query: Sequence[float], k: int = 10,
     n_planes: int = 12, seed: int = 42,

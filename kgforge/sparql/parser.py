@@ -16,7 +16,8 @@ implements the grammar subset fixed in SURVEY.md U2:
   triple patterns are collected from ALL basic graph pattern groups
   (the reference keeps the BGP content of the whole WHERE clause);
   'a' keyword -> rdf:type; ';' predicate-object lists and ',' object lists;
-  literals with @lang / ^^dtype and numeric/boolean sugar; blank nodes.
+  literals with @lang / ^^dtype and numeric/boolean sugar; blank nodes;
+  RDF collections '( e1 e2 )' expand to the rdf:first/rdf:rest bnode chain.
 
 Anything outside the subset is a counted reject (parse_ok=False), mirroring
 the reference's skip-and-count behavior ([R:Stat.py], SURVEY.md 1.1).
@@ -30,7 +31,7 @@ from __future__ import annotations
 import re
 from typing import List, NamedTuple, Optional, Tuple
 
-from kgforge.sparql.terms import BNODE, IRI, LITERAL, RDF_TYPE, VAR, Term, TriplePattern
+from kgforge.sparql.terms import BNODE, IRI, LITERAL, RDF_NS, RDF_TYPE, VAR, Term, TriplePattern
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
@@ -211,7 +212,30 @@ class _Parser:
                 self.parse_predicate_object_list(node)
             self.eat_punct("]")
             return node
+        if t.kind == "PUNCT" and t.text == "(":
+            return self.parse_collection()
         raise ParseError(f"unexpected term {t.text!r} at {t.pos}")
+
+    def parse_collection(self) -> Term:
+        """RDF collection '( e1 e2 ... )' in a term position: expands to the
+        rdf:first / rdf:rest bnode chain (the same TPs rdflib's algebra
+        yields); '()' is rdf:nil.  The opening '(' is already consumed."""
+        if self.at_punct(")"):
+            self.next()
+            return Term(IRI, RDF_NS + "nil")
+        nodes: List[Term] = []
+        elems: List[Term] = []
+        while not self.at_punct(")"):
+            if self.peek() is None:
+                raise ParseError("unterminated collection")
+            nodes.append(self.fresh_bnode())
+            elems.append(self.parse_term())
+        self.next()  # ')'
+        for i, (node, elem) in enumerate(zip(nodes, elems)):
+            self.tps.append(TriplePattern(node, Term(IRI, RDF_NS + "first"), elem))
+            rest = nodes[i + 1] if i + 1 < len(nodes) else Term(IRI, RDF_NS + "nil")
+            self.tps.append(TriplePattern(node, Term(IRI, RDF_NS + "rest"), rest))
+        return nodes[0]
 
     # --- property paths (decomposable subset) -------------------------------
     # sequence 'p1/p2' and inverse '^p' decompose into plain TPs with fresh

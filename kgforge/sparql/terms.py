@@ -15,7 +15,8 @@ IRI = "iri"
 LITERAL = "literal"
 BNODE = "bnode"
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
 
 
 class Term(NamedTuple):

@@ -68,6 +68,38 @@ def windowed_event_counts(events_stream: DataFrame, watermark: str = "1 hour") -
     )
 
 
+RUNNING_STATS_SCHEMA = "user_id long, n_events long, total_value double"
+RUNNING_STATE_SCHEMA = "n long, total double"
+
+
+def running_user_stats(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user cumulative event count + value sum maintained in keyed state
+    across micro-batches (the arbitrary-state form the guide prescribes when
+    windowed aggs can't express the semantics).  State is a (count, sum)
+    pair; every batch that touches a user emits the updated running row."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful streaming dedup keyed on event_id (the streaming analogue of
     the reference's per-day seen-set, SURVEY.md 2.10)."""

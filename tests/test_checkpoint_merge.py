@@ -20,14 +20,14 @@ def _write(store, spark, rows):
 
 
 def _row(stage, pid, status, n_out, ts):
-    return (stage, pid, status, -1, n_out, 0, 0, float(ts))
+    return (stage, pid, status, f"a{ts}", -1, n_out, 0, 0, float(ts))
 
 
 def _merge_oracle(rows):
     """Straight-line MERGE INTO semantics: upsert each batch in order;
     resolved state keyed on (stage, pid)."""
     state = {}
-    for r in sorted(rows, key=lambda r: r[7]):  # apply in updated_at order
+    for r in sorted(rows, key=lambda r: r[8]):  # apply in updated_at order
         state[(r[0], r[1])] = r
     return state
 
@@ -53,7 +53,7 @@ def test_resolved_view_equals_merge_upsert(spark, tmpdir_path):
         .collect()
     )
     got = {(r.stage, r[PID_COL]): r.n_out for r in resolved}
-    want = {k: v[4] for k, v in oracle.items()}
+    want = {k: v[5] for k, v in oracle.items()}
     assert got == want  # latest-row-wins == MERGE upsert result
 
 

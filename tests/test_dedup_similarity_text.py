@@ -139,6 +139,47 @@ def test_lsh_near_pairs_plan_has_no_cartesian(planted_embeddings):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_full_probe_equals_bruteforce(planted_embeddings):
+    """n_probe == n_centroids degenerates to exact search: results must equal
+    the brute-force top-k exactly (same ids, same scores)."""
+    qvec = [float(x) for x in planted_embeddings.filter("vec_id = 3").head().embedding]
+    exact = similarity.cosine_topk(planted_embeddings, qvec, k=5).collect()
+    ivf = similarity.ivf_topk(
+        planted_embeddings, qvec, k=5, n_centroids=8, n_probe=8
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in ivf] == [(r.vec_id, r.cosine) for r in exact]
+
+
+def test_ivf_probe_finds_near_duplicate(planted_embeddings):
+    """A near-identical vector lands in the query's own IVF list, so even a
+    single-probe search must surface it."""
+    qvec = [float(x) for x in planted_embeddings.filter("vec_id = 3").head().embedding]
+    got = similarity.ivf_topk(
+        planted_embeddings, qvec, k=3, n_centroids=8, n_probe=1
+    ).collect()
+    ids = [r.vec_id for r in got]
+    assert 3 in ids and 1003 in ids  # 1003 is the planted perturbation of 3
+
+
+def test_ivf_assignment_is_jvm_only(planted_embeddings):
+    from kgforge.plans import physical_plan
+
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in planted_embeddings.select("embedding").limit(64).collect()]
+    )
+    c = similarity.ivf_centroids(sample, 8)
+    df = planted_embeddings.withColumn(
+        "ivf_bucket", similarity.ivf_assign_col("embedding", c)
+    )
+    plan = physical_plan(df)
+    # no Python evaluation nodes: the assignment itself is pure codegen
+    # (the local-fixture scan node may mention a Python-created RDD)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
 def test_lsh_bucket_prunes(embeddings):
     qvec = embeddings.filter("vec_id = 0").head().embedding
     planes = similarity.hyperplanes(16, 8, 42)

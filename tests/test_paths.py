@@ -78,6 +78,29 @@ def test_subquery_tps_collected():
     assert {tp.p.value for tp in r.tps} == {"http://p", "http://q"}
 
 
+def test_collection_expands_to_first_rest_chain():
+    r = parse_query("SELECT ?x WHERE { ?x <http://p> ( 1 2 ) }")
+    assert r.parse_ok and len(r.tps) == 5
+    preds = [tp.p.value.rsplit("#", 1)[-1] for tp in r.tps]
+    assert preds.count("first") == 2 and preds.count("rest") == 2
+    # chain terminates at rdf:nil
+    assert any(tp.o.value.endswith("#nil") for tp in r.tps)
+    # the enclosing TP's object is the chain head bnode
+    head = [tp for tp in r.tps if tp.p.value == "http://p"][0]
+    assert head.o.kind == "bnode"
+
+
+def test_empty_collection_is_nil():
+    r = parse_query("SELECT ?x WHERE { ?x <http://p> () }")
+    assert r.parse_ok and len(r.tps) == 1
+    assert r.tps[0].o.value.endswith("#nil")
+
+
+def test_collection_as_subject():
+    r = parse_query("SELECT ?x WHERE { ( ?a ?b ) <http://p> ?x }")
+    assert r.parse_ok and len(r.tps) == 5
+
+
 def test_values_parsed_and_validated():
     ok = parse_query(
         'SELECT ?x WHERE { ?x <http://p> ?c . VALUES ?c { <http://F> "s" 4 true } }'

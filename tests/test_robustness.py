@@ -66,11 +66,13 @@ def test_malformed_url_encoding_quarantined_not_fatal(spark, tmpdir_path):
 
 def test_crash_before_mark_done_does_not_duplicate_rows(spark, tmpdir_path):
     """Simulate a crash AFTER the parsed write but BEFORE the checkpoint
-    commit: the resumed run re-processes the pid and must REPLACE its
-    partition (dynamic partition overwrite), not append a second copy."""
+    commit: the crashed attempt's rows must be INVISIBLE to every reader
+    (snapshot visibility via committed (pid, attempt) pairs), so the resumed
+    run's output contains each mention exactly once."""
+    from kgforge.catalog import ParquetCatalog
     from kgforge.checkpoint import CheckpointStore
     from kgforge.corpus import generate_rows
-    from kgforge.pipeline import run
+    from kgforge.pipeline import _read_parsed, run
 
     rows, _ = generate_rows(200)
     src_path = os.path.join(tmpdir_path, "src")
@@ -87,12 +89,18 @@ def test_crash_before_mark_done_does_not_duplicate_rows(spark, tmpdir_path):
     finally:
         CheckpointStore.mark_done = real_mark_done
 
-    # rerun to completion; every (content, mention) must appear exactly once
+    # rerun to completion; the committed view holds each mention exactly once
     m = run(spark, src, out, n_parts=8, resume=True, run_id="crashy2")
-    parsed = spark.read.parquet(os.path.join(out, "parsed"))
+    cat = ParquetCatalog(out)
+    store = CheckpointStore(spark, cat.path("checkpoints"))
+    parsed = _read_parsed(spark, cat, store)
     dup = parsed.groupBy("content_sha256", "span_start", "kind").count().filter("count > 1")
     assert dup.count() == 0
     assert m["n_mentions"] == parsed.count()
+    # the physical table DOES hold the crashed attempt's rows (append-only);
+    # visibility, not deletion, is what provides idempotency
+    physical = spark.read.parquet(os.path.join(out, "parsed")).count()
+    assert physical >= parsed.count()
 
 
 # --- streaming epoch writes are idempotent -------------------------------------

@@ -96,6 +96,55 @@ def test_windowed_agg_matches_batch(spark, events_stream):
         assert expect[k] == v
 
 
+def test_stateful_running_stats_matches_batch(spark, tmpdir_path):
+    """applyInPandasWithState keyed state: stream the events table as TWO
+    micro-batches (state must carry across them); the LAST emitted row per
+    user must equal the batch groupBy totals (update mode re-emits a user's
+    row whenever a batch touches it)."""
+    from kgforge.streaming.incremental import running_user_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = os.path.join(tmpdir_path, "ev2")
+    events.filter("event_id % 2 = 0").coalesce(1).write.parquet(d + "/a")
+    events.filter("event_id % 2 = 1").coalesce(1).write.parquet(d + "/b")
+    import glob
+    import shutil
+
+    os.makedirs(d + "/src", exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(d + "/*/part-*.parquet"))):
+        shutil.copy(f, f"{d}/src/{i}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/src")
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    # keep the last emission per user (monotone n_events makes max == last)
+    got = {}
+    for r in rows:
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.total_value)
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    expect = {r.user_id: (r.n, r.total) for r in batch.collect()}
+    assert got == expect
+
+
 def test_streaming_dedup(spark, events_stream):
     _drain(dedup_within_watermark(events_stream), "dedup_out")
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
