@@ -34,7 +34,11 @@ from kgforge import pipeline
 # hides JVM<->Python pipeline stalls (measured 62s -> 46s on the parse stage
 # at 4 CPUs) — while the saturated 1-core baseline measured FASTEST at 1 slot
 # (2 slots: +9%% wall).  Both sides best-vs-best.
-spark = get_spark("scaling", master="local[{slots}]", shuffle_partitions={slots},
+# initial shuffle partitions = 4x cores: AQE coalesces small shuffles DOWN
+# but can never split an oversized reduce partition UP — at the larger
+# corpus sizes slots-many partitions spill (measured stage-2 blowup at 2x
+# rows on the 4-cpu config); both configs get the same 4x rule.
+spark = get_spark("scaling", master="local[{slots}]", shuffle_partitions={cores} * 4,
                   extra={{"spark.local.dir": "/dev/shm/spark-local-{cores}"}})
 src = spark.read.parquet({corpus!r})
 src.count()  # warm: file listing + footer reads out of the measurement
@@ -110,9 +114,9 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
-    from kgforge.corpus import write_corpus_parquet
+    from kgforge.corpus import CORPUS_VERSION, write_corpus_parquet
 
-    corpus = f"/tmp/kgforge_scaling_corpus_{n_rows}.parquet"
+    corpus = f"/tmp/kgforge_scaling_corpus_v{CORPUS_VERSION}_{n_rows}.parquet"
     if not os.path.exists(corpus):
         write_corpus_parquet(corpus, n_rows)
 

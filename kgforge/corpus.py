@@ -334,6 +334,9 @@ def entity_dict_rows() -> List[Tuple[str, str, float, str]]:
 # corpus generation
 # ---------------------------------------------------------------------------
 
+# bump when generate_rows output changes: benchmark corpus caches key on it
+CORPUS_VERSION = 2
+
 LANG_EXT = {"py": "py", "java": "java", "md": "md", "sparql": "rq", "txt": "txt", "log": "log"}
 
 _NOISE_TEMPLATES = [
