@@ -16,6 +16,9 @@ _fragments = st.sampled_from(
         ")", "|", "^", "/", "+", "*", "[", "]", "GET ", 'HTTP/1.1" 200 1 ',
         "[15/Aug/2026:10:00:00 +0200]", "\\", "\n", "  ", "🎉", "中文", "%ZZ",
         "'''", '"""', "_:b", "$x", "123", "1.5e10", "true",
+        # round-2 grammar growth: alternatives, sub-selects, VALUES, collections
+        "VALUES", "UNDEF", "(", "SELECT ?x WHERE {", "( 1 2 )",
+        "<http://p>|<http://q>", "\\uZZZZ", '"\\u0041"',
     ]
 )
 

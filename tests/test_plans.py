@@ -95,6 +95,38 @@ def test_whole_stage_codegen_covers_scan(spark):
     assert "*(1)" in plan or "WholeStageCodegen" in plan
 
 
+def test_asof_join_is_single_window_no_join(spark):
+    """J8 as-of: one shuffle on user_id + an ordered window — no range join,
+    no cartesian, no re-aggregation join (the scalable as-of form)."""
+    plan = physical_plan(_q(spark, "join_asof"))
+    assert "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan
+    # formatted mode numbers operators: exactly one shuffle node "(n) Exchange"
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_chunk_staging_read_is_partition_pruned(spark, tmpdir_path):
+    """run_chunked's per-chunk read must prune to its own kg_chunk directory
+    (file-listing pruning), not scan the full staged table."""
+    from kgforge.checkpoint import with_pid
+    from kgforge.corpus import generate_rows
+    from kgforge.operators.extract import with_content_sha
+
+    src = with_pid(with_content_sha(spark.createDataFrame(generate_rows(80)[0])), 16)
+    staged_path = tmpdir_path + "/staged"
+    src.withColumn("kg_chunk", F.pmod(F.col("kg_pid"), F.lit(4))).write.partitionBy(
+        "kg_chunk"
+    ).parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+    plan = physical_plan(staged.filter(F.col("kg_chunk") == 2).drop("kg_chunk"))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "kg_chunk" in pf
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash", "dedup_ngram_jaccard"])
 def test_dedup_candidates_via_equi_join(spark, name):
     """Candidate generation must be a hash-partitioned equi-join, never a
