@@ -83,6 +83,47 @@ def extract_features(assets: DataFrame, mode: str = "fake") -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "asset_id long, kind string, data binary, meta map<string,string>"
+
+
+def resize_images(assets: DataFrame, w: int = 32, h: int = 32, mode: str = "fake") -> DataFrame:
+    """Image resize plumbing at the same codec seam: decode -> resample ->
+    re-encode in production (PIL), deterministic size-correct bytes here.
+    Output schema matches the input asset schema so resized assets flow back
+    through the same pipeline (meta records the new dimensions)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_data: List[bytearray] = []
+            out_meta: List[dict] = []
+            for kind, data, meta in zip(pdf["kind"], pdf["data"], pdf["meta"]):
+                raw = bytes(data)
+                if mode == "real":
+                    raise NotImplementedError(
+                        "real image resize requires PIL; decode+resample+encode here"
+                    )
+                # deterministic fake with the REAL output size (w*h bytes,
+                # grayscale-like), derived from the source bytes
+                seed = hashlib.sha256(raw).digest()
+                out_data.append(bytearray((seed * (w * h // len(seed) + 1))[: w * h]))
+                m = dict(meta) if meta is not None else {}
+                m.update({"w": str(w), "h": str(h), "resized": "true"})
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "data": out_data,
+                    "meta": out_meta,
+                }
+            )
+
+    images = assets.filter(F.col("kind") == "image")
+    return images.select("asset_id", "kind", "data", "meta").mapInPandas(
+        gen, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample(assets: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
     """Video frame sampling plumbing: evenly-spaced byte windows stand in for
     decoded frames (JVM-side substring on binary — no Python)."""

@@ -231,6 +231,28 @@ def test_multimodal_real_decode_raises(spark):
         multimodal.extract_features(assets, mode="real").collect()
 
 
+def test_multimodal_resize_shapes(spark):
+    assets = multimodal.synth_assets(spark, 12)
+    out = multimodal.resize_images(assets, w=16, h=8).collect()
+    assert len(out) == 4  # every 3rd synth asset is an image
+    for r in out:
+        assert len(r.data) == 16 * 8
+        assert r.meta["resized"] == "true" and r.meta["w"] == "16"
+    # deterministic: same input -> same resized bytes
+    out2 = multimodal.resize_images(assets, w=16, h=8).collect()
+    assert {r.asset_id: bytes(r.data) for r in out} == {
+        r.asset_id: bytes(r.data) for r in out2
+    }
+
+
+def test_multimodal_resize_real_mode_raises(spark):
+    import pytest as _pytest
+
+    assets = multimodal.synth_assets(spark, 3)
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.resize_images(assets, mode="real").collect()
+
+
 def test_multimodal_frame_sample(spark):
     assets = multimodal.synth_assets(spark, 9)
     frames = multimodal.frame_sample(assets, n_frames=4, frame_bytes=16).collect()
