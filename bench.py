@@ -30,8 +30,10 @@ HEADLINE = [
     "win_rank_candidates",
     "sort_global",
     "fn_math",
+    "join_asof",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embed_lsh",
     "ann_cosine_topk",
     "text_quality",
 ]
