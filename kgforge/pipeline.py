@@ -196,10 +196,19 @@ def run_stage2(
         return out
 
     def _w_quarantine():
+        # group by the LOW-CARDINALITY reject code, never the raw error
+        # string: error messages embed byte offsets/snippets, so at corpus
+        # scale groupBy(error) has quasi-unique keys and unbounded output.
+        # Codes come from the parser's "[code] ..." prefix; uncoded messages
+        # collapse by their first word ("lex", "expected", ...).
+        code = F.coalesce(
+            F.nullif(F.regexp_extract("error", r"^\[([a-z_]+)\]", 1), F.lit("")),
+            F.regexp_extract("error", r"^(\w+)", 1),
+        )
         cat.write_table(
             parsed_all.filter(~F.col("parse_ok"))
-            .groupBy("kind", "error")
-            .agg(F.count("*").alias("n")),
+            .groupBy("kind", code.alias("reject_code"))
+            .agg(F.count("*").alias("n"), F.first("error").alias("example_error")),
             "quarantine",
         )
 
