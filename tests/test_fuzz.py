@@ -37,3 +37,20 @@ def test_detect_and_parse_never_raise(content):
 def test_arbitrary_unicode_never_raises(content):
     for m in detect_mentions(content):
         _parse_one(m.raw)
+
+
+_iri = st.integers(min_value=0, max_value=6).map(lambda i: f"<http://p{i}>")
+
+
+@given(st.lists(_iri, min_size=2, max_size=4, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_path_alternative_always_equals_union_form(preds):
+    """Property: '?s (p1|...|pk) ?o' canonicalizes identically to the
+    equivalent UNION of single-TP groups, for any predicate set."""
+    from kgforge.sparql import canonicalize_bgp, parse_query
+
+    alt = parse_query("SELECT ?s WHERE { ?s " + "|".join(preds) + " ?o }")
+    union_body = " UNION ".join("{ ?s " + p + " ?o }" for p in preds)
+    uni = parse_query("SELECT ?s WHERE { " + union_body + " }")
+    assert alt.parse_ok and uni.parse_ok
+    assert canonicalize_bgp(alt.tps) == canonicalize_bgp(uni.tps)

@@ -95,6 +95,16 @@ def test_whole_stage_codegen_covers_scan(spark):
     assert "*(1)" in plan or "WholeStageCodegen" in plan
 
 
+def test_merged_window_entry_shares_one_shuffle(spark):
+    """win_lag_running merges W2 (lag) and W4 (running frame) over the same
+    partitioning: the plan must contain exactly ONE exchange — the merge's
+    whole point is that both window functions ride one shuffle."""
+    import re
+
+    plan = physical_plan(_q(spark, "win_lag_running"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_asof_join_is_single_window_no_join(spark):
     """J8 as-of: one shuffle on user_id + an ordered window — no range join,
     no cartesian, no re-aggregation join (the scalable as-of form)."""
