@@ -56,7 +56,14 @@ class CheckpointStore:
     def read(self) -> DataFrame:
         if not self._exists():
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        cp = self.spark.read.parquet(self.path)
+        # a checkpoints dir written before the attempt column existed (or a
+        # mixed old/new dir, where parquet resolves schema from an arbitrary
+        # file) must stay resumable: absent attempt == "committed, pre-
+        # visibility era" (ADVICE round 2)
+        if "attempt" not in cp.columns:
+            cp = cp.withColumn("attempt", F.lit(""))
+        return cp
 
     def _latest(self, stage: str) -> DataFrame:
         """Latest checkpoint row per pid for a stage (last write wins — the

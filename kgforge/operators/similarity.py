@@ -193,7 +193,15 @@ def ivf_topk(
     n_centroids degenerates to exact brute force (tested equal)."""
     import numpy as np
 
-    sample_rows = embeddings.select(vec_col).limit(sample_size).collect()
+    # seeded corpus-wide sample, NOT limit(): limit takes the first
+    # partitions only, which at corpus scale biases centroids toward
+    # whatever data happens to sort first (VERDICT round 2 #9).  The
+    # collect stays bounded at ~sample_size rows — dict-sized by design.
+    n_total = max(embeddings.count(), 1)
+    frac = min(1.0, (3.0 * sample_size) / n_total)
+    sample_rows = (
+        embeddings.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
+    )
     sample = np.array([r[0] for r in sample_rows], dtype="float64")
     c = ivf_centroids(sample, n_centroids, seed=seed)
     q = np.asarray(query, dtype="float64")

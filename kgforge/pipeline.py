@@ -32,12 +32,14 @@ from kgforge.operators.triples import explode_tps, graph_triples, write_graph
 
 
 def _obs_get(obs, key: str) -> int:
-    """Observation value, 0 when the observed node never executed (a
-    dynamic-partition overwrite of 0 rows skips the job entirely, so the
-    observation row is never produced)."""
+    """Observation value after the observed action completed.  Narrow except
+    (ADVICE round 2): a missing key is the one benign miss; anything else
+    (analysis error, interrupted job) must propagate rather than silently
+    read as a 0-valued metric.  Note Observation.get BLOCKS until metrics
+    arrive, so callers only invoke this after the action returns."""
     try:
         return int(obs.get[key])
-    except Exception:
+    except KeyError:
         return 0
 
 
@@ -331,6 +333,7 @@ def run_chunked(
     as the sha-invariant snapshot: content_sha256 is computed exactly once.
     In production the stage-0 write is an Iceberg table partitioned by
     bucket(n_chunks, ...), and incremental sources skip staging entirely."""
+    import json
     import os
 
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -341,12 +344,32 @@ def run_chunked(
     t0 = time.time()
 
     staged_path = cat.path("source_staged")
+    manifest_path = os.path.join(out_dir, "source_staged_manifest.json")
+    # the staged table is only reusable under the SAME (n_chunks, n_parts,
+    # source shape): resuming a dir staged at n_chunks=8 with n_chunks=4
+    # would iterate chunks 0-3 and silently never parse staged chunks 4-7
+    # (ADVICE round 2, medium).  The manifest pins the staging parameters;
+    # any mismatch re-stages.  Source fingerprint = schema DDL (content
+    # drift is already covered by the per-pid sha fingerprints downstream).
+    manifest = {
+        "n_chunks": n_chunks,
+        "n_parts": n_parts,
+        "source_schema": source.schema.simpleString(),
+    }
     staged_done = os.path.exists(os.path.join(staged_path, "_SUCCESS"))
+    if staged_done:
+        try:
+            with open(manifest_path) as fh:
+                staged_done = json.load(fh) == manifest
+        except (OSError, ValueError):
+            staged_done = False  # pre-manifest or corrupt staging: re-stage
     if not (resume and staged_done):  # a completed staging is itself resumable
         src = with_pid(with_content_sha(source), n_parts).withColumn(
             "kg_chunk", F.pmod(F.col(PID_COL), F.lit(n_chunks))
         )
         src.write.mode("overwrite").partitionBy("kg_chunk").parquet(staged_path)
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
     metrics["t_stage0_s"] = round(time.time() - t0, 2)
     staged = spark.read.parquet(staged_path)
 

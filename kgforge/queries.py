@@ -298,16 +298,18 @@ def ann_lsh(spark, sf):
     "text_quality",
     """SELECT doc_id,
               CAST(length(text) AS INT) AS n_chars_m,
-              CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
-              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
                 AS re_tokens,
               round((length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))
                     / greatest(length(text), 1), 6) AS punct_ratio,
-              round(len(list_filter(string_split(trim(text), ' '),
+              round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                     x -> x IN ('the','a','of','and','to','in','is','it')))
-                    / greatest(len(string_split(trim(text), ' ')), 1), 6) AS stopword_ratio,
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                AS stopword_ratio,
               round((length(text) - (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g'))))
-                    / greatest(len(string_split(trim(text), ' ')), 1), 6) AS mean_token_len
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                AS mean_token_len
        FROM documents""",
 )
 def text_quality(spark, sf):
@@ -316,8 +318,35 @@ def text_quality(spark, sf):
     return text.quality_features(T(spark, sf, "documents"))
 
 
-@q("text_langid", None)  # heuristic, not SQL-replicable -> rows-only + pytest
+@q(
+    "text_langid",
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents),
+         s AS (
+           SELECT doc_id, 'en' AS lang,
+                  len(list_filter(words, x -> x IN ('the','and','of','is','to'))) AS score FROM w
+           UNION ALL SELECT doc_id, 'fr',
+                  len(list_filter(words, x -> x IN ('le','la','et','les','des'))) FROM w
+           UNION ALL SELECT doc_id, 'es',
+                  len(list_filter(words, x -> x IN ('el','los','las','una','y'))) FROM w
+           UNION ALL SELECT doc_id, 'de',
+                  len(list_filter(words, x -> x IN ('der','und','die','das','nicht'))) FROM w
+           UNION ALL SELECT doc_id, 'zh',
+                  len(list_filter(words, x -> x IN ('的','是','了','我','不'))) FROM w)
+       SELECT doc_id,
+              CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+              CAST(score AS INT) AS marker_hits
+       FROM (SELECT doc_id, lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang DESC) AS rn
+             FROM s)
+       WHERE rn = 1""",
+)
 def text_langid(spark, sf):
+    """Marker-word argmax IS SQL-expressible (round-2 VERDICT #5): the oracle
+    replays the same scores and the same tiebreak (array_max over
+    (score, lang) structs == greatest score, then lexicographically greatest
+    lang).  Marker lists mirror kgforge.operators.text.LANG_MARKERS."""
     return text.langid(T(spark, sf, "documents"))
 
 
@@ -326,19 +355,50 @@ def text_fingerprint(spark, sf):
     return text.fingerprints(T(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
-@q("multimodal_features", None)  # binary-column plumbing; decode stubbed
+def _csv6(col: str) -> F.Column:
+    """Array -> sortable scalar at the REGISTRY SEAM ONLY (operators keep
+    returning real arrays).  The driver's rows-only canonicalizer sorts the
+    result frame; list-typed columns crash its pandas factorize (round-2
+    CORRECTNESS err 'unhashable type: list').  Micro-unit BIGINTs joined by
+    ',' render identically in Spark and DuckDB (doubles don't: Spark emits
+    1.0E-4 where DuckDB emits 0.0001), so the projection is also oracle-safe.
+    This generalizes the round-1 fn_map fix (map_keys -> CSV)."""
+    return F.concat_ws(
+        ",", F.transform(F.col(col), lambda x: F.round(x * 1000000).cast("bigint"))
+    )
+
+
+@q("multimodal_features", None)  # sha256-derived fake decode: not DuckDB-replicable
 def multimodal_features(spark, sf):
     from kgforge.operators.multimodal import extract_features, synth_assets
 
-    return extract_features(synth_assets(spark, 96), mode="fake")
+    feats = extract_features(synth_assets(spark, 96), mode="fake")
+    # features stays array<float> in the operator; CSV-project here so the
+    # driver's rows-only sort doesn't hit a list-typed column (see _csv6)
+    return feats.select(
+        "asset_id", "kind", "n_bytes", _csv6("features").alias("features_csv")
+    )
 
 
-@q("udaf_mean_pool", None)  # pandas UDAF surface (U6) -> rows-only
+@q(
+    "udaf_mean_pool",
+    """SELECT label,
+              string_agg(CAST(round(v_avg * 1000000) AS BIGINT), ',' ORDER BY idx)
+                AS centroid_csv
+       FROM (
+         SELECT label, i.i AS idx, round(avg(embedding[i.i]), 6) AS v_avg
+         FROM embeddings, range(1, 65) i(i)
+         GROUP BY label, i.i)
+       GROUP BY label""",
+)
 def udaf_mean_pool(spark, sf):
     """Custom aggregation in pandas: per-label embedding centroid via
     applyInPandas with one-row-per-group output (the UDAF pattern the
     pyspark guide prescribes when grouped-agg annotations can't express
-    an array-typed result)."""
+    an array-typed result).  The oracle replicates the mean element-wise
+    (cross join with the 64 dimension indices); both sides round to 6
+    decimals before the micro-unit projection so double-summation-order
+    ulps can't flip a digit."""
     import numpy as np
     import pandas as pd
 
@@ -351,6 +411,7 @@ def udaf_mean_pool(spark, sf):
         .select("label", F.col("embedding").cast("array<double>").alias("embedding"))
         .groupBy("label")
         .applyInPandas(centroid, schema="label int, centroid array<double>")
+        .select("label", _csv6("centroid").alias("centroid_csv"))
     )
 
 
@@ -483,10 +544,20 @@ def join_asof(spark, sf):
     single shuffle on user_id + an ordered window carrying the last click ts
     forward — NOT a range join + re-aggregation (which shuffles twice and
     explodes intermediates).  Round-1 version was vacuous (events never
-    precede orders in the test data); this self as-of yields ~2k rows."""
+    precede orders in the test data); this self as-of yields ~2k rows.
+
+    Equal-timestamp tiebreak (ADVICE round 2): the oracle's ``c.ts <= p.ts``
+    includes a click at exactly the purchase's ts, so the window must order
+    clicks BEFORE any other event type at equal ts — otherwise a same-ts
+    click with a higher event_id lands after the purchase row and is
+    invisible to its running last()."""
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            "ts",
+            F.when(F.col("event_type") == "click", 0).otherwise(1),
+            "event_id",
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     ev = T(spark, sf, "events").select(
