@@ -270,6 +270,47 @@ POOL: List[PoolQuery] = [
         ],
     ),
     PoolQuery(
+        # quantified property path: 'p+' expands to depth-1..3 sequence arms
+        # (the bounded-UNION treatment, VERDICT r2 item 4); the variant is
+        # the explicit UNION spelling and must collapse to the same
+        # canonical BGP
+        "q22",
+        f"PREFIX dbo: <{DBO}> SELECT ?x WHERE {{ ?x dbo:wikiPageRedirects+ ?y }}",
+        "SELECT", False,
+        [
+            TP(V("x"), I(DBO + "wikiPageRedirects"), V("y")),
+            TP(V("x"), I(DBO + "wikiPageRedirects"), V("_path1")),
+            TP(V("_path1"), I(DBO + "wikiPageRedirects"), V("y")),
+            TP(V("x"), I(DBO + "wikiPageRedirects"), V("_path2")),
+            TP(V("_path2"), I(DBO + "wikiPageRedirects"), V("_path3")),
+            TP(V("_path3"), I(DBO + "wikiPageRedirects"), V("y")),
+        ],
+        (
+            f"PREFIX dbo: <{DBO}> SELECT ?a WHERE "
+            "{ { ?a dbo:wikiPageRedirects ?b } UNION "
+            "{ ?a dbo:wikiPageRedirects/dbo:wikiPageRedirects ?b } UNION "
+            "{ ?a dbo:wikiPageRedirects/dbo:wikiPageRedirects/dbo:wikiPageRedirects ?b } }",
+            # '*' expands to the same TP arms (zero-length arm emits none)
+            f"PREFIX dbo: <{DBO}> SELECT ?a WHERE {{ ?a dbo:wikiPageRedirects* ?b }}",
+        ),
+    ),
+    PoolQuery(
+        # quantifier ending at a constant: arms still chain through fresh
+        # vars, last step lands on the IRI
+        "q23",
+        f"PREFIX dbo: <{DBO}> SELECT ?x WHERE "
+        f"{{ ?x dbo:subdivision+ <{DBR}France> }}",
+        "SELECT", False,
+        [
+            TP(V("x"), I(DBO + "subdivision"), I(DBR + "France")),
+            TP(V("x"), I(DBO + "subdivision"), V("_path1")),
+            TP(V("_path1"), I(DBO + "subdivision"), I(DBR + "France")),
+            TP(V("x"), I(DBO + "subdivision"), V("_path2")),
+            TP(V("_path2"), I(DBO + "subdivision"), V("_path3")),
+            TP(V("_path3"), I(DBO + "subdivision"), I(DBR + "France")),
+        ],
+    ),
+    PoolQuery(
         # VALUES inline data: parsed + validated, binds solutions, adds no TPs
         "q20",
         f"PREFIX dbo: <{DBO}> SELECT ?x WHERE "
@@ -335,7 +376,7 @@ def entity_dict_rows() -> List[Tuple[str, str, float, str]]:
 # ---------------------------------------------------------------------------
 
 # bump when generate_rows output changes: benchmark corpus caches key on it
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 LANG_EXT = {"py": "py", "java": "java", "md": "md", "sparql": "rq", "txt": "txt", "log": "log"}
 

@@ -47,7 +47,10 @@ ATTEMPT_COL = "kg_attempt"
 
 
 def _read_parsed(
-    spark: SparkSession, cat: ParquetCatalog, store: CheckpointStore | None = None
+    spark: SparkSession,
+    cat: ParquetCatalog,
+    store: CheckpointStore | None = None,
+    visible_attempt: str | None = None,
 ) -> DataFrame:
     """Read the parsed table; empty-but-valid when nothing was ever written.
 
@@ -70,7 +73,19 @@ def _read_parsed(
     committed = store.committed_attempts("parsed").withColumnRenamed(
         "attempt", ATTEMPT_COL
     )
-    return parsed.join(F.broadcast(committed), [PID_COL, ATTEMPT_COL], "left_semi")
+    if not visible_attempt:
+        return parsed.join(F.broadcast(committed), [PID_COL, ATTEMPT_COL], "left_semi")
+    # visible_attempt: the orchestrator vouches for this attempt — its
+    # stage-1 write COMPLETED in this process; only its checkpoint-stats
+    # commit may still be in flight (run() overlaps that job with stage 2).
+    # The attempt's rows are complete, so reading them early is sound.
+    # Single scan: outer-join the committed marker, keep committed OR vouched.
+    marker = committed.withColumn("_vis", F.lit(True))
+    return (
+        parsed.join(F.broadcast(marker), [PID_COL, ATTEMPT_COL], "left_outer")
+        .filter(F.col("_vis").isNotNull() | (F.col(ATTEMPT_COL) == visible_attempt))
+        .drop("_vis")
+    )
 
 
 def _count_parquet(spark: SparkSession, path: str) -> int:
@@ -98,11 +113,20 @@ def run_stage1(
     run_id: str,
     pid_filter=None,
     pre_staged: bool = False,
+    defer_commit: bool = False,
 ) -> dict:
     """Stage 1: extract + parse (Python stages), checkpointed per pid.
     ``pid_filter`` optionally restricts this invocation to a pid subset;
     ``pre_staged`` marks a source that already carries content_sha256 and
-    kg_pid (chunked execution reads the staged table, see run_chunked)."""
+    kg_pid (chunked execution reads the staged table, see run_chunked).
+
+    ``defer_commit=True`` returns without running the checkpoint-stats job;
+    the metrics dict then carries a ``commit`` callable the orchestrator runs
+    CONCURRENTLY with stage 2 (the stats job and stage 2's explode+link read
+    the same completed parsed table and are independent — serializing them
+    was pure barrier cost, VERDICT r2 scaling item).  Crash semantics are
+    unchanged: until commit() finishes, this attempt is uncommitted and a
+    rerun re-parses its pids."""
     metrics: dict = {}
     t0 = time.time()
     src = source if pre_staged else with_pid(with_content_sha(source), n_parts)
@@ -131,26 +155,33 @@ def run_stage1(
     metrics["t_parse_write_s"] = round(time.time() - t0, 2)
     metrics["n_pending"] = _obs_get(obs, "n_in")
 
-    t = time.time()
-    # per-pid output stats + content-sha fingerprint over THIS attempt's rows
-    # only (the table may hold invisible rows from crashed attempts).  Done
-    # pids = pids PRESENT in this run's pending scan (a pid this run never
-    # saw must stay pending — marking range(n_parts) would swallow data on
-    # partial-source resumes).  Column pruning keeps content out of the scan.
-    present = pending_plain.select(PID_COL).distinct()
-    out_stats = (
-        _read_parsed(spark, cat)
-        .filter(F.col(ATTEMPT_COL) == run_id)
-        .groupBy(PID_COL)
-        .agg(F.count("*").alias("n_out"), sha_fingerprint_col())
-    )
-    stats = (
-        present.join(out_stats, PID_COL, "left")
-        .na.fill({"n_out": 0, "sha_fingerprint": 0})
-        .withColumn("n_in", F.lit(-1).cast("long"))  # total tracked in metrics
-    )
-    store.mark_done("parsed", stats, int((time.time() - t0) * 1000), attempt=run_id)
-    metrics["t_checkpoint_s"] = round(time.time() - t, 2)
+    def commit() -> None:
+        t = time.time()
+        # per-pid output stats + content-sha fingerprint over THIS attempt's
+        # rows only (the table may hold invisible rows from crashed
+        # attempts).  Done pids = pids PRESENT in this run's pending scan (a
+        # pid this run never saw must stay pending — marking range(n_parts)
+        # would swallow data on partial-source resumes).  Column pruning
+        # keeps content out of the scan.
+        present = pending_plain.select(PID_COL).distinct()
+        out_stats = (
+            _read_parsed(spark, cat)
+            .filter(F.col(ATTEMPT_COL) == run_id)
+            .groupBy(PID_COL)
+            .agg(F.count("*").alias("n_out"), sha_fingerprint_col())
+        )
+        stats = (
+            present.join(out_stats, PID_COL, "left")
+            .na.fill({"n_out": 0, "sha_fingerprint": 0})
+            .withColumn("n_in", F.lit(-1).cast("long"))  # total in metrics
+        )
+        store.mark_done("parsed", stats, int((time.time() - t0) * 1000), attempt=run_id)
+        metrics["t_checkpoint_s"] = round(time.time() - t, 2)
+
+    if defer_commit:
+        metrics["commit"] = commit
+    else:
+        commit()
     metrics["stage1_wall_s"] = time.time() - t0
     return metrics
 
@@ -161,60 +192,108 @@ def run_stage2(
     ed: DataFrame,
     run_id: str,
     store: CheckpointStore | None = None,
+    visible_attempt: str | None = None,
+    pre_stage2=None,
 ) -> dict:
     """Stage 2 (JVM only): explode + link + aggregate + write all outputs
-    from the materialized ``parsed`` table (committed attempts only)."""
+    from the materialized ``parsed`` table (committed attempts, plus the
+    orchestrator-vouched in-flight attempt when overlapped with stage 1's
+    commit job — see _read_parsed).
+
+    Job graph (all independent jobs overlap; barriers only where data
+    requires them — at a 4N cluster size every serial scheduling gap is paid
+    proportionally 4x harder):
+
+        [pre_stage2 (stage-1 checkpoint commit)]  ─┐ concurrent
+        quarantine / ranking / metrics (parsed)    ─┤ concurrent
+        triples_raw write (explode+link, parsed)   ─┘
+            └─ barrier: raw materialized ─┬─ fixture (raw)
+                                          └─ graph   (raw)
+    """
     metrics: dict = {}
     from pyspark.sql import Observation
 
     t1 = time.time()
-    parsed_all = _read_parsed(spark, cat, store)
+    parsed_all = _read_parsed(spark, cat, store, visible_attempt)
 
-    # materialize triples_raw ONCE (SURVEY.md 1.2 data model); fixture and
-    # graph emissions then scan the narrow raw table instead of re-running
-    # explode+link lineage per output (measured: halves stage-2 wall)
-    t = time.time()
-    linked = link_terms(explode_tps(parsed_all), ed)
-    cat.write_table(
-        linked.select(
-            "repo", "path", "commit", "content_sha256", "kind", "bgp_hash",
-            "tp_pos", "s_kind", "p_kind", "o_kind", "subj", "pred", "obj",
-        ),
-        "triples_raw",
-    )
-    raw = spark.read.parquet(cat.path("triples_raw"))
-    metrics["t_raw_s"] = round(time.time() - t, 2)
-
-    # the remaining outputs are independent scans over parsed/raw: submit
-    # them as CONCURRENT jobs (driver threads) — serial job-scheduling gaps
-    # are constant cost that a 4N-size cluster pays proportionally 4x harder
     obs_fx = Observation(f"fx_{run_id}")
     obs_graph = Observation(f"graph_{run_id}")
 
-    def _timed(name, fn):
+    def _timed(name, fn, *args):
         s = time.time()
-        out = fn()
+        out = fn(*args)
         metrics[name] = round(time.time() - s, 2)
         return out
 
-    def _w_quarantine():
-        # group by the LOW-CARDINALITY reject code, never the raw error
-        # string: error messages embed byte offsets/snippets, so at corpus
-        # scale groupBy(error) has quasi-unique keys and unbounded output.
-        # Codes come from the parser's "[code] ..." prefix; uncoded messages
-        # collapse by their first word ("lex", "expected", ...).
-        code = F.coalesce(
-            F.nullif(F.regexp_extract("error", r"^\[([a-z_]+)\]", 1), F.lit("")),
-            F.regexp_extract("error", r"^(\w+)", 1),
+    def _w_raw():
+        # materialize triples_raw ONCE (SURVEY.md 1.2 data model); fixture
+        # and graph emissions then scan the narrow raw table instead of
+        # re-running explode+link lineage per output (measured: halves
+        # stage-2 wall)
+        linked = link_terms(explode_tps(parsed_all), ed)
+        cat.write_table(
+            linked.select(
+                "repo", "path", "commit", "content_sha256", "kind", "bgp_hash",
+                "tp_pos", "s_kind", "p_kind", "o_kind", "subj", "pred", "obj",
+            ),
+            "triples_raw",
+        )
+        return spark.read.parquet(cat.path("triples_raw"))
+
+    def _w_mention_rollup():
+        """ONE scan of the mention-level table serves quarantine, ranking
+        and the run metrics: pre-aggregate on (parse_ok, kind, reject_code,
+        bgp_hash) — cardinality bounded by the distinct-query count (BGPs
+        are memoized per distinct query text), so the rollup is dict-sized
+        at any corpus scale — then derive all three outputs from it with
+        trivial jobs.  Replaces three full parsed scans (round-3 scaling
+        work; the scans were the non-raw bulk of stage 2).
+
+        Quarantine groups by the LOW-CARDINALITY reject code, never the raw
+        error string: error messages embed byte offsets/snippets, so at
+        corpus scale groupBy(error) has quasi-unique keys and unbounded
+        output.  Codes come from the parser's "[code] ..." prefix; uncoded
+        messages collapse by their first word ("lex", "expected", ...)."""
+        code = F.when(
+            ~F.col("parse_ok"),
+            F.coalesce(
+                F.nullif(F.regexp_extract("error", r"^\[([a-z_]+)\]", 1), F.lit("")),
+                F.regexp_extract("error", r"^(\w+)", 1),
+            ),
+        )
+        rollup = (
+            parsed_all.groupBy(
+                "parse_ok", "kind", code.alias("reject_code"), "bgp_hash"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.first("error").alias("example_error"),
+                F.first("canonical").alias("canonical"),
+            )
+            .localCheckpoint()  # dict-sized; cut lineage so the three
+            # derived writes below are trivial local jobs, not re-scans
         )
         cat.write_table(
-            parsed_all.filter(~F.col("parse_ok"))
-            .groupBy("kind", code.alias("reject_code"))
-            .agg(F.count("*").alias("n"), F.first("error").alias("example_error")),
+            rollup.filter(~F.col("parse_ok"))
+            .groupBy("kind", "reject_code")
+            .agg(F.sum("n").alias("n"), F.first("example_error").alias("example_error")),
             "quarantine",
         )
+        cat.write_table(
+            rollup.filter(F.col("parse_ok"))
+            .groupBy("bgp_hash")
+            .agg(F.sum("n").alias("count"), F.first("canonical").alias("canonical")),
+            "bgp_ranking",
+        )
+        return rollup.agg(
+            F.sum("n").alias("n_mentions"),
+            F.sum(F.when(F.col("parse_ok"), F.col("n")).otherwise(F.lit(0))).alias(
+                "n_parse_ok"
+            ),
+            F.countDistinct(F.when(F.col("parse_ok"), F.col("bgp_hash"))).alias("n_bgps"),
+        ).collect()[0]
 
-    def _w_fixture():
+    def _w_fixture(raw):
         fixture = (
             raw.select("subj", "pred", "obj", "content_sha256")
             .distinct()
@@ -222,40 +301,40 @@ def run_stage2(
         )
         cat.write_table(fixture, "triples_fixture")
 
-    def _w_graph():
+    def _w_graph(raw):
         graph = graph_triples(raw).observe(obs_graph, F.count(F.lit(1)).alias("n"))
         write_graph(graph, cat.path("triples"))
 
-    def _w_ranking():
-        # no global orderBy: a stored ranking table doesn't need a range-
-        # exchange sort at write time; top-k reads use TakeOrderedAndProject
-        cat.write_table(
-            parsed_all.filter(F.col("parse_ok"))
-            .groupBy("bgp_hash")
-            .agg(F.count("*").alias("count"), F.first("canonical").alias("canonical")),
-            "bgp_ranking",
-        )
-
-    def _metrics_agg():
-        return parsed_all.agg(
-            F.count("*").alias("n_mentions"),
-            F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("n_parse_ok"),
-            F.countDistinct(F.when(F.col("parse_ok"), F.col("bgp_hash"))).alias("n_bgps"),
-        ).collect()[0]
+    # Concurrency degree follows the cluster's parallelism: overlapping
+    # independent jobs fills scheduling/IO gaps when there are idle task
+    # slots, but on a single-slot cluster it only thrashes (measured: +33 s
+    # of stage-2 wall at local[1] from interleaving these jobs), so the
+    # 1-slot path runs the same DAG sequentially.
+    concurrent = spark.sparkContext.defaultParallelism > 2
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
-        futs = {
-            "t_fixture_s": ex.submit(_timed, "t_fixture_s", _w_fixture),
-            "t_graph_s": ex.submit(_timed, "t_graph_s", _w_graph),
-            "t_quarantine_s": ex.submit(_timed, "t_quarantine_s", _w_quarantine),
-            "t_ranking_s": ex.submit(_timed, "t_ranking_s", _w_ranking),
-            "agg": ex.submit(_metrics_agg),
-        }
-        agg_row = futs["agg"].result()
-        for k, f in futs.items():
-            f.result()  # propagate any failure
+    if concurrent:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = {"rollup": ex.submit(_timed, "t_rollup_s", _w_mention_rollup)}
+            if pre_stage2 is not None:
+                futs["pre"] = ex.submit(pre_stage2)
+            # the raw write runs in THIS thread, concurrent with the rollup
+            # and the stage-1 checkpoint commit; fixture/graph are the only
+            # consumers that must wait for the materialized raw table
+            raw = _timed("t_raw_s", _w_raw)
+            futs["t_fixture_s"] = ex.submit(_timed, "t_fixture_s", _w_fixture, raw)
+            futs["t_graph_s"] = ex.submit(_timed, "t_graph_s", _w_graph, raw)
+            agg_row = futs["rollup"].result()
+            for f in futs.values():
+                f.result()  # propagate any failure
+    else:
+        if pre_stage2 is not None:
+            pre_stage2()
+        raw = _timed("t_raw_s", _w_raw)
+        _timed("t_fixture_s", _w_fixture, raw)
+        _timed("t_graph_s", _w_graph, raw)
+        agg_row = _timed("t_rollup_s", _w_mention_rollup)
     metrics["stage2_wall_s"] = time.time() - t1
     metrics.update(
         {
@@ -303,8 +382,23 @@ def run(
     store = CheckpointStore(spark, cat.path("checkpoints"))
     ed = entity_dict if entity_dict is not None else default_entity_dict(spark)
     metrics: dict = {"run_id": run_id}
-    metrics.update(run_stage1(spark, source, cat, store, n_parts, resume, run_id))
-    metrics.update(run_stage2(spark, cat, ed, run_id, store))
+    # stage 1 defers its checkpoint-stats job; stage 2 runs it concurrently
+    # with the triples_raw write (both read the completed parsed table and
+    # are independent — the serial barrier was pure scheduling cost) and
+    # treats this attempt as visible before the commit lands (vouched:
+    # the write finished in this process).
+    s1 = run_stage1(
+        spark, source, cat, store, n_parts, resume, run_id, defer_commit=True
+    )
+    commit = s1.pop("commit")
+    metrics.update(s1)
+    metrics.update(
+        run_stage2(
+            spark, cat, ed, run_id, store,
+            visible_attempt=run_id, pre_stage2=commit,
+        )
+    )
+    metrics["t_checkpoint_s"] = s1.get("t_checkpoint_s", metrics.get("t_checkpoint_s"))
     return _finish(spark, cat, source, run_id, metrics)
 
 

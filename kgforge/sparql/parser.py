@@ -10,9 +10,13 @@ implements the grammar subset fixed in SURVEY.md U2:
   OPTIONAL / UNION / GRAPH / MINUS / FILTER / BIND recognized;
   sub-SELECT groups parsed (their WHERE TPs are collected);
   VALUES inline data parsed and validated (binds solutions, adds no TPs);
-  property paths: sequence '/', inverse '^' (fresh-var decomposition) and
-  alternative '|' (one TP group per branch, the UNION-equivalent);
-  quantifiers '+'/'*'/'?' are counted rejects with code [path_quantifier];
+  property paths: sequence '/', inverse '^' (fresh-var decomposition),
+  alternative '|' (one TP group per branch, the UNION-equivalent) and
+  quantifiers '+'/'*' as bounded-depth expansions (sequences of length
+  1..MAX_PATH_DEPTH, one TP group per depth — the zero-length arm of '*'
+  emits no TPs so both expand identically under collect-all-arms
+  semantics); expansions past the alternative budget are counted rejects
+  with code [path_depth]; '?' stays a lexical reject (not in PUNCT);
   triple patterns are collected from ALL basic graph pattern groups
   (the reference keeps the BGP content of the whole WHERE clause);
   'a' keyword -> rdf:type; ';' predicate-object lists and ',' object lists;
@@ -242,9 +246,15 @@ class _Parser:
     # intermediate variables; alternative 'p1|p2' decomposes into one TP
     # group per branch (the UNION-equivalent — the reference collected TPs
     # from every UNION arm, so alternatives get the same treatment);
-    # quantifiers '*'/'+'/'?' have no BGP equivalent -> counted rejects with
-    # a dedicated code (SURVEY.md U2 subset policy, VERDICT r1 item 5).
+    # quantifiers '+'/'*' expand to bounded-depth sequence arms (VERDICT r2
+    # item 4): 'p+' ~ p UNION p/p UNION p/p/p at MAX_PATH_DEPTH=3, and 'p*'
+    # adds only a zero-length arm that contributes no TPs, so both yield
+    # the same TP arms.  Expansions that exceed the alternative budget
+    # (nested quantifiers, quantified multi-alt groups) are counted
+    # rejects with code [path_depth] — bounded work per query, never a
+    # combinatorial bomb (SURVEY.md U2 subset policy).
     MAX_PATH_ALTS = 8
+    MAX_PATH_DEPTH = 3
 
     def parse_path(self) -> List[List[Tuple[bool, Term]]]:
         """Returns the list of ALTERNATIVES; each alternative is a step list."""
@@ -279,7 +289,18 @@ class _Parser:
         else:
             inner = [[(False, self.parse_term(as_predicate=True))]]
         if self.at_punct("*") or self.at_punct("+"):
-            raise ParseError("[path_quantifier] property-path quantifier out of subset")
+            self.next()
+            base = inner
+            expanded = list(base)
+            cur = base
+            for _ in range(self.MAX_PATH_DEPTH - 1):
+                cur = [a + b for a in cur for b in base]
+                expanded.extend(cur)
+                if len(expanded) > self.MAX_PATH_ALTS:
+                    raise ParseError(
+                        "[path_depth] quantified path expansion exceeds alternative budget"
+                    )
+            inner = expanded
         if inverse:
             inner = [[(not inv, p) for inv, p in reversed(alt)] for alt in inner]
         return inner

@@ -54,3 +54,19 @@ def test_path_alternative_always_equals_union_form(preds):
     uni = parse_query("SELECT ?s WHERE { " + union_body + " }")
     assert alt.parse_ok and uni.parse_ok
     assert canonicalize_bgp(alt.tps) == canonicalize_bgp(uni.tps)
+
+
+@given(_iri, st.sampled_from(["+", "*"]))
+@settings(max_examples=30, deadline=None)
+def test_path_quantifier_always_equals_bounded_union(pred, mod):
+    """Property: '?s p+ ?o' (and p*) canonicalizes identically to the
+    explicit UNION of depth-1..3 sequence chains, for any predicate."""
+    from kgforge.sparql import canonicalize_bgp, parse_query
+
+    quant = parse_query("SELECT ?s WHERE { ?s " + pred + mod + " ?o }")
+    union_body = " UNION ".join(
+        "{ ?s " + "/".join([pred] * d) + " ?o }" for d in (1, 2, 3)
+    )
+    uni = parse_query("SELECT ?s WHERE { " + union_body + " }")
+    assert quant.parse_ok and uni.parse_ok
+    assert canonicalize_bgp(quant.tps) == canonicalize_bgp(uni.tps)

@@ -1,7 +1,8 @@
 """Property-path subset: sequence '/' and inverse '^' decompose to BGP TPs
 with fresh intermediate variables; alternative '|' decomposes to one TP group
-per branch (UNION-equivalent); quantifiers are counted rejects (no BGP
-equivalent), tagged [path_quantifier]."""
+per branch (UNION-equivalent); quantifiers '+'/'*' expand to bounded-depth
+sequence arms (depth 1..3), with [path_depth] counted rejects past the
+alternative budget."""
 
 from kgforge.sparql import canonicalize_bgp, parse_query
 
@@ -60,13 +61,43 @@ def test_alternative_blowup_is_rejected():
     assert not r.parse_ok and "[path_alts]" in r.error
 
 
-def test_quantifiers_rejected_with_code():
+def test_quantifier_expands_bounded_depth():
+    # p+ ~ p UNION p/p UNION p/p/p: 1+2+3 = 6 TPs; '*' expands identically
+    # (its zero-length arm contributes no TPs under collect-all-arms)
     for q in (
         "SELECT ?x WHERE { ?x <http://p>+ ?y }",
         "SELECT ?x WHERE { ?x <http://p>* ?y }",
     ):
         r = parse_query(q)
-        assert not r.parse_ok and "[path_quantifier]" in r.error
+        assert r.parse_ok and len(r.tps) == 6 and not r.simple
+        assert all(tp.p.value == "http://p" for tp in r.tps)
+
+
+def test_quantifier_expansion_equals_explicit_union():
+    a = parse_query("SELECT ?x WHERE { ?x <http://p>+ ?y }").tps
+    b = parse_query(
+        "SELECT ?x WHERE { { ?x <http://p> ?y } UNION "
+        "{ ?x <http://p>/<http://p> ?y } UNION "
+        "{ ?x <http://p>/<http://p>/<http://p> ?y } }"
+    ).tps
+    assert canonicalize_bgp(a) == canonicalize_bgp(b)
+
+
+def test_inverse_quantifier():
+    # ^(p+) == (^p)+: every expanded TP runs object->subject
+    r = parse_query("SELECT ?x WHERE { ?x ^<http://p>+ ?y }")
+    assert r.parse_ok and len(r.tps) == 6
+    depth1 = [tp for tp in r.tps if tp.s.value == "y" and tp.o.value == "x"]
+    assert len(depth1) == 1
+
+
+def test_quantified_group_over_budget_rejected():
+    # (a|b)+ at depth 3: 2+4+8 = 14 arms > MAX_PATH_ALTS -> counted reject
+    r = parse_query("SELECT ?x WHERE { ?x (<http://a>|<http://b>)+ ?y }")
+    assert not r.parse_ok and "[path_depth]" in r.error
+    # nested quantifier blows the budget the same way
+    r2 = parse_query("SELECT ?x WHERE { ?x (<http://a>+)+ ?y }")
+    assert not r2.parse_ok and "[path_depth]" in r2.error
 
 
 def test_subquery_tps_collected():
