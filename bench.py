@@ -5,8 +5,13 @@ local[$SPARK_GRAFT_CPUS], plus the KG-construction pipeline itself on a
 deterministically generated corpus (the BASELINE.md files/sec metric).
 
 Output: {"metric": "total_wall_sec", "value": N, "unit": "sec",
-         "queries": {...per-query sec...}, "sf": 0.1,
+         "queries": {...per-query MEDIAN sec...}, "sf": 0.1,
          "kg_files_per_sec": N}
+
+Every query (and the pipeline) runs KGFORGE_BENCH_REPS times (default 3);
+"queries" carries medians and "spread" the per-query max-min, so
+round-over-round deltas are interpretable against this host's measured
+±15-25% run-to-run noise (VERDICT r2 item 8).
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -66,22 +72,32 @@ def main() -> None:
     if not os.path.exists(corpus_path):
         write_corpus_parquet(corpus_path, KG_CORPUS_ROWS)
 
+    reps = int(os.environ.get("KGFORGE_BENCH_REPS", "3"))
     q_secs: dict = {}
+    q_spread: dict = {}
     t_total = time.time()
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        q_secs[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        q_secs[name] = round(statistics.median(walls), 3)
+        q_spread[name] = round(max(walls) - min(walls), 3)
 
-    out_dir = "/tmp/kgforge_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
     src = spark.read.parquet(corpus_path)
-    t0 = time.time()
-    pipeline.run(spark, src, out_dir, n_parts=64, resume=False, run_id="bench")
-    kg_wall = time.time() - t0
+    kg_walls = []
+    for i in range(reps):
+        out_dir = f"/tmp/kgforge_bench_out_{i}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        pipeline.run(spark, src, out_dir, n_parts=64, resume=False, run_id=f"bench{i}")
+        kg_walls.append(time.time() - t0)
+    kg_wall = statistics.median(kg_walls)
     q_secs["kg_pipeline"] = round(kg_wall, 3)
+    q_spread["kg_pipeline"] = round(max(kg_walls) - min(kg_walls), 3)
 
     total = time.time() - t_total
     print(
@@ -91,6 +107,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": q_secs,
+                "spread": q_spread,
+                "reps": reps,
                 "sf": sf,
                 "kg_corpus_rows": KG_CORPUS_ROWS,
                 "kg_files_per_sec": round(KG_CORPUS_ROWS / kg_wall, 1),

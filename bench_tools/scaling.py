@@ -30,10 +30,11 @@ from kgforge.conf import get_spark
 from kgforge import pipeline
 
 # Task slots per config are tuned to that config's own optimum (disclosed in
-# BENCH.md): multi-core runs use 2 slots/core — the standard overcommit that
-# hides JVM<->Python pipeline stalls (measured 62s -> 46s on the parse stage
-# at 4 CPUs) — while the saturated 1-core baseline measured FASTEST at 1 slot
-# (2 slots: +9%% wall).  Both sides best-vs-best.
+# BENCH.md): multi-core runs use 3 slots/core — overcommit that hides
+# JVM<->Python pipeline stalls (round-3 sweep at 4 cpus: 8 slots 52.3s,
+# 12 slots 49.3s, 16 slots 58.6s) — while the saturated 1-core baseline
+# measures FASTEST at 1 slot (2 slots: +14%% wall, re-swept round 3).
+# Both sides best-vs-best.
 # initial shuffle partitions = 4x cores: AQE coalesces small shuffles DOWN
 # but can never split an oversized reduce partition UP — at the larger
 # corpus sizes slots-many partitions spill (measured stage-2 blowup at 2x
@@ -82,7 +83,7 @@ spark.stop()
 
 
 def run_reference(cores: int, corpus: str) -> dict:
-    slots = cores if cores == 1 else 2 * cores
+    slots = cores if cores == 1 else 2 * cores  # bare-JVM jobs: no Python stalls to hide
     code = _REF_SNIPPET.format(repo=REPO, cores=cores, slots=slots, corpus=corpus)
     cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
            sys.executable, "-c", code]
@@ -98,7 +99,7 @@ def run_once(cores: int, corpus: str, pin: bool = True) -> dict:
     tree (JVM + pyspark workers) is taskset-pinned to exactly ``cores`` CPUs —
     without pinning, a local[1] job free-rides its Python workers and GC
     threads on idle cores and understates the true 1-core baseline."""
-    slots = cores if cores == 1 else 2 * cores
+    slots = cores if cores == 1 else 3 * cores
     code = _RUN_SNIPPET.format(repo=REPO, cores=cores, slots=slots, corpus=corpus)
     cmd = [sys.executable, "-c", code]
     if pin:

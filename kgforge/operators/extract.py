@@ -13,6 +13,8 @@ probe — the dedup-before-expensive-work discipline of SURVEY.md 4.1).
 
 from __future__ import annotations
 
+import os
+import uuid
 from functools import lru_cache
 from typing import Iterator, List, Optional, Tuple
 
@@ -162,6 +164,193 @@ def extract_parse_df(df: DataFrame) -> DataFrame:
 
     cols = ["repo", "path", "commit", "content_sha256", "content"]
     return df.select(*cols).mapInPandas(gen, schema=PARSED_SCHEMA)
+
+
+SINK_SUMMARY_SCHEMA = (
+    "task_id int, kg_pid int, n_rows long, fp long, skipped boolean"
+)
+
+
+def _fp60(sha_hex: str) -> int:
+    """Leading 60 bits of a content sha as int — the Python twin of the JVM
+    fingerprint expr conv(substring(content_sha256, 1, 15), 16, 10)
+    (kgforge.checkpoint.sha_fingerprint_col); XOR-aggregated per pid it is
+    order-insensitive, so sink-side and scan-side fingerprints agree."""
+    return int(sha_hex[:15], 16)
+
+
+def _parsed_arrow_schema():
+    """Arrow schema for the task-committed parsed files — field-for-field the
+    layout Spark itself writes for PARSED_SCHEMA + kg_pid + kg_attempt, so
+    spark.read.parquet unifies old and new files."""
+    import pyarrow as pa
+
+    tp_struct = pa.struct(
+        [
+            (f, pa.string())
+            for f in (
+                "s_r", "p_r", "o_r", "s_kind", "p_kind", "o_kind",
+                "s_surface", "o_surface", "exp_etype",
+            )
+        ]
+    )
+    return pa.schema(
+        [
+            ("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+            ("content_sha256", pa.string()), ("kind", pa.string()),
+            ("span_start", pa.int32()), ("span_end", pa.int32()),
+            ("parse_ok", pa.bool_()), ("error", pa.string()),
+            ("query_form", pa.string()), ("simple", pa.bool_()),
+            ("n_tps", pa.int32()), ("bgp_hash", pa.string()),
+            ("canonical", pa.string()), ("tps", pa.list_(tp_struct)),
+            ("kg_pid", pa.int32()), ("kg_attempt", pa.string()),
+        ]
+    )
+
+
+def extract_parse_sink(df: DataFrame, out_dir: str, attempt: str) -> DataFrame:
+    """U1+U2+U3 fused WITH the parquet sink inside the same Python stage:
+    parsed rows never re-cross the Arrow boundary to the JVM — each task
+    builds its own arrow table and writes ONE parquet file, committed by
+    atomic rename (the final filename IS the commit marker).  Returns a
+    summary DataFrame — one tiny row per (task, pid) with the pid's row
+    count and XOR sha-fingerprint — whose collection is the action.  The
+    summaries replace the post-write checkpoint-stats scan entirely: the
+    per-pid (n_out, fingerprint) the checkpoint store needs aggregates from
+    them driver-side (dict-sized: <= tasks x pids-per-task rows).  A skipped
+    (already-committed) task reads back just the (kg_pid, content_sha256)
+    columns of its own file to reproduce its stats — still no parse.
+
+    Two properties this buys at cluster scale:
+
+    * PER-TASK RESUME (VERDICT r2 item 6): a crashed stage-1 attempt keeps
+      every task file that finished renaming; re-running the SAME attempt id
+      sees the committed filename and skips the task WITHOUT pulling its
+      input — the upstream scan+parse for that split never executes (the
+      generator returns before consuming its input iterator).  Filenames
+      carry a plan fingerprint (n_parts is encoded in kg_pid upstream; the
+      fingerprint hashes the input schema) so a changed plan can't silently
+      reuse stale task files.  Cross-attempt resume remains pid-level via
+      the checkpoint anti-join.
+    * JVM BYTE SHRINK: the JVM no longer receives, shuffles, or
+      parquet-encodes the mention-level rows (structs + 64-char shas);
+      encoding happens in the Arrow C++ layer of the Python worker.
+
+    Local/HDFS rename is atomic; on object stores this seam is where an
+    Iceberg appendFiles commit goes instead (kgforge/catalog.py)."""
+    import hashlib as _hl
+
+    in_cols = ["repo", "path", "commit", "content_sha256", "kg_pid", "content"]
+    fp = _hl.md5(",".join(df.select(*in_cols).schema.names).encode()).hexdigest()[:8]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tid = TaskContext.get().partitionId()
+        os.makedirs(out_dir, exist_ok=True)
+        final = os.path.join(out_dir, f"task-{attempt}-{fp}-{tid:05d}.parquet")
+        if os.path.exists(final):
+            # committed by an earlier run of this attempt: returning without
+            # consuming `batches` means the upstream scan+parse never runs.
+            # Reproduce the task's per-pid stats from its own file (pruned
+            # two-column read, no parse).
+            import pyarrow.parquet as _pq
+
+            tbl = _pq.read_table(final, columns=["kg_pid", "content_sha256"])
+            stats: dict = {}
+            for p_, s_ in zip(
+                tbl.column("kg_pid").to_pylist(),
+                tbl.column("content_sha256").to_pylist(),
+            ):
+                st = stats.setdefault(p_, [0, 0])
+                st[0] += 1
+                st[1] ^= _fp60(s_)
+            out = [(tid, p_, st[0], st[1], True) for p_, st in stats.items()]
+            if not out:
+                out = [(tid, -1, 0, 0, True)]
+            yield pd.DataFrame(
+                out, columns=["task_id", "kg_pid", "n_rows", "fp", "skipped"]
+            )
+            return
+        schema = _parsed_arrow_schema()
+        # hidden tmp name: Spark/pyarrow listings ignore dot-files, so a
+        # crashed partial write can never be read as a corrupt parquet
+        tmp = os.path.join(
+            out_dir, f".task-{attempt}-{fp}-{tid:05d}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        writer = None
+        n_out = 0
+        pid_stats: dict = {}
+        rows: list = []
+        # buffer across Arrow batches: one row group per input batch (10k
+        # rows) measurably slowed every downstream scan; flush at ~64k rows
+        # keeps row groups scan-friendly while bounding worker memory
+        flush_rows = 65536
+
+        def flush():
+            nonlocal writer, n_out, rows
+            cols = list(zip(*rows))
+            tbl = pa.table(
+                {name: list(col) for name, col in zip(schema.names, cols)},
+                schema=schema,
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, schema)
+            writer.write_table(tbl)
+            n_out += tbl.num_rows
+            rows = []
+
+        try:
+            for pdf in batches:
+                mention_lists = detect_mentions_batch(pdf["content"])
+                repo = pdf["repo"].to_numpy()
+                path = pdf["path"].to_numpy()
+                commit = pdf["commit"].to_numpy()
+                sha = pdf["content_sha256"].to_numpy()
+                pid = pdf["kg_pid"].to_numpy()
+                for row_pos, mentions in enumerate(mention_lists):
+                    if not mentions:
+                        continue
+                    prov = (repo[row_pos], path[row_pos], commit[row_pos], sha[row_pos])
+                    p_ = int(pid[row_pos])
+                    st = pid_stats.setdefault(p_, [0, 0])
+                    f60 = _fp60(sha[row_pos])
+                    for m in mentions:
+                        rows.append(
+                            prov
+                            + (m.kind, m.span_start, m.span_end)
+                            + _parse_one(m.raw)
+                            + (p_, attempt)
+                        )
+                        st[0] += 1
+                        st[1] ^= f60
+                if len(rows) >= flush_rows:
+                    flush()
+            if rows:
+                flush()
+            if writer is None:
+                # empty task still commits a (zero-row) file so a resume
+                # skips the split instead of re-scanning it
+                pq.write_table(schema.empty_table(), tmp)
+            else:
+                writer.close()
+                writer = None
+            os.replace(tmp, final)
+        finally:
+            if writer is not None:
+                writer.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        out = [(tid, p_, st[0], st[1], False) for p_, st in pid_stats.items()]
+        if not out:
+            out = [(tid, -1, 0, 0, False)]  # empty task: still one marker row
+        yield pd.DataFrame(
+            out, columns=["task_id", "kg_pid", "n_rows", "fp", "skipped"]
+        )
+
+    return df.select(*in_cols).mapInPandas(gen, schema=SINK_SUMMARY_SCHEMA)
 
 
 def parse_canonicalize_df(mentions: DataFrame) -> DataFrame:

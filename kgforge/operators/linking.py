@@ -49,7 +49,9 @@ def best_entity_per_surface(entity_dict: DataFrame) -> DataFrame:
     )
 
 
-def link_terms(exploded: DataFrame, entity_dict: DataFrame) -> DataFrame:
+def link_terms(
+    exploded: DataFrame, entity_dict: DataFrame, reduce_probe: bool = False
+) -> DataFrame:
     """Input: one row per TP with columns s_r/p_r/o_r, s_surface/o_surface,
     exp_etype.  Output: adds subj/obj = linked entity id or original
     rendering (unlinked terms keep their rendering, SURVEY.md U4).
@@ -59,9 +61,38 @@ def link_terms(exploded: DataFrame, entity_dict: DataFrame) -> DataFrame:
     relation instead of re-running the crossJoin+window lineage twice.  Unlike
     a driver collect/createDataFrame round-trip, this keeps the dictionary
     distributed: at a real DBpedia dict (~10^7 surfaces) driver memory and
-    re-serialization would otherwise become the bottleneck (VERDICT round 1)."""
+    re-serialization would otherwise become the bottleneck (VERDICT round 1).
+
+    ``reduce_probe=True`` (SURVEY.md 4.3.2, VERDICT r2 item 7) inserts a
+    SEMI-JOIN REDUCTION for dictionaries too large to broadcast whole: the
+    fact side's DISTINCT (surface, etype_key) pairs — bounded by the distinct
+    TP count, tiny relative to the corpus because query texts repeat — probe
+    the full dictionary once in a shuffle join, and only the dictionary
+    entries that actually occur are broadcast back to the 10^12-row side.
+    Broadcast volume becomes O(observed surfaces), not O(dict).  The cost is
+    one extra column-pruned scan of the fact side; leave it off when the
+    whole ranked dict fits the broadcast threshold.  Output is identical
+    either way (the reduction only drops dict rows no fact row can match;
+    equivalence pytest-gated)."""
     best = best_entity_per_surface(entity_dict).localCheckpoint(eager=True)
     etype_key = F.coalesce(F.col("exp_etype"), F.lit(NO_ETYPE))
+
+    if reduce_probe:
+        probes = (
+            exploded.select(
+                F.col("s_surface").alias("surface"), etype_key.alias("etype_key")
+            )
+            .unionByName(
+                exploded.select(
+                    F.col("o_surface").alias("surface"), etype_key.alias("etype_key")
+                )
+            )
+            .filter(F.col("surface").isNotNull())
+            .distinct()
+        )
+        best = probes.join(best, ["surface", "etype_key"], "inner").localCheckpoint(
+            eager=True
+        )
 
     s_best = best.select(
         F.col("surface").alias("s_surface_k"),

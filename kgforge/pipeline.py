@@ -4,15 +4,21 @@ Lifecycle per SURVEY.md 3.2; stage boundaries materialize to the catalog so
 runs resume from per-partition checkpoints [B:14] (the reference restarts
 from scratch on failure — resume is a new capability the north rule adds).
 
-Plan shape (everything between the two Python stages is JVM/codegen):
+Plan shape (round 3; everything downstream of the fused Python stage is
+JVM/codegen):
 
   scan -> sha2 (P7) -> pid -> anti-join checkpoints (J5) -> contains (P2)
-       -> mapInPandas detect (U1)          [Python, Arrow-batched]
-       -> mapInPandas parse+canon (U2+U3)  [Python, Arrow-batched, memoized]
-       -> write parsed                      [stage barrier, SURVEY.md 4.3.5]
-  read parsed -> explode (U5) -> broadcast-link (U4/J1)
-       -> fixture distinct (P/R output)  +  ground groupBy agg (A1)
+       -> ONE fused Python stage [Arrow-batched, memoized]:
+            detect (U1) + parse+canon (U2+U3) + TASK-COMMITTED parquet sink
+            (atomic-rename commit per task; per-pid stats in the summary)
+  [stage barrier: parsed materialized]     then CONCURRENT jobs:
+       checkpoint commit  ||  mention rollup (quarantine+ranking+metrics,
+       one scan)  ||  triples_raw = explode (U5) -> broadcast-link (U4/J1)
+  [barrier: raw materialized]
+       fixture distinct (P/R output)  ||  ground groupBy agg (A1)
        -> partitioned salted write (J9)
+(single-slot clusters run the same DAG sequentially — concurrency degree
+follows cluster parallelism)
 """
 
 from __future__ import annotations
@@ -24,23 +30,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgforge.catalog import ParquetCatalog
-from kgforge.checkpoint import PID_COL, CheckpointStore, sha_fingerprint_col, with_pid
+from kgforge.checkpoint import PID_COL, CheckpointStore, with_pid
 from kgforge.corpus import entity_dict_rows
-from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+from kgforge.operators.extract import extract_parse_sink, prefilter, with_content_sha
 from kgforge.operators.linking import link_terms
 from kgforge.operators.triples import explode_tps, graph_triples, write_graph
 
 
 def _obs_get(obs, key: str) -> int:
     """Observation value after the observed action completed.  Narrow except
-    (ADVICE round 2): a missing key is the one benign miss; anything else
-    (analysis error, interrupted job) must propagate rather than silently
-    read as a 0-valued metric.  Note Observation.get BLOCKS until metrics
-    arrive, so callers only invoke this after the action returns."""
+    (ADVICE round 2): the two benign misses are a missing key and a ZERO-TASK
+    action (empty input -> no task ever ran -> no metrics row materialized;
+    Observation.get then raises a Py4J "assertion failed" from toPyRow rather
+    than blocking).  Anything else (analysis error, interrupted job) must
+    propagate rather than silently read as a 0-valued metric."""
     try:
         return int(obs.get[key])
     except KeyError:
         return 0
+    except Exception as exc:
+        if "assertion failed" in str(exc):
+            return 0  # zero-task action: no metrics row exists
+        raise
 
 
 ATTEMPT_COL = "kg_attempt"
@@ -143,37 +154,47 @@ def run_stage1(
     pending_plain = pending  # observation nodes are single-action; reuse the plain plan
     pending = pending.observe(obs, F.count(F.lit(1)).alias("n_in"))
 
-    parsed = extract_parse_df(prefilter(pending))
-    # re-attach pid deterministically (derived from data, SURVEY.md hard part 5)
-    parsed = with_pid(parsed, n_parts).withColumn(ATTEMPT_COL, F.lit(run_id))
-    # plain APPEND + attempt tag: idempotency comes from snapshot visibility
-    # (see _read_parsed) — a crash between this write and mark_done leaves
-    # the attempt uncommitted, so a rerun's rows replace it logically without
-    # any partitioned-overwrite shuffle or per-pid directory commit cost
-    # (ADVICE round 1; overwrite variant measured +15% stage-1 wall).
-    cat.append_table(parsed, "parsed")
+    # fused parse + TASK-COMMITTED sink (extract.py): each task writes its
+    # own parquet file, committed by atomic rename.  Idempotency still comes
+    # from snapshot visibility (see _read_parsed) — a crash before mark_done
+    # leaves the attempt uncommitted — but a re-run of the SAME attempt id
+    # now skips every task whose file already committed (per-task resume,
+    # VERDICT r2 item 6) instead of re-parsing the whole pending set.
+    task_rows = extract_parse_sink(
+        prefilter(pending), cat.path("parsed"), run_id
+    ).collect()
+    metrics["n_tasks"] = len({r["task_id"] for r in task_rows})
+    metrics["n_tasks_resumed"] = len(
+        {r["task_id"] for r in task_rows if r["skipped"]}
+    )
     metrics["t_parse_write_s"] = round(time.time() - t0, 2)
     metrics["n_pending"] = _obs_get(obs, "n_in")
 
     def commit() -> None:
         t = time.time()
-        # per-pid output stats + content-sha fingerprint over THIS attempt's
-        # rows only (the table may hold invisible rows from crashed
-        # attempts).  Done pids = pids PRESENT in this run's pending scan (a
-        # pid this run never saw must stay pending — marking range(n_parts)
-        # would swallow data on partial-source resumes).  Column pruning
-        # keeps content out of the scan.
-        present = pending_plain.select(PID_COL).distinct()
-        out_stats = (
-            _read_parsed(spark, cat)
-            .filter(F.col(ATTEMPT_COL) == run_id)
-            .groupBy(PID_COL)
-            .agg(F.count("*").alias("n_out"), sha_fingerprint_col())
-        )
-        stats = (
-            present.join(out_stats, PID_COL, "left")
-            .na.fill({"n_out": 0, "sha_fingerprint": 0})
-            .withColumn("n_in", F.lit(-1).cast("long"))  # total in metrics
+        # per-pid output stats + content-sha fingerprint for THIS attempt,
+        # aggregated from the sink's per-(task, pid) summaries — no re-scan
+        # of the parsed table (the pre-sink design's stats job re-read the
+        # full attempt output; round-3 scaling work).  Done pids = pids
+        # PRESENT in this run's pending scan (a pid this run never saw must
+        # stay pending — marking range(n_parts) would swallow data on
+        # partial-source resumes); the presence scan is column-pruned to the
+        # three pid-key strings, content is never read.
+        per_pid: dict = {}
+        for r in task_rows:
+            if r["kg_pid"] >= 0:
+                st = per_pid.setdefault(r["kg_pid"], [0, 0])
+                st[0] += r["n_rows"]
+                st[1] ^= r["fp"]
+        present = [
+            row[PID_COL] for row in pending_plain.select(PID_COL).distinct().collect()
+        ]
+        stats = spark.createDataFrame(
+            [
+                (int(p), -1, per_pid.get(p, (0, 0))[0], per_pid.get(p, (0, 0))[1])
+                for p in present
+            ],
+            f"{PID_COL} int, n_in long, n_out long, sha_fingerprint long",
         )
         store.mark_done("parsed", stats, int((time.time() - t0) * 1000), attempt=run_id)
         metrics["t_checkpoint_s"] = round(time.time() - t, 2)

@@ -54,6 +54,54 @@ def test_entity_linking_join_is_broadcast(spark):
     assert plan.count("ExistingRDD") >= 2 or plan.count("Scan ExistingRDD") >= 2
 
 
+def test_linking_probe_reduction_plan_and_equivalence(spark):
+    """SURVEY.md 4.3.2 semi-join reduction (reduce_probe=True): the relation
+    broadcast to the fact side must be built from the fact side's DISTINCT
+    (surface, etype_key) pairs probing the dict — and the linked output must
+    be row-identical to the plain broadcast mode."""
+    from kgforge.corpus import generate_rows
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+    from kgforge.operators.linking import link_terms
+    from kgforge.operators.triples import explode_tps
+    from kgforge.pipeline import default_entity_dict
+
+    src = spark.createDataFrame(generate_rows(60)[0])
+    exploded = explode_tps(
+        extract_parse_df(prefilter(with_content_sha(src)))
+    ).localCheckpoint(eager=True)
+    ed = default_entity_dict(spark)
+
+    reduced = link_terms(exploded, ed, reduce_probe=True)
+    # the reduced-dict relation is materialized by localCheckpoint, so its
+    # distinct probe ran as its OWN job; the fact-side output plan must
+    # still be pure broadcast (no shuffle of the big side)
+    plan = physical_plan(reduced)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+    # building the reduced dict itself must aggregate the distinct probe
+    # (HashAggregate over surface+etype_key feeding the join)
+    from kgforge.operators.linking import NO_ETYPE, best_entity_per_surface
+
+    etype_key = F.coalesce(F.col("exp_etype"), F.lit(NO_ETYPE))
+    probes = (
+        exploded.select(F.col("s_surface").alias("surface"), etype_key.alias("etype_key"))
+        .unionByName(
+            exploded.select(F.col("o_surface").alias("surface"), etype_key.alias("etype_key"))
+        )
+        .filter(F.col("surface").isNotNull())
+        .distinct()
+    )
+    probe_plan = physical_plan(probes.join(best_entity_per_surface(ed), ["surface", "etype_key"]))
+    assert "HashAggregate" in probe_plan and "surface" in probe_plan
+
+    plain = link_terms(exploded, ed, reduce_probe=False)
+    cols = ["subj", "pred", "obj", "content_sha256", "tp_pos", "bgp_hash"]
+    assert sorted(map(tuple, reduced.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )
+
+
 def test_topk_avoids_global_sort(spark):
     plan = physical_plan(_q(spark, "sort_global"))
     assert "TakeOrderedAndProject" in plan
