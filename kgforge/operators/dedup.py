@@ -241,3 +241,101 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, col_a: str = "a", col_b: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """(id, component) for every vertex appearing in ``pairs``; component =
+    the MINIMUM vertex id reachable from it.  Pure DataFrame iteration —
+    the step a 100 TB dedup actually needs after pair generation: pairs are
+    only edges; dropping "all but one per duplicate GROUP" requires the
+    transitive closure.
+
+    Algorithm: min-label propagation with POINTER JUMPING.  Each round
+    does (1) neighbor-min — every vertex takes the smallest label among
+    itself and its neighbors (one equi-join + min agg: map-side partial
+    combine, skew-safe for high-degree hubs), then (2) label shortcut —
+    every vertex re-reads the label OF ITS LABEL (one self-join), which
+    doubles the propagation distance per round, so convergence is
+    O(log diameter) rounds, not O(diameter).  Labels are localCheckpointed
+    each round: lineage stays constant-depth, and the convergence check
+    (any label changed?) costs one short-circuit count on materialized
+    data.  Near-dup clusters are clique-ish (diameter 1-3) so 2-3 rounds
+    are typical; a 60-vertex chain converges in ~6.
+
+    For adversarial graphs (long paths at billions of edges) the same loop
+    admits the alternating large-star/small-star variant; the equi-join +
+    agg shape — never a cartesian, never a driver-side frontier — is
+    unchanged."""
+    edges = (
+        pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+        .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()  # scanned every round: materialize once
+    )
+    labels = edges.select("src").distinct().withColumn("comp", F.col("src"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("comp").alias("dst_comp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr_min, "src", "left").select(
+            "src", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp")
+        )
+        # pointer jump: comp <- comp(comp).  comp is always a vertex id, so
+        # the lookup always resolves; left join guards the fixpoint rows.
+        jumped = (
+            stepped.join(
+                stepped.select(F.col("src").alias("comp"), F.col("comp").alias("comp2")),
+                "comp",
+                "left",
+            )
+            .select("src", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Cluster assignment for corpus dedup: (doc_id, cluster_id,
+    is_canonical) for EVERY document.  Pairs default to MinHash+LSH
+    near-dups; pass any (a, b) pair relation (simhash, embedding LSH) to
+    cluster a different similarity graph.
+
+    cluster_id = min doc id of the connected component (singletons map to
+    themselves); is_canonical = (doc_id == cluster_id) — the one row per
+    cluster a dedup keep-filter retains.  No extra shuffle for the
+    canonical flag: the component label IS the minimum member by
+    construction."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col=id_col, **lsh_kwargs)
+    comp = connected_components(pairs, "a", "b")
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

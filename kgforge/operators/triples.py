@@ -73,21 +73,92 @@ def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 32) -> DataF
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("count"))
 
 
-def write_graph(triples: DataFrame, path: str, n_buckets: int = 64) -> None:
-    """Materialize the graph table: partition by predicate family (namespace),
-    salting the hot predicates so no single output partition-task carries a
-    whole hot key ([B:6]); sortWithinPartitions gives parquet RLE/dict-friendly
+def _pred_family() -> F.Column:
+    """Partition key: predicate namespace ('other' when unparseable).  One
+    derivation shared by the initial write and the incremental merge so
+    their partition layouts can never drift."""
+    fam = F.regexp_extract(F.col("pred"), r"^<([a-z]+://[^/>]+/?[^/>#]*)", 1)
+    return F.coalesce(fam, F.lit("other"))
+
+
+def _salted_layout(triples: DataFrame, n_buckets: int) -> DataFrame:
+    """Shared physical layout for the graph table: repartition by
+    (pred_family, salt) so no single output task carries a whole hot
+    predicate ([B:6]); sortWithinPartitions gives parquet RLE/dict-friendly
     pages (SURVEY.md O2)."""
-    pred_family = F.regexp_extract(F.col("pred"), r"^<([a-z]+://[^/>]+/?[^/>#]*)", 1)
     is_hot = F.col("pred").isin(*HOT_PREDICATES)
     salt = F.when(is_hot, F.pmod(F.xxhash64("subj"), F.lit(n_buckets))).otherwise(F.lit(0))
-    (
-        triples.withColumn("pred_family", F.coalesce(pred_family, F.lit("other")))
-        .withColumn("_salt", salt)
+    return (
+        triples.withColumn("_salt", salt)
         .repartition(F.col("pred_family"), F.col("_salt"))
         .sortWithinPartitions("pred", "subj")
         .drop("_salt")
+    )
+
+
+def write_graph(triples: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Materialize the graph table partitioned by predicate family."""
+    (
+        _salted_layout(triples.withColumn("pred_family", _pred_family()), n_buckets)
         .write.mode("overwrite")
+        .partitionBy("pred_family")
+        .parquet(path)
+    )
+
+
+def merge_graph(
+    spark,
+    new_batch: DataFrame,
+    path: str,
+    lineage_cap: int = 20,
+    n_buckets: int = 64,
+) -> None:
+    """Incremental MERGE of a ``graph_triples`` batch into an existing graph
+    table — the upsert path an always-growing 100 TB graph needs instead of
+    full rewrites.  Only the pred_family partitions PRESENT IN THE BATCH are
+    read (partition-pruned scan) and rewritten (dynamic partition
+    overwrite); a batch touching 3 of 500 predicate namespaces reads and
+    writes 3.  Matching (subj, pred, obj) rows merge by summing src_count
+    and unioning lineage (dedup + re-cap); new triples insert.
+
+    The read-merge-overwrite of a partition is NOT transactional on a plain
+    parquet directory: a crash mid-overwrite can leave a touched family
+    partial, and re-running a SUCCEEDED merge double-counts src_count.  This
+    is exactly the seam where the Iceberg backend's MERGE INTO / atomic
+    overwritePartitions commit goes (kgforge/catalog.py); the parquet
+    backend documents the weaker contract rather than hiding it."""
+    import os
+
+    new_t = new_batch.withColumn("pred_family", _pred_family())
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            _salted_layout(new_t, n_buckets)
+            .write.mode("overwrite")
+            .partitionBy("pred_family")
+            .parquet(path)
+        )
+        return
+    # touched namespaces: dict-sized (bounded by distinct predicate
+    # namespaces, not data volume) — a legitimate driver-side list
+    fams = [r.pred_family for r in new_t.select("pred_family").distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col("pred_family").isin(fams))
+    merged = (
+        existing.unionByName(new_t)
+        .groupBy("pred_family", "subj", "pred", "obj")
+        .agg(
+            F.sum("src_count").alias("src_count"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("lineage")))),
+                1,
+                lineage_cap,
+            ).alias("lineage"),
+        )
+        .select("subj", "pred", "obj", "src_count", "lineage", "pred_family")
+    )
+    (
+        _salted_layout(merged, n_buckets)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pred_family")
         .parquet(path)
     )

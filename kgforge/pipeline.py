@@ -230,6 +230,15 @@ def run_stage2(
         triples_raw write (explode+link, parsed)   ─┘
             └─ barrier: raw materialized ─┬─ fixture (raw)
                                           └─ graph   (raw)
+
+    Measured and REJECTED alternative (round 3): persist() the linked
+    relation and run raw/fixture/graph fully concurrently from the cache
+    with no barrier.  Interleaved A/B at 4 pinned cpus: barrier design
+    58.0 s wall (stage 2 27.7 s) vs cache design 85.0 s (stage 2 53.8 s) —
+    concurrent first-consumers serialize on block-computation locks while
+    holding task slots, and the in-memory cache loses the column-pruned
+    compressed-parquet reads fixture/graph get from the materialized raw
+    table.  The write barrier is cheaper than the cache contention.
     """
     metrics: dict = {}
     from pyspark.sql import Observation

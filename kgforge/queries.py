@@ -1059,4 +1059,52 @@ def tpch_q5(spark, sf):
     )
 
 
-assert len(REGISTRY) == 50, f"registry must hold exactly 50 entries, got {len(REGISTRY)}"
+# =============================================================================
+# Beyond the 50-entry driver snapshot (keys 51+): judge/pytest-verified
+# operators; the driver records only the first 50 keys, so placing these
+# LAST cannot displace a CORRECTNESS-checked entry (SURVEY.md §2 round-3
+# registry note).
+# =============================================================================
+
+@q("dedup_clusters", None)  # iterative transitive closure -> rows-only + pytest (test_cc.py)
+def dedup_clusters_q(spark, sf):
+    """Cluster assignment over MinHash near-dup pairs: connected components
+    via pointer-jumping min-label propagation, canonical = min member."""
+    return dedup.dedup_clusters(T(spark, sf, "documents"), threshold=0.5).orderBy("doc_id")
+
+
+@q("graph_merge_demo", None)  # write-path operator -> rows-only + pytest (test_graphmerge.py)
+def graph_merge_demo(spark, sf):
+    """Incremental graph MERGE: materialize a graph from half the corpus,
+    merge the other half, return the merged table (src_counts summed across
+    batches, lineage unioned)."""
+    import tempfile
+
+    from kgforge import pipeline
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+    from kgforge.operators.linking import link_terms
+    from kgforge.operators.triples import explode_tps, graph_triples, merge_graph, write_graph
+    from kgforge.corpus import generate_rows
+
+    src = spark.createDataFrame(generate_rows(300)[0])
+    linked = link_terms(
+        explode_tps(extract_parse_df(prefilter(with_content_sha(src)))),
+        pipeline.default_entity_dict(spark),
+    ).localCheckpoint(eager=True)
+    half_a = linked.filter(F.crc32("content_sha256") % 2 == 0)
+    half_b = linked.filter(F.crc32("content_sha256") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="kg_graphmerge_") + "/graph"
+    write_graph(graph_triples(half_a), path)
+    merge_graph(spark, graph_triples(half_b), path)
+    return (
+        spark.read.parquet(path)
+        .select("subj", "pred", "obj", "src_count", F.size("lineage").alias("n_lineage"))
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+_DRIVER_SNAPSHOT = 50
+assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == ["dedup_clusters", "graph_merge_demo"], (
+    "the first 50 keys are the driver-recorded set; extras must stay last"
+)
+assert len(REGISTRY) == 52, f"registry must hold exactly 52 entries, got {len(REGISTRY)}"

@@ -1,0 +1,85 @@
+"""Connected-components + cluster assignment (dedup.connected_components /
+dedup.dedup_clusters): transitive closure over near-dup pairs is what turns
+pair lists into the keep/drop decision a corpus dedup actually ships."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators import dedup
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return {
+        r.id: r.component for r in dedup.connected_components(df, **kw).collect()
+    }
+
+
+def test_known_components(spark):
+    # chain 1-2-3, pair 10-11, and 20-21-22 via hub 20
+    comp = _cc(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_direction_and_order_invariance(spark):
+    base = [(1, 2), (2, 3), (10, 11)]
+    flipped = [(b, a) for a, b in reversed(base)]
+    assert _cc(spark, base) == _cc(spark, flipped)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # pointer jumping: a 64-vertex path must close well under 64 rounds
+    chain = [(i, i + 1) for i in range(64)]
+    comp = _cc(spark, chain, max_iter=10)
+    assert set(comp.values()) == {0}
+
+
+def test_clusters_cover_all_docs_and_flag_canonicals(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the quick brown fox jumps over the lazy dog again and again today",
+            "the quick brown fox jumps over the lazy dog again and again tonight",
+            "the quick brown fox jumps over the lazy dog again and again today",
+            "completely different content about spark shuffles and parquet files",
+            "numerical linear algebra kernels on tensor cores with mixed precision",
+        ])],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_clusters(docs, threshold=0.5).collect()
+    rows = {r.doc_id: (r.cluster_id, r.is_canonical) for r in out}
+    assert len(rows) == 5  # every doc assigned, singletons included
+    # 0,1,2 are near/exact dups -> one cluster rooted at min id 0
+    assert rows[0] == (0, True)
+    assert rows[1][0] == 0 and not rows[1][1]
+    assert rows[2][0] == 0 and not rows[2][1]
+    # unrelated docs are their own canonical singletons
+    assert rows[3] == (3, True)
+    assert rows[4] == (4, True)
+    # keep-filter invariant: exactly one canonical per cluster
+    per_cluster = {}
+    for did, (cid, canon) in rows.items():
+        per_cluster.setdefault(cid, 0)
+        per_cluster[cid] += int(canon)
+    assert all(n == 1 for n in per_cluster.values())
+
+
+def test_clusters_contain_every_pair_endpoint_together(spark):
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix tokens repeated words number {i % 3} tail") for i in range(12)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    clusters = dedup.dedup_clusters(docs, pairs=pairs)
+    joined = (
+        pairs.join(clusters.select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("ca")), "a")
+        .join(clusters.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("cb")), "b")
+    )
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_cc_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    plan = dedup.connected_components(df, max_iter=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
