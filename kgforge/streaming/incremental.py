@@ -53,6 +53,77 @@ def run_incremental(
     q.awaitTermination()
 
 
+def run_incremental_graph(
+    spark: SparkSession,
+    source_dir: str,
+    graph_dir: str,
+    checkpoint_dir: str,
+    entity_dict: DataFrame | None = None,
+    max_files_per_batch: int = 32,
+) -> None:
+    """CONTINUOUS KG CONSTRUCTION: each micro-batch of new source files runs
+    the full extract -> link -> graph_triples lineage and MERGES into the
+    partitioned graph table (triples.merge_graph: partition-pruned read of
+    touched predicate namespaces, src_count summed, lineage unioned) — the
+    graph grows monotonically as files arrive, no full rebuild.
+
+    Exactly-once layering: the stream checkpoint makes file delivery
+    exactly-once across restarts; merge_graph itself is NOT idempotent
+    (re-merging a batch double-counts), so an EPOCH LEDGER beside the graph
+    records every merged epoch id and a redelivered epoch (foreachBatch
+    retry reuses the id) is skipped.  The ledger is written by atomic
+    rename AFTER the merge commits; a crash between merge and ledger write
+    leaves a one-epoch double-count window — exactly the seam the Iceberg
+    backend closes by committing data + epoch marker in one transaction
+    (kgforge/catalog.py)."""
+    import os
+
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+    from kgforge.operators.linking import link_terms
+    from kgforge.operators.triples import explode_tps, graph_triples, merge_graph
+
+    if entity_dict is None:
+        from kgforge.pipeline import default_entity_dict
+
+        entity_dict = default_entity_dict(spark)
+
+    ledger = graph_dir.rstrip("/") + "_merged_epochs.txt"
+
+    def _merged_epochs() -> set:
+        try:
+            with open(ledger) as fh:
+                return {line.strip() for line in fh if line.strip()}
+        except OSError:
+            return set()
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = _merged_epochs()
+        if str(epoch_id) in done:
+            return  # redelivered micro-batch: already merged
+        linked = link_terms(
+            explode_tps(extract_parse_df(prefilter(with_content_sha(batch_df)))),
+            entity_dict,
+        )
+        merge_graph(spark, graph_triples(linked), graph_dir)
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(done | {str(epoch_id)})) + "\n")
+        os.replace(tmp, ledger)
+
+    stream = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling daily windows with late-data watermark (SURVEY.md 2.10)."""
     return (

@@ -12,6 +12,7 @@ from kgforge.corpus import generate_rows
 from kgforge.streaming.incremental import (
     dedup_within_watermark,
     run_incremental,
+    run_incremental_graph,
     windowed_event_counts,
 )
 
@@ -47,6 +48,44 @@ def test_incremental_ingest_exactly_once(spark, tmpdir_path):
 
     batch = extract_parse_df(prefilter(with_content_sha(spark.read.parquet(src))))
     assert n2 == batch.count()
+
+
+def test_incremental_graph_merges_microbatches(spark, tmpdir_path):
+    """Continuous KG construction: the graph table after streaming two file
+    tranches must equal the batch graph over the union, and a restart with
+    no new files must leave it untouched."""
+    from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
+    from kgforge.operators.linking import link_terms
+    from kgforge.operators.triples import explode_tps, graph_triples
+    from kgforge.pipeline import default_entity_dict
+
+    src = os.path.join(tmpdir_path, "gsrc")
+    graph = os.path.join(tmpdir_path, "graph")
+    ckpt = os.path.join(tmpdir_path, "gckpt")
+    rows, _ = generate_rows(400)
+
+    _write_chunk(src, "a.parquet", rows[:200])
+    run_incremental_graph(spark, src, graph, ckpt)
+    g1 = {(r.subj, r.pred, r.obj): r.src_count for r in spark.read.parquet(graph).collect()}
+
+    # restart, no new files: graph unchanged (ledger + stream checkpoint)
+    run_incremental_graph(spark, src, graph, ckpt)
+    g1b = {(r.subj, r.pred, r.obj): r.src_count for r in spark.read.parquet(graph).collect()}
+    assert g1b == g1
+
+    _write_chunk(src, "b.parquet", rows[200:])
+    run_incremental_graph(spark, src, graph, ckpt)
+    merged = {(r.subj, r.pred, r.obj): r.src_count for r in spark.read.parquet(graph).collect()}
+
+    ed = default_entity_dict(spark)
+    batch_graph = graph_triples(
+        link_terms(
+            explode_tps(extract_parse_df(prefilter(with_content_sha(spark.read.parquet(src))))),
+            ed,
+        )
+    )
+    expected = {(r.subj, r.pred, r.obj): r.src_count for r in batch_graph.collect()}
+    assert merged == expected
 
 
 @pytest.fixture()
