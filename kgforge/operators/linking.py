@@ -22,18 +22,61 @@ from pyspark.sql import functions as F
 NO_ETYPE = "~"  # join-key sentinel for "predicate selects no entity type"
 
 
-def best_entity_per_surface(entity_dict: DataFrame) -> DataFrame:
+def corpus_context_priors(exploded: DataFrame) -> DataFrame:
+    """(surface, etype, affinity): the share of a surface's corpus
+    occurrences sitting in slots whose predicate EXPECTS that entity type —
+    co-occurrence evidence for disambiguation (SURVEY.md 4.3.2 context
+    scoring, beyond the per-slot predicate-etype match).
+
+    Scale shape: ONE column-pruned aggregation of the fact side whose output
+    is bounded by distinct (surface, etype) pairs — dict-sized at any corpus
+    scale — then joined into the DIM-side ranking.  No fact-side window, no
+    per-mention state: a 10^12-row corpus pays one groupBy keyed on a short
+    string pair, identical to the probe-reduction scan."""
+    etype_key = F.coalesce(F.col("exp_etype"), F.lit(NO_ETYPE))
+    occ = (
+        exploded.select(F.col("s_surface").alias("surface"), etype_key.alias("etype"))
+        .unionByName(
+            exploded.select(F.col("o_surface").alias("surface"), etype_key.alias("etype"))
+        )
+        .filter(F.col("surface").isNotNull())
+        .groupBy("surface", "etype")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = occ.groupBy("surface").agg(F.sum("n").alias("n_tot"))
+    return occ.join(tot, "surface").select(
+        "surface", "etype", (F.col("n") / F.col("n_tot")).alias("affinity")
+    )
+
+
+def best_entity_per_surface(
+    entity_dict: DataFrame, context_priors: DataFrame | None = None
+) -> DataFrame:
     """dict(surface, entity_id, prior, etype) -> best(surface, etype_key,
-    entity_id, score): the W1 scored ranking, computed once on the dim side."""
+    entity_id, score): the W1 scored ranking, computed once on the dim side.
+
+    With ``context_priors`` (corpus_context_priors output), each candidate's
+    score is additionally weighted by (0.5 + affinity of the candidate's OWN
+    etype for that surface): in UNTYPED slots — where the per-slot
+    predicate-etype factor is 0.5 for every candidate and the raw prior
+    alone would decide — corpus-level co-occurrence evidence breaks the tie
+    toward the sense the corpus actually uses.  The priors relation is
+    dict-sized and joins here on the dim side; the fact-side plan shape is
+    unchanged (broadcast joins only, plan-gated)."""
     keys = entity_dict.select(F.col("etype").alias("etype_key")).distinct()
     keys = keys.union(keys.sparkSession.createDataFrame([(NO_ETYPE,)], ["etype_key"])).distinct()
-    scored = (
-        entity_dict.crossJoin(keys)
-        .withColumn(
+    scored = entity_dict.crossJoin(keys).withColumn(
+        "score",
+        F.col("prior")
+        * F.when(F.col("etype") == F.col("etype_key"), F.lit(1.0)).otherwise(F.lit(0.5)),
+    )
+    if context_priors is not None:
+        scored = scored.join(context_priors, ["surface", "etype"], "left").withColumn(
             "score",
-            F.col("prior")
-            * F.when(F.col("etype") == F.col("etype_key"), F.lit(1.0)).otherwise(F.lit(0.5)),
+            F.col("score") * (F.lit(0.5) + F.coalesce("affinity", F.lit(0.0))),
         )
+    scored = (
+        scored
         # dim-side data: collapse to a handful of partitions so the window
         # below doesn't fan a few thousand rows across 2*cores reduce tasks
         # (task-launch overhead dwarfed the work; measured 4.7s -> sub-second)
@@ -50,7 +93,10 @@ def best_entity_per_surface(entity_dict: DataFrame) -> DataFrame:
 
 
 def link_terms(
-    exploded: DataFrame, entity_dict: DataFrame, reduce_probe: bool = False
+    exploded: DataFrame,
+    entity_dict: DataFrame,
+    reduce_probe: bool = False,
+    context_priors: DataFrame | None = None,
 ) -> DataFrame:
     """Input: one row per TP with columns s_r/p_r/o_r, s_surface/o_surface,
     exp_etype.  Output: adds subj/obj = linked entity id or original
@@ -73,8 +119,14 @@ def link_terms(
     one extra column-pruned scan of the fact side; leave it off when the
     whole ranked dict fits the broadcast threshold.  Output is identical
     either way (the reduction only drops dict rows no fact row can match;
-    equivalence pytest-gated)."""
-    best = best_entity_per_surface(entity_dict).localCheckpoint(eager=True)
+    equivalence pytest-gated).
+
+    ``context_priors`` (corpus_context_priors output, or None) adds
+    corpus-level co-occurrence weighting to the dim-side ranking — see
+    best_entity_per_surface."""
+    best = best_entity_per_surface(entity_dict, context_priors).localCheckpoint(
+        eager=True
+    )
     etype_key = F.coalesce(F.col("exp_etype"), F.lit(NO_ETYPE))
 
     if reduce_probe:
