@@ -1103,8 +1103,37 @@ def graph_merge_demo(spark, sf):
     )
 
 
-_DRIVER_SNAPSHOT = 50
-assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == ["dedup_clusters", "graph_merge_demo"], (
-    "the first 50 keys are the driver-recorded set; extras must stay last"
+@q(
+    "dedup_clusters_exact",
+    """SELECT d.doc_id,
+              min(d2.doc_id) AS cluster_id,
+              d.doc_id = min(d2.doc_id) AS is_canonical
+       FROM documents d
+       JOIN documents d2 ON md5(d2.text) = md5(d.text)
+       GROUP BY d.doc_id
+       ORDER BY d.doc_id""",
 )
-assert len(REGISTRY) == 52, f"registry must hold exactly 52 entries, got {len(REGISTRY)}"
+def dedup_clusters_exact(spark, sf):
+    """Value-checked oracle for the connected-components machinery: exact
+    duplicates form CLIQUES by content, so the transitive closure the
+    iterative CC computes must equal the SQL-expressible min-per-md5-group.
+    The Spark side deliberately runs the full pair-list -> pointer-jumping
+    CC path; any propagation bug diverges from the oracle."""
+    docs = T(spark, sf, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    pairs = (
+        h.alias("x")
+        .join(h.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    return dedup.dedup_clusters(docs, pairs=pairs).orderBy("doc_id")
+
+
+_DRIVER_SNAPSHOT = 50
+assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
+    "dedup_clusters",
+    "graph_merge_demo",
+    "dedup_clusters_exact",
+], "the first 50 keys are the driver-recorded set; extras must stay last"
+assert len(REGISTRY) == 53, f"registry must hold exactly 53 entries, got {len(REGISTRY)}"
