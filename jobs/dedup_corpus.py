@@ -1,0 +1,97 @@
+"""Training-data dedup CLI: documents table -> cluster assignments + keep set.
+
+    spark-submit --py-files kgforge.zip jobs/dedup_corpus.py \
+        --docs <documents.parquet> --out <dir> \
+        [--method minhash|simhash|exact] [--threshold 0.5] [--max-hamming 3]
+
+Writes to <out>:
+    clusters/   (doc_id, cluster_id, is_canonical)  — full assignment
+    keep/       the canonical documents only (the deduped corpus)
+and prints ONE JSON metrics line (n_docs, n_clusters, n_dropped, dup_rate).
+
+Local smoke:
+
+    python jobs/dedup_corpus.py --docs /root/testdata/sf0.001/documents.parquet \
+        --out /tmp/kg_dedup
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="kgforge corpus deduplication")
+    ap.add_argument("--docs", required=True, help="parquet path: doc_id, text, ...")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument(
+        "--method",
+        choices=("minhash", "simhash", "exact"),
+        default="minhash",
+        help="near-dup pair generator feeding the connected-components step",
+    )
+    ap.add_argument("--threshold", type=float, default=0.5, help="Jaccard gate (minhash)")
+    ap.add_argument("--max-hamming", type=int, default=3, help="bit distance gate (simhash)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from kgforge.conf import get_spark
+
+        spark = get_spark("kgforge-dedup", master=args.master)
+
+    from kgforge.operators import dedup
+
+    docs = spark.read.parquet(args.docs)
+    if args.method == "minhash":
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=args.threshold)
+    elif args.method == "simhash":
+        pairs = dedup.simhash_near_pairs(docs, max_hamming=args.max_hamming)
+    else:  # exact: same-content cliques via md5 equi-join
+        h = docs.select("doc_id", F.md5("text").alias("h"))
+        pairs = (
+            h.alias("x")
+            .join(h.alias("y"), "h")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        )
+
+    clusters = dedup.dedup_clusters(docs, pairs=pairs)
+    clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+    clusters_r = spark.read.parquet(os.path.join(args.out, "clusters"))
+
+    # deduped corpus: canonical docs only (broadcast the dict-sized drop set
+    # is wrong at scale — semi-join the assignment instead)
+    keep = docs.join(
+        clusters_r.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
+    )
+    keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
+
+    n_docs = docs.count()
+    n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
+    n_clusters = clusters_r.select("cluster_id").distinct().count()
+    metrics = {
+        "method": args.method,
+        "n_docs": n_docs,
+        "n_clusters": n_clusters,
+        "n_kept": n_keep,
+        "n_dropped": n_docs - n_keep,
+        "dup_rate": round((n_docs - n_keep) / max(n_docs, 1), 4),
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

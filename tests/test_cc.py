@@ -79,6 +79,50 @@ def test_clusters_contain_every_pair_endpoint_together(spark):
     assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
 
 
+def _union_find_reference(pairs):
+    """Straight-line union-find: the independent oracle the Spark CC must
+    match on arbitrary graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member of each set
+    comp = {}
+    for v in list(parent):
+        root = find(v)
+        comp.setdefault(root, []).append(v)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    for seed in (7, 23, 99, 1234):
+        rng = random.Random(seed)
+        n_v = rng.randint(5, 40)
+        pairs = [
+            (rng.randrange(n_v), rng.randrange(n_v)) for _ in range(rng.randint(1, 60))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        assert _cc(spark, pairs) == _union_find_reference(pairs), f"seed={seed}"
+
+
 def test_cc_plan_has_no_cartesian(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
     plan = dedup.connected_components(df, max_iter=1)._jdf.queryExecution().executedPlan().toString()

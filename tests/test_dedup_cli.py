@@ -1,0 +1,53 @@
+"""dedup_corpus CLI (jobs/dedup_corpus.py): cluster + keep outputs and the
+one-line JSON metrics over a corpus with planted exact and near duplicates."""
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),   # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near dup of 0
+    (3, "completely different content about spark shuffles and parquet files"),
+    (4, "numerical linear algebra kernels on tensor cores with mixed precision"),
+]
+
+
+@pytest.fixture()
+def docs_path(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "docs.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(p)
+    return p
+
+
+def _run(docs_path, out, capsys, *extra):
+    import dedup_corpus
+
+    rc = dedup_corpus.main(["--docs", docs_path, "--out", out, *extra])
+    assert rc == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_minhash_cli_drops_near_and_exact_dups(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "out_minhash")
+    m = _run(docs_path, out, capsys)
+    assert m["n_docs"] == 5
+    assert m["n_kept"] == 3 and m["n_dropped"] == 2  # 0,1,2 collapse to doc 0
+    keep_ids = {r.doc_id for r in spark.read.parquet(f"{out}/keep").collect()}
+    assert keep_ids == {0, 3, 4}
+    clusters = {r.doc_id: r.cluster_id for r in spark.read.parquet(f"{out}/clusters").collect()}
+    assert clusters[0] == clusters[1] == clusters[2] == 0
+
+
+def test_exact_cli_keeps_near_dups(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "out_exact")
+    m = _run(docs_path, out, capsys, "--method", "exact")
+    assert m["n_kept"] == 4  # only the byte-identical pair collapses
+    keep_ids = {r.doc_id for r in spark.read.parquet(f"{out}/keep").collect()}
+    assert keep_ids == {0, 2, 3, 4}
