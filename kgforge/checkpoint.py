@@ -112,6 +112,47 @@ class CheckpointStore:
         )
         out.write.mode("append").parquet(self.path)
 
+    def compact(self) -> int:
+        """Rewrite the append-only checkpoint log down to ONE row per
+        (stage, pid) — the latest write.  The log grows by one row per pid
+        per attempt forever; at 100 TB scale (10^5 pids x retries x stages)
+        every resume's anti-join re-reads all of it, so periodic compaction
+        keeps the resume path O(pids).  Readers are unaffected: done_pids /
+        committed_attempts are defined as last-write-wins, and the compacted
+        log contains exactly those winning rows (pinned by
+        tests/test_checkpoint_merge.py::test_compact_preserves_semantics).
+
+        Crash safety on the parquet backend: the compacted log is written to
+        a temp dir, then swapped in by rename; a crash mid-swap leaves the
+        pre-compaction dir recoverable on disk ('.pre-compact').  Run it
+        BETWEEN jobs — plain parquet has no snapshot isolation for
+        concurrent readers (on Iceberg this operation is expire_snapshots +
+        rewrite_data_files, which IS safe under concurrent reads).
+
+        Returns the number of superseded rows removed."""
+        import shutil
+        import uuid
+
+        if not self._exists():
+            return 0
+        cp = self.read()
+        n_before = cp.count()
+        payload = [c for c in cp.columns if c not in ("stage", PID_COL)]
+        latest = (
+            cp.groupBy("stage", PID_COL)
+            .agg(F.max_by(F.struct(*payload), "updated_at").alias("l"))
+            .select("stage", PID_COL, *[F.col(f"l.{c}").alias(c) for c in payload])
+        )
+        tmp = self.path + f".compact-{uuid.uuid4().hex[:8]}"
+        latest.write.mode("overwrite").parquet(tmp)
+        n_after = self.spark.read.parquet(tmp).count()
+        old = self.path + ".pre-compact"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        return n_before - n_after
+
 
 def sha_fingerprint_col() -> F.Column:
     """Order-insensitive partition fingerprint: XOR of the leading 60 bits of

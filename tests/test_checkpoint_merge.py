@@ -79,3 +79,43 @@ def test_done_pids_scoped_per_stage(spark, tmpdir_path):
     _write(store, spark, [_row("parsed", 1, "done", 1, t), _row("linked", 2, "done", 1, t)])
     assert {r[PID_COL] for r in store.done_pids("parsed").collect()} == {1}
     assert {r[PID_COL] for r in store.done_pids("linked").collect()} == {2}
+
+
+def test_compact_preserves_semantics(spark, tmpdir_path):
+    """Compaction keeps exactly the last-write-wins rows: done_pids and
+    committed_attempts are identical before and after, superseded rows are
+    physically gone, and further appends + resume keep working."""
+    store = CheckpointStore(spark, tmpdir_path + "/cp")
+    t = time.time()
+    _write(store, spark, [
+        _row("parsed", 0, "done", 10, t + 1),
+        _row("parsed", 0, "done", 12, t + 3),      # supersedes
+        _row("parsed", 1, "done", 11, t + 1),
+        _row("parsed", 1, "pending", 0, t + 4),    # reopened
+        _row("linked", 0, "done", 5, t + 2),
+    ])
+    before_done = {r[PID_COL] for r in store.done_pids("parsed").collect()}
+    before_attempts = {
+        (r[PID_COL], r.attempt) for r in store.committed_attempts("parsed").collect()
+    }
+
+    removed = store.compact()
+    assert removed == 2  # two superseded rows dropped
+    assert spark.read.parquet(store.path).count() == 3
+
+    assert {r[PID_COL] for r in store.done_pids("parsed").collect()} == before_done
+    assert {
+        (r[PID_COL], r.attempt) for r in store.committed_attempts("parsed").collect()
+    } == before_attempts
+    assert {r[PID_COL] for r in store.done_pids("linked").collect()} == {0}
+
+    # the store stays writable and last-write-wins after compaction
+    _write(store, spark, [_row("parsed", 1, "done", 13, t + 9)])
+    assert {r[PID_COL] for r in store.done_pids("parsed").collect()} == {0, 1}
+    assert store.compact() == 1  # the appended row superseded the pending one
+    assert store.compact() == 0  # now minimal
+
+
+def test_compact_empty_store_is_noop(spark, tmpdir_path):
+    store = CheckpointStore(spark, tmpdir_path + "/cp_none")
+    assert store.compact() == 0
