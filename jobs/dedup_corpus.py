@@ -31,12 +31,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument(
         "--method",
-        choices=("minhash", "simhash", "exact"),
+        choices=("minhash", "simhash", "exact", "embed"),
         default="minhash",
         help="near-dup pair generator feeding the connected-components step",
     )
-    ap.add_argument("--threshold", type=float, default=0.5, help="Jaccard gate (minhash)")
+    ap.add_argument("--threshold", type=float, default=0.5, help="Jaccard/cosine gate")
     ap.add_argument("--max-hamming", type=int, default=3, help="bit distance gate (simhash)")
+    ap.add_argument(
+        "--embeddings",
+        help="parquet (vec_id, embedding) aligned with doc_id — required for --method embed",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -58,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
         pairs = dedup.minhash_lsh_pairs(docs, threshold=args.threshold)
     elif args.method == "simhash":
         pairs = dedup.simhash_near_pairs(docs, max_hamming=args.max_hamming)
+    elif args.method == "embed":
+        if not args.embeddings:
+            ap.error("--method embed requires --embeddings")
+        from kgforge.operators import similarity
+
+        emb = spark.read.parquet(args.embeddings)
+        pairs = similarity.lsh_near_pairs(emb, threshold=max(args.threshold, 0.8))
     else:  # exact: same-content cliques via md5 equi-join
         h = docs.select("doc_id", F.md5("text").alias("h"))
         pairs = (

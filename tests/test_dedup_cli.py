@@ -45,6 +45,18 @@ def test_minhash_cli_drops_near_and_exact_dups(spark, docs_path, tmpdir_path, ca
     assert clusters[0] == clusters[1] == clusters[2] == 0
 
 
+def test_embed_cli_clusters_identical_vectors(spark, docs_path, tmpdir_path, capsys):
+    emb_path = os.path.join(tmpdir_path, "emb.parquet")
+    v_dup = [1.0] + [0.0] * 63
+    rows = [(i, v_dup if i in (0, 4) else [0.0] * i + [1.0] + [0.0] * (63 - i)) for i in range(5)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(emb_path)
+    out = os.path.join(tmpdir_path, "out_embed")
+    m = _run(docs_path, out, capsys, "--method", "embed", "--embeddings", emb_path)
+    assert m["n_kept"] == 4 and m["n_dropped"] == 1  # 0 and 4 share a vector
+    clusters = {r.doc_id: r.cluster_id for r in spark.read.parquet(f"{out}/clusters").collect()}
+    assert clusters[0] == clusters[4] == 0
+
+
 def test_exact_cli_keeps_near_dups(spark, docs_path, tmpdir_path, capsys):
     out = os.path.join(tmpdir_path, "out_exact")
     m = _run(docs_path, out, capsys, "--method", "exact")
