@@ -289,6 +289,9 @@ def connected_components(
         )
         # pointer jump: comp <- comp(comp).  comp is always a vertex id, so
         # the lookup always resolves; left join guards the fixpoint rows.
+        # The convergence flag rides INSIDE the same materialization (one
+        # heavy action per round); the changed-check below only scans the
+        # already-materialized blocks.
         jumped = (
             stepped.join(
                 stepped.select(F.col("src").alias("comp"), F.col("comp").alias("comp2")),
@@ -296,16 +299,12 @@ def connected_components(
                 "left",
             )
             .select("src", F.coalesce("comp2", "comp").alias("comp"))
+            .join(labels.select("src", F.col("comp").alias("_prev")), "src")
+            .select("src", "comp", (F.col("comp") != F.col("_prev")).alias("_changed"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter("_changed").limit(1).count()
+        labels = jumped.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
