@@ -62,6 +62,66 @@ def cosine_pairs(
     )
 
 
+BATCH_TOPK_SCHEMA = "query_id long, vec_id long, cosine double"
+
+
+def batch_cosine_topk(
+    embeddings: DataFrame,
+    queries: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of Q queries in ONE corpus pass — the
+    serving shape (per-query cosine_topk scans the corpus Q times).
+
+    Scale plan: the query matrix is dict-sized (Q x dim) and ships as a
+    closure constant; a mapInPandas stage computes each Arrow batch's score
+    matrix with one numpy matmul (batch x dim @ dim x Q — BLAS, no per-row
+    Python) and emits only each batch's LOCAL top-k per query via
+    argpartition, so the stage output is bounded by batches x Q x k rows,
+    never corpus x Q.  A final per-query window over that reduced relation
+    picks the global top-k — its input is tiny, so the one shuffle is keyed
+    on query_id over thousands of rows regardless of corpus size.
+
+    Ties resolve by ascending id (same contract as cosine_topk)."""
+    import pandas as pd
+
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    n_q = qm.shape[0]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = (vm @ qm.T) / (
+                np.linalg.norm(vm, axis=1)[:, None] * qn[None, :]
+            )
+            kk = min(k, len(ids))
+            out = []
+            for q in range(n_q):
+                col = scores[:, q]
+                # deterministic local selection (score desc, id asc): an
+                # argpartition would break score TIES arbitrarily and could
+                # drop the row the global window's tie-break wants
+                top = np.lexsort((ids, -col))[:kk]
+                out.extend((q, int(ids[i]), round(float(col[i]), 6)) for i in top)
+            yield pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(gen, schema=BATCH_TOPK_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> List[List[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).round(6).tolist()

@@ -1130,10 +1130,40 @@ def dedup_clusters_exact(spark, sf):
     return dedup.dedup_clusters(docs, pairs=pairs).orderBy("doc_id")
 
 
+@q(
+    "ann_batch_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id IN (0, 7, 42)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                      q.qv::DOUBLE[]), 6) AS cosine
+                  FROM q, embeddings e),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+                  FROM s)
+       SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+       ORDER BY query_id, cosine DESC, vec_id""",
+)
+def ann_batch_topk(spark, sf):
+    """Batched multi-query ANN: one corpus pass answers all queries (numpy
+    matmul per Arrow batch, bounded local top-k, tiny global window) —
+    value-checked against DuckDB's per-query brute force."""
+    emb = T(spark, sf, "embeddings")
+    qids = [0, 7, 42]
+    qrows = emb.filter(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    out = similarity.batch_cosine_topk(emb, [r.embedding for r in qrows], k=5)
+    # relabel positional query index -> source vec_id to match the oracle
+    mapping = F.element_at(F.array(*[F.lit(i) for i in qids]), F.col("query_id").cast("int") + 1)
+    return out.select(
+        mapping.cast("long").alias("query_id"), "vec_id", "cosine"
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
     "graph_merge_demo",
     "dedup_clusters_exact",
+    "ann_batch_topk",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
-assert len(REGISTRY) == 53, f"registry must hold exactly 53 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 54, f"registry must hold exactly 54 entries, got {len(REGISTRY)}"

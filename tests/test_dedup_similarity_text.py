@@ -259,3 +259,18 @@ def test_multimodal_frame_sample(spark):
     n_videos = assets.filter("kind = 'video'").count()
     assert len(frames) == 4 * n_videos
     assert all(len(bytes(r.frame)) == 16 for r in frames)
+
+
+def test_batch_topk_matches_per_query_bruteforce(spark):
+    """batch_cosine_topk (one corpus pass, numpy-matmul local top-k) must
+    return exactly what Q independent brute-force cosine_topk scans do."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = [r.embedding for r in emb.filter(F.col("vec_id").isin(0, 7, 42)).orderBy("vec_id").collect()]
+    got = similarity.batch_cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    assert set(by_q) == {0, 1, 2}
+    for qi, qvec in enumerate(queries):
+        want = [(r.vec_id, r.cosine) for r in similarity.cosine_topk(emb, qvec, k=5).collect()]
+        assert sorted(by_q[qi]) == sorted(want), f"query {qi}"
