@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_embed_lsh",
     "ann_cosine_topk",
     "text_quality",
+    "dedup_clusters_exact",  # round 3: CC cluster assignment (exact-clique pairs)
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

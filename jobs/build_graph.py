@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--entity-dict", help="parquet path: surface,entity_id,prior,etype")
     ap.add_argument("--n-parts", type=int, default=256, help="checkpoint partition count")
     ap.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
+    ap.add_argument(
+        "--compact-checkpoints",
+        action="store_true",
+        help="after the run, rewrite the checkpoint log to one row per "
+        "(stage, pid) — keeps long-lived out dirs' resume anti-join O(pids)",
+    )
     ap.add_argument("--master", default=None, help="spark master (default: env/local)")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
@@ -64,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         run_id=args.run_id,
     )
+    if args.compact_checkpoints:
+        import os as _os
+
+        from kgforge.checkpoint import CheckpointStore
+
+        store = CheckpointStore(spark, _os.path.join(args.out, "checkpoints"))
+        metrics["checkpoint_rows_compacted"] = store.compact()
     print(json.dumps(metrics))
     return 0
 
