@@ -1078,6 +1078,8 @@ def graph_merge_demo(spark, sf):
     """Incremental graph MERGE: materialize a graph from half the corpus,
     merge the other half, return the merged table (src_counts summed across
     batches, lineage unioned)."""
+    import os
+    import shutil
     import tempfile
 
     from kgforge import pipeline
@@ -1093,7 +1095,11 @@ def graph_merge_demo(spark, sf):
     ).localCheckpoint(eager=True)
     half_a = linked.filter(F.crc32("content_sha256") % 2 == 0)
     half_b = linked.filter(F.crc32("content_sha256") % 2 == 1)
-    path = tempfile.mkdtemp(prefix="kg_graphmerge_") + "/graph"
+    # fixed scratch dir, wiped per invocation (mkdtemp would leak one dir
+    # per driver/bench run)
+    root = os.path.join(tempfile.gettempdir(), "kg_graphmerge_demo")
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "graph")
     write_graph(graph_triples(half_a), path)
     merge_graph(spark, graph_triples(half_b), path)
     return (
