@@ -70,13 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         emb = spark.read.parquet(args.embeddings)
         pairs = similarity.lsh_near_pairs(emb, threshold=max(args.threshold, 0.8))
     else:  # exact: same-content cliques via md5 equi-join
-        h = docs.select("doc_id", F.md5("text").alias("h"))
-        pairs = (
-            h.alias("x")
-            .join(h.alias("y"), "h")
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        )
+        pairs = dedup.exact_pairs(docs)
 
     clusters = dedup.dedup_clusters(docs, pairs=pairs)
     clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))

@@ -43,6 +43,20 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFr
     )
 
 
+def exact_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Same-content (a, b) pairs via md5 equi-join — exact duplicates form
+    cliques, so these pairs feed connected_components / dedup_clusters the
+    same way MinHash/SimHash pairs do.  Single definition shared by the
+    dedup CLI and the dedup_clusters_exact oracle entry."""
+    h = docs.select(F.col(id_col), F.md5(F.col("text")).alias("h"))
+    return (
+        h.alias("x")
+        .join(h.alias("y"), "h")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+    )
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one keeper (min id) + group size."""
     return (

@@ -208,7 +208,9 @@ def _parsed_arrow_schema():
     )
 
 
-def extract_parse_sink(df: DataFrame, out_dir: str, attempt: str) -> DataFrame:
+def extract_parse_sink(
+    df: DataFrame, out_dir: str, attempt: str, fresh: bool = False
+) -> DataFrame:
     """U1+U2+U3 fused WITH the parquet sink inside the same Python stage:
     parsed rows never re-cross the Arrow boundary to the JVM — each task
     builds its own arrow table and writes ONE parquet file, committed by
@@ -228,20 +230,40 @@ def extract_parse_sink(df: DataFrame, out_dir: str, attempt: str) -> DataFrame:
       sees the committed filename and skips the task WITHOUT pulling its
       input — the upstream scan+parse for that split never executes (the
       generator returns before consuming its input iterator).  Filenames
-      carry a plan fingerprint (n_parts is encoded in kg_pid upstream; the
-      fingerprint hashes the input schema) so a changed plan can't silently
-      reuse stale task files.  Cross-attempt resume remains pid-level via
-      the checkpoint anti-join.
+      carry a plan fingerprint over the input schema AND THE SPLIT COUNT
+      (review finding: schema alone let a same-attempt rerun under a
+      different parallelism/maxPartitionBytes reuse task files covering the
+      WRONG input rows — task N of a 16-split plan is not task N of a
+      32-split plan).  A rerun whose fingerprint differs purges the stale
+      attempt's files up front and re-parses cleanly (no double rows);
+      ``fresh=True`` (resume=False) purges even matching files so the
+      attempt genuinely recomputes.  Cross-attempt resume remains pid-level
+      via the checkpoint anti-join.
     * JVM BYTE SHRINK: the JVM no longer receives, shuffles, or
       parquet-encodes the mention-level rows (structs + 64-char shas);
       encoding happens in the Arrow C++ layer of the Python worker.
 
-    Local/HDFS rename is atomic; on object stores this seam is where an
-    Iceberg appendFiles commit goes instead (kgforge/catalog.py)."""
+    Local/HDFS rename is atomic and listdir is consistent; on object stores
+    both the rename-commit and the stale-file purge are the seam where an
+    Iceberg appendFiles / overwrite transaction goes (kgforge/catalog.py)."""
     import hashlib as _hl
 
     in_cols = ["repo", "path", "commit", "content_sha256", "kg_pid", "content"]
-    fp = _hl.md5(",".join(df.select(*in_cols).schema.names).encode()).hexdigest()[:8]
+    selected = df.select(*in_cols)
+    # split count of the stage that will run the sink: file-scan splits pass
+    # through the broadcast anti-join unchanged, so the pre-AQE rdd count
+    # matches execution (no job is triggered — planning only)
+    n_splits = selected.rdd.getNumPartitions()
+    fp = _hl.md5(
+        (",".join(selected.schema.names) + f"|{n_splits}").encode()
+    ).hexdigest()[:8]
+    if os.path.isdir(out_dir):
+        me = f"task-{attempt}-{fp}-"
+        for f in os.listdir(out_dir):
+            if f.startswith(f"task-{attempt}-") and (
+                fresh or not f.startswith(me)
+            ):
+                os.remove(os.path.join(out_dir, f))  # stale plan or fresh run
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa

@@ -101,14 +101,20 @@ def batch_cosine_topk(
                 np.linalg.norm(vm, axis=1)[:, None] * qn[None, :]
             )
             kk = min(k, len(ids))
+            # ROUND before selecting: the global window and the
+            # cosine_topk/DuckDB contract tie-break on the 6-decimal cosine,
+            # so the local cut must see the same equalities — selecting on
+            # raw scores could drop a row that ties after rounding but
+            # loses by <1e-6 raw (review finding)
+            rounded = np.round(scores, 6)
             out = []
             for q in range(n_q):
-                col = scores[:, q]
+                col = rounded[:, q]
                 # deterministic local selection (score desc, id asc): an
                 # argpartition would break score TIES arbitrarily and could
                 # drop the row the global window's tie-break wants
                 top = np.lexsort((ids, -col))[:kk]
-                out.extend((q, int(ids[i]), round(float(col[i]), 6)) for i in top)
+                out.extend((q, int(ids[i]), float(col[i])) for i in top)
             yield pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
 
     local = embeddings.select(id_col, vec_col).mapInPandas(gen, schema=BATCH_TOPK_SCHEMA)
@@ -253,16 +259,19 @@ def ivf_topk(
     n_centroids degenerates to exact brute force (tested equal)."""
     import numpy as np
 
-    # seeded corpus-wide sample, NOT limit(): limit takes the first
-    # partitions only, which at corpus scale biases centroids toward
-    # whatever data happens to sort first (VERDICT round 2 #9).  The
-    # collect stays bounded at ~sample_size rows — dict-sized by design.
+    # seeded corpus-wide sample; the size cut happens AFTER collect with a
+    # seeded driver-side shuffle — sample(frac).limit(n) would truncate to
+    # whatever partitions list first and re-bias centroids toward the
+    # leading slice of the corpus, the exact positional bias the sample was
+    # meant to remove (VERDICT r2 #9 + review).  The collect stays bounded
+    # at ~3x sample_size rows — dict-sized by design.
+    import random as _random
+
     n_total = max(embeddings.count(), 1)
     frac = min(1.0, (3.0 * sample_size) / n_total)
-    sample_rows = (
-        embeddings.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
-    )
-    sample = np.array([r[0] for r in sample_rows], dtype="float64")
+    sample_rows = embeddings.select(vec_col).sample(frac, seed=seed).collect()
+    _random.Random(seed).shuffle(sample_rows)
+    sample = np.array([r[0] for r in sample_rows[:sample_size]], dtype="float64")
     c = ivf_centroids(sample, n_centroids, seed=seed)
     q = np.asarray(query, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)

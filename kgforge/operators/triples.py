@@ -76,9 +76,18 @@ def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 32) -> DataF
 def _pred_family() -> F.Column:
     """Partition key: predicate namespace ('other' when unparseable).  One
     derivation shared by the initial write and the incremental merge so
-    their partition layouts can never drift."""
+    their partition layouts can never drift.
+
+    regexp_extract returns EMPTY STRING (not null) on no-match, so the
+    no-namespace case must go through nullif: a bare coalesce was dead code,
+    '' became __HIVE_DEFAULT_PARTITION__ on write and read back as NULL,
+    and merge_graph's family filter could then never select those existing
+    rows while its dynamic overwrite still replaced the partition —
+    silently deleting every prior non-scheme predicate (urn:, mailto:,
+    did:) on merge (found by review, reproduced, regression-tested in
+    tests/test_graphmerge.py)."""
     fam = F.regexp_extract(F.col("pred"), r"^<([a-z]+://[^/>]+/?[^/>#]*)", 1)
-    return F.coalesce(fam, F.lit("other"))
+    return F.coalesce(F.nullif(fam, F.lit("")), F.lit("other"))
 
 
 def _salted_layout(triples: DataFrame, n_buckets: int) -> DataFrame:

@@ -62,6 +62,7 @@ def _read_parsed(
     cat: ParquetCatalog,
     store: CheckpointStore | None = None,
     visible_attempt: str | None = None,
+    vouched_pids: list | None = None,
 ) -> DataFrame:
     """Read the parsed table; empty-but-valid when nothing was ever written.
 
@@ -90,13 +91,26 @@ def _read_parsed(
     # stage-1 write COMPLETED in this process; only its checkpoint-stats
     # commit may still be in flight (run() overlaps that job with stage 2).
     # The attempt's rows are complete, so reading them early is sound.
-    # Single scan: outer-join the committed marker, keep committed OR vouched.
+    #
+    # For the pids the vouched attempt WROTE (vouched_pids, bounded by
+    # n_parts — dict-sized), the vouched rows SUPERSEDE any older committed
+    # attempt: without that scoping, a --no-resume rerun of an out_dir whose
+    # pids committed under attempt A would double-read A's rows AND the
+    # fresh attempt's rows until the in-flight commit lands (review
+    # finding).  Pids the attempt did not touch keep their committed
+    # visibility (resume case).
     marker = committed.withColumn("_vis", F.lit(True))
-    return (
-        parsed.join(F.broadcast(marker), [PID_COL, ATTEMPT_COL], "left_outer")
-        .filter(F.col("_vis").isNotNull() | (F.col(ATTEMPT_COL) == visible_attempt))
-        .drop("_vis")
+    joined = parsed.join(F.broadcast(marker), [PID_COL, ATTEMPT_COL], "left_outer")
+    in_vouched = (
+        F.col(PID_COL).isin([int(p) for p in vouched_pids])
+        if vouched_pids
+        else F.lit(False)
     )
+    return joined.filter(
+        F.when(in_vouched, F.col(ATTEMPT_COL) == visible_attempt).otherwise(
+            F.col("_vis").isNotNull() | (F.col(ATTEMPT_COL) == visible_attempt)
+        )
+    ).drop("_vis")
 
 
 def _count_parquet(spark: SparkSession, path: str) -> int:
@@ -161,11 +175,16 @@ def run_stage1(
     # now skips every task whose file already committed (per-task resume,
     # VERDICT r2 item 6) instead of re-parsing the whole pending set.
     task_rows = extract_parse_sink(
-        prefilter(pending), cat.path("parsed"), run_id
+        prefilter(pending), cat.path("parsed"), run_id, fresh=not resume
     ).collect()
     metrics["n_tasks"] = len({r["task_id"] for r in task_rows})
     metrics["n_tasks_resumed"] = len(
         {r["task_id"] for r in task_rows if r["skipped"]}
+    )
+    # pids this attempt wrote rows for (bounded by n_parts): scopes the
+    # vouched-visibility read when stage 2 overlaps the checkpoint commit
+    metrics["written_pids"] = sorted(
+        {int(r["kg_pid"]) for r in task_rows if r["kg_pid"] >= 0}
     )
     metrics["t_parse_write_s"] = round(time.time() - t0, 2)
     metrics["n_pending"] = _obs_get(obs, "n_in")
@@ -186,13 +205,22 @@ def run_stage1(
                 st = per_pid.setdefault(r["kg_pid"], [0, 0])
                 st[0] += r["n_rows"]
                 st[1] ^= r["fp"]
-        present = [
-            row[PID_COL] for row in pending_plain.select(PID_COL).distinct().collect()
-        ]
+        # same column-pruned scan as the old distinct, but the count agg
+        # also yields the REAL per-pid input size (n_in was -1 before) and
+        # the authoritative pending total — the observe() number undercounts
+        # when per-task resume skips tasks without pulling their input
+        # (review finding)
+        present = {
+            row[PID_COL]: row["n"]
+            for row in pending_plain.groupBy(PID_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        metrics["n_pending"] = int(sum(present.values()))
         stats = spark.createDataFrame(
             [
-                (int(p), -1, per_pid.get(p, (0, 0))[0], per_pid.get(p, (0, 0))[1])
-                for p in present
+                (int(p), int(n), per_pid.get(p, (0, 0))[0], per_pid.get(p, (0, 0))[1])
+                for p, n in present.items()
             ],
             f"{PID_COL} int, n_in long, n_out long, sha_fingerprint long",
         )
@@ -215,6 +243,7 @@ def run_stage2(
     store: CheckpointStore | None = None,
     visible_attempt: str | None = None,
     pre_stage2=None,
+    vouched_pids: list | None = None,
 ) -> dict:
     """Stage 2 (JVM only): explode + link + aggregate + write all outputs
     from the materialized ``parsed`` table (committed attempts, plus the
@@ -244,7 +273,7 @@ def run_stage2(
     from pyspark.sql import Observation
 
     t1 = time.time()
-    parsed_all = _read_parsed(spark, cat, store, visible_attempt)
+    parsed_all = _read_parsed(spark, cat, store, visible_attempt, vouched_pids)
 
     obs_fx = Observation(f"fx_{run_id}")
     obs_graph = Observation(f"graph_{run_id}")
@@ -421,14 +450,18 @@ def run(
         spark, source, cat, store, n_parts, resume, run_id, defer_commit=True
     )
     commit = s1.pop("commit")
+    vouched = s1.pop("written_pids")
     metrics.update(s1)
     metrics.update(
         run_stage2(
             spark, cat, ed, run_id, store,
-            visible_attempt=run_id, pre_stage2=commit,
+            visible_attempt=run_id, pre_stage2=commit, vouched_pids=vouched,
         )
     )
+    # commit() ran inside stage 2 and mutated s1 after the update() above —
+    # re-read the keys it owns
     metrics["t_checkpoint_s"] = s1.get("t_checkpoint_s", metrics.get("t_checkpoint_s"))
+    metrics["n_pending"] = s1.get("n_pending", metrics.get("n_pending"))
     return _finish(spark, cat, source, run_id, metrics)
 
 

@@ -1126,14 +1126,7 @@ def dedup_clusters_exact(spark, sf):
     The Spark side deliberately runs the full pair-list -> pointer-jumping
     CC path; any propagation bug diverges from the oracle."""
     docs = T(spark, sf, "documents")
-    h = docs.select("doc_id", F.md5("text").alias("h"))
-    pairs = (
-        h.alias("x")
-        .join(h.alias("y"), "h")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-    )
-    return dedup.dedup_clusters(docs, pairs=pairs).orderBy("doc_id")
+    return dedup.dedup_clusters(docs, pairs=dedup.exact_pairs(docs)).orderBy("doc_id")
 
 
 @q(

@@ -89,16 +89,46 @@ def run_incremental_graph(
 
     ledger = graph_dir.rstrip("/") + "_merged_epochs.txt"
 
+    # Epoch ids restart at 0 when the stream checkpoint is recreated, and a
+    # fresh checkpoint also REDELIVERS every source file — silently skipping
+    # "already-merged" epoch 0 would drop data, silently merging would
+    # double-count everything already in the graph (review finding).  Bind
+    # the ledger to a stream identity stored beside the checkpoint and fail
+    # loudly on mismatch: graph_dir and checkpoint_dir live and die as a
+    # unit on the parquet backend (Iceberg closes this by committing data +
+    # epoch marker in one transaction).
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    sid_path = os.path.join(checkpoint_dir, "kg_stream_id")
+    if os.path.exists(sid_path):
+        with open(sid_path) as fh:
+            sid = fh.read().strip()
+    else:
+        import uuid
+
+        sid = uuid.uuid4().hex[:12]
+        with open(sid_path, "w") as fh:
+            fh.write(sid)
+
     def _merged_epochs() -> set:
         try:
             with open(ledger) as fh:
-                return {line.strip() for line in fh if line.strip()}
+                entries = {line.strip() for line in fh if line.strip()}
         except OSError:
             return set()
+        foreign = {e for e in entries if not e.startswith(f"{sid}:")}
+        if foreign:
+            raise RuntimeError(
+                "graph ledger was written under a different stream checkpoint "
+                f"({sorted(foreign)[0].split(':')[0]} != {sid}): a recreated "
+                "checkpoint redelivers all files and would double-merge the "
+                "existing graph. Rebuild graph_dir (and delete the ledger) or "
+                "restore the original checkpoint_dir."
+            )
+        return entries
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         done = _merged_epochs()
-        if str(epoch_id) in done:
+        if f"{sid}:{epoch_id}" in done:
             return  # redelivered micro-batch: already merged
         linked = link_terms(
             explode_tps(extract_parse_df(prefilter(with_content_sha(batch_df)))),
@@ -107,8 +137,11 @@ def run_incremental_graph(
         merge_graph(spark, graph_triples(linked), graph_dir)
         tmp = ledger + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write("\n".join(sorted(done | {str(epoch_id)})) + "\n")
+            fh.write("\n".join(sorted(done | {f"{sid}:{epoch_id}"})) + "\n")
         os.replace(tmp, ledger)
+
+    _merged_epochs()  # pre-flight: fail BEFORE the stream starts, not
+    # wrapped inside a StreamingQueryException mid-batch
 
     stream = (
         spark.readStream.schema(SOURCE_SCHEMA)

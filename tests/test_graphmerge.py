@@ -69,6 +69,27 @@ def test_merge_prunes_untouched_partitions(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_merge_preserves_non_scheme_predicates(spark, tmp_path):
+    """Predicates without a scheme://host namespace (urn:, mailto:) must
+    land in a REAL 'other' partition — never the Hive default partition,
+    whose NULL read-back made them invisible to the merge's family filter
+    while the dynamic overwrite still replaced them (reproduced data loss)."""
+    path = str(tmp_path / "graph")
+    write_graph(
+        _batch(spark, [("<s1>", "<urn:uuid:abc>", "<o1>", 1, _lin(1))]), path
+    )
+    assert not glob.glob(os.path.join(path, "*HIVE_DEFAULT*"))
+    assert glob.glob(os.path.join(path, "pred_family=other"))
+    merge_graph(spark, _batch(spark, [("<s2>", "<mailto:x@y>", "<o2>", 1, _lin(2))]), path)
+    out = {(r.subj, r.pred) for r in spark.read.parquet(path).collect()}
+    assert out == {("<s1>", "<urn:uuid:abc>"), ("<s2>", "<mailto:x@y>")}
+    # merging the same family again still upserts, never deletes
+    merge_graph(spark, _batch(spark, [("<s1>", "<urn:uuid:abc>", "<o1>", 2, _lin(3))]), path)
+    rows = {(r.subj, r.pred): r.src_count for r in spark.read.parquet(path).collect()}
+    assert rows[("<s1>", "<urn:uuid:abc>")] == 3
+    assert rows[("<s2>", "<mailto:x@y>")] == 1
+
+
 def test_merge_into_empty_dir_is_initial_write(spark, tmp_path):
     path = str(tmp_path / "graph")
     merge_graph(spark, _batch(spark, [("<s1>", P_DBO, "<o1>", 1, _lin(1))]), path)

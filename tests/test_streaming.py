@@ -87,6 +87,15 @@ def test_incremental_graph_merges_microbatches(spark, tmpdir_path):
     expected = {(r.subj, r.pred, r.obj): r.src_count for r in batch_graph.collect()}
     assert merged == expected
 
+    # recreating the stream checkpoint re-numbers epochs from 0 AND
+    # redelivers every file — the ledger guard must fail loudly instead of
+    # silently skipping (data loss) or re-merging (double count)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    with pytest.raises(RuntimeError, match="different stream checkpoint"):
+        run_incremental_graph(spark, src, graph, ckpt)
+
 
 @pytest.fixture()
 def events_stream(spark, tmpdir_path):

@@ -92,3 +92,46 @@ def test_sha_invariant_preserved_through_sink(spark, source, tmp_path):
         ["repo", "path", "commit"],
     )
     assert joined.filter(F.col("content_sha256") != F.col("src_sha")).count() == 0
+
+
+def test_fresh_run_purges_same_attempt_files(spark, source, tmp_path):
+    """resume=False semantics: fresh=True removes the attempt's committed
+    files first, so a recompute never skips and never doubles rows."""
+    out = str(tmp_path / "parsed")
+    _run(spark, source, out, "A")
+    n1 = spark.read.parquet(out).count()
+    pending = with_pid(with_content_sha(source), 16)
+    s2 = extract_parse_sink(prefilter(pending), out, "A", fresh=True).collect()
+    assert not any(r["skipped"] for r in s2)  # nothing reused
+    assert spark.read.parquet(out).count() == n1  # rewritten, not appended
+
+
+def test_changed_split_layout_purges_stale_files(spark, source, tmp_path):
+    """The filename fingerprint covers the SPLIT COUNT: rerunning the same
+    attempt with a different partition layout must re-parse everything
+    (review finding: task N of a 6-split plan is not task N of a 3-split
+    plan) and must not leave the old layout's rows behind."""
+    out = str(tmp_path / "parsed")
+    _run(spark, source, out, "A")
+    n1 = spark.read.parquet(out).count()
+    pending = with_pid(with_content_sha(source.repartition(3)), 16)
+    s2 = extract_parse_sink(prefilter(pending), out, "A").collect()
+    assert not any(r["skipped"] for r in s2)  # fingerprint mismatch: no reuse
+    assert {r["task_id"] for r in s2} == {0, 1, 2}
+    assert spark.read.parquet(out).count() == n1  # same rows, no duplication
+
+
+def test_norerun_rerun_of_out_dir_does_not_double_output(spark, source, tmp_path):
+    """Full-pipeline guard for the vouched-visibility scoping: re-running an
+    already-complete out_dir with resume=False and a NEW run id must produce
+    the same mention/fixture counts, not double them (stage 2 overlaps the
+    new attempt's checkpoint commit, so without pid scoping both the old
+    committed attempt and the new vouched attempt would be visible)."""
+    from kgforge import pipeline
+
+    out = str(tmp_path / "kg")
+    m1 = pipeline.run(spark, source, out, n_parts=16, resume=False, run_id="A")
+    m2 = pipeline.run(spark, source, out, n_parts=16, resume=False, run_id="B")
+    assert m2["n_mentions"] == m1["n_mentions"]
+    assert m2["n_fixture_triples"] == m1["n_fixture_triples"]
+    assert m2["n_pending"] == m1["n_pending"] == 400
