@@ -33,7 +33,7 @@ from kgforge.catalog import ParquetCatalog
 from kgforge.checkpoint import PID_COL, CheckpointStore, with_pid
 from kgforge.corpus import entity_dict_rows
 from kgforge.operators.extract import extract_parse_sink, prefilter, with_content_sha
-from kgforge.operators.linking import link_terms
+from kgforge.operators.linking import corpus_context_priors, link_terms
 from kgforge.operators.triples import explode_tps, graph_triples, write_graph
 
 
@@ -244,6 +244,7 @@ def run_stage2(
     visible_attempt: str | None = None,
     pre_stage2=None,
     vouched_pids: list | None = None,
+    use_context_priors: bool = False,
 ) -> dict:
     """Stage 2 (JVM only): explode + link + aggregate + write all outputs
     from the materialized ``parsed`` table (committed attempts, plus the
@@ -289,7 +290,12 @@ def run_stage2(
         # and graph emissions then scan the narrow raw table instead of
         # re-running explode+link lineage per output (measured: halves
         # stage-2 wall)
-        linked = link_terms(explode_tps(parsed_all), ed)
+        exploded = explode_tps(parsed_all)
+        # opt-in co-occurrence context scoring (SURVEY.md 4.3.2): one extra
+        # dict-sized agg of the fact side folded into the DIM-side ranking;
+        # plan shape unchanged (broadcast-only, linking tests)
+        priors = corpus_context_priors(exploded) if use_context_priors else None
+        linked = link_terms(exploded, ed, context_priors=priors)
         cat.write_table(
             linked.select(
                 "repo", "path", "commit", "content_sha256", "kind", "bgp_hash",
@@ -433,9 +439,12 @@ def run(
     n_parts: int = 64,
     resume: bool = True,
     run_id: str | None = None,
+    use_context_priors: bool = False,
 ) -> dict:
     """Run the full pipeline; returns the metrics dict that is also persisted
-    to ``stage_metrics``."""
+    to ``stage_metrics``.  ``use_context_priors`` enables corpus-level
+    co-occurrence weighting in entity linking (off by default: the P/R
+    fixture contract is defined over prior+etype scoring)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     cat = ParquetCatalog(out_dir)
     store = CheckpointStore(spark, cat.path("checkpoints"))
@@ -456,6 +465,7 @@ def run(
         run_stage2(
             spark, cat, ed, run_id, store,
             visible_attempt=run_id, pre_stage2=commit, vouched_pids=vouched,
+            use_context_priors=use_context_priors,
         )
     )
     # commit() ran inside stage 2 and mutated s1 after the update() above —

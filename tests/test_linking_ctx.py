@@ -64,6 +64,22 @@ def test_context_flips_untyped_slot_only(spark):
     assert winner(ctx, "city") == "<dbr:Paris>"
 
 
+def test_pipeline_flag_runs_with_context_priors(spark, tmpdir_path):
+    """use_context_priors=True threads corpus priors through the full
+    pipeline: mention extraction is unaffected, linking still emits the
+    full fixture rowset."""
+    from kgforge import pipeline
+    from kgforge.corpus import generate_rows
+
+    src = spark.createDataFrame(generate_rows(120)[0])
+    m_off = pipeline.run(spark, src, tmpdir_path + "/off", n_parts=8, resume=False)
+    m_on = pipeline.run(
+        spark, src, tmpdir_path + "/on", n_parts=8, resume=False, use_context_priors=True
+    )
+    assert m_on["n_mentions"] == m_off["n_mentions"]
+    assert m_on["n_fixture_triples"] > 0
+
+
 def test_link_terms_default_unchanged_and_plan_broadcast_only(spark):
     ed = spark.createDataFrame(DICT_ROWS, "surface string, entity_id string, prior double, etype string")
     ex = _exploded(spark, [_tp("paris", "city")] * 3 + [_tp("berlin", None)])
