@@ -76,6 +76,34 @@ def langid(docs: DataFrame) -> DataFrame:
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_permille: int = 100,
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic, leakage-proof train/validation assignment: bucket =
+    first 8 hex digits of md5(salt || key) mod 1000; a row is validation iff
+    bucket < val_permille.  Content-keyed hashing (vs .randomSplit) gives
+    splits that survive re-runs, repartitioning, engine changes, and joins
+    across derived tables — the property a training pipeline needs so a
+    document can never drift between train and val between runs.  Pure JVM
+    expressions; the exact same arithmetic is ANSI-SQL-expressible, so the
+    assignment is oracle-checked against DuckDB (registry `hash_split`).
+    Change ``salt`` to draw an independent split."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "is_val", F.col("split_bucket") < val_permille
+    )
+
+
 def fingerprints(docs: DataFrame, n: int = 4, k: int = 5) -> DataFrame:
     """Rolling-hash document fingerprint: the k smallest xxhash64 values over
     word n-grams (a k-min sketch — stable under small edits)."""

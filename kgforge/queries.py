@@ -1158,11 +1158,31 @@ def ann_batch_topk(spark, sf):
     ).orderBy("query_id", F.desc("cosine"), "vec_id")
 
 
+@q(
+    "hash_split",
+    """SELECT doc_id,
+              CAST(concat('0x', substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000 AS split_bucket,
+              CAST(concat('0x', substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000 < 100 AS is_val
+       FROM documents ORDER BY doc_id""",
+)
+def hash_split_q(spark, sf):
+    """Deterministic content-keyed train/val split — identical bucket
+    arithmetic in both engines, hash-compared end to end."""
+    return (
+        text.hash_split(T(spark, sf, "documents"))
+        .select("doc_id", "split_bucket", "is_val")
+        .orderBy("doc_id")
+    )
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
     "graph_merge_demo",
     "dedup_clusters_exact",
     "ann_batch_topk",
+    "hash_split",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
-assert len(REGISTRY) == 54, f"registry must hold exactly 54 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 55, f"registry must hold exactly 55 entries, got {len(REGISTRY)}"

@@ -274,3 +274,16 @@ def test_batch_topk_matches_per_query_bruteforce(spark):
     for qi, qvec in enumerate(queries):
         want = [(r.vec_id, r.cosine) for r in similarity.cosine_topk(emb, qvec, k=5).collect()]
         assert sorted(by_q[qi]) == sorted(want), f"query {qi}"
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = text.hash_split(docs).collect()
+    b = text.hash_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    n_val = sum(r.is_val for r in a)
+    assert 140 <= n_val <= 260  # ~10% of 2000 (200 ± ~4.5 binomial sd)
+    # a different salt draws an INDEPENDENT split, not a subset/superset
+    c = {r.doc_id for r in text.hash_split(docs, salt="split2").collect() if r.is_val}
+    val_a = {r.doc_id for r in a if r.is_val}
+    assert c != val_a
