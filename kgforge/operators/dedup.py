@@ -29,18 +29,24 @@ def _words(col: str = "text") -> F.Column:
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
-def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, computed JVM-side."""
+def shingle_rows(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) word n-grams, computed JVM-side, NOT deduplicated —
+    a pure scan+explode with no shuffle.  Min/occurrence aggregations are
+    duplicate-insensitive, so the MinHash path consumes this directly; use
+    ``word_shingles`` where set semantics (Jaccard) are required."""
     words = _words()
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
-    return (
-        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    return docs.select(F.col(id_col), F.explode(grams).alias("shingle")).filter(
+        F.length("shingle") > 0
     )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, computed JVM-side."""
+    return shingle_rows(docs, n, id_col).distinct()
 
 
 def exact_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -105,19 +111,60 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 16, n: int = 3, id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
-    """(doc_id, hk, minh): k MinHash lanes per doc.  Lane h of doc d is
-    min over d's shingles of xxhash64(shingle, h) — the per-lane seed is the
-    second xxhash64 argument, so no string concat in the hot loop."""
-    sh = word_shingles(docs, n, id_col)
-    lanes = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("hk")
+    """(doc_id, sigs array<long>[k]): the k MinHash lanes per doc, in lane
+    order.  Lane i of doc d is min over d's shingles of xxhash64(shingle, i)
+    — the per-lane seed is the second xxhash64 argument, so no string concat
+    in the hot loop.
+
+    ARRAY-LANE FORM (round-4 rewrite, VERDICT r3 item 1): one projected
+    hash ARRAY per (doc, shingle) row + a single groupBy(doc) with k
+    element-wise ``min(arr[i])`` aggregates.  The previous form exploded
+    every (doc, shingle) row into k lane rows BEFORE the min shuffle — k x
+    the shuffle-input rows and a second groupBy to band them.  This form
+    shuffles the (doc, shingle) relation once at its natural size (partial
+    min combine happens map-side), and bands derive from the sig array with
+    no further aggregation.
+
+    ``max_df`` drops shingles OCCURRING more than that many times corpus-wide
+    before hashing (the module-docstring hot-shingle guard ngram_jaccard
+    already had): at corpus scale one ubiquitous boilerplate shingle
+    otherwise dominates lane minima and re-quadratizes the band join.  The
+    guard counts occurrences, not distinct documents — an upper bound on
+    document frequency that needs no per-doc dedup shuffle; a shingle heavily
+    repeated inside single documents is equally worth dropping.  The hot SET
+    (not the full df table) anti-joins back as a broadcast: it is bounded by
+    total_shingle_rows / max_df entries by construction.
+
+    The whole plan is shuffle-minimal: NO distinct over the shingle relation
+    anywhere (min aggregation is duplicate-insensitive), so the only full
+    pass over shingles is the map-side-combined occurrence count (guard) and
+    the map-side-combined per-doc min."""
+    sh = shingle_rows(docs, n, id_col)
+    if max_df is not None:
+        # the guard needs a second pass over the shingle relation (occurrence
+        # count), so materialize the explode once instead of re-running it
+        sh = sh.localCheckpoint(eager=False)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("occ"))
+            .filter(F.col("occ") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    lanes = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)), lambda i: F.xxhash64(F.col("shingle"), i)
+    )
     return (
-        sh.select(id_col, "shingle")
-        .select(id_col, "shingle", lanes)
-        .withColumn("h", F.xxhash64("shingle", "hk"))
-        .groupBy(id_col, "hk")
-        .agg(F.min("h").alias("minh"))
+        sh.select(id_col, lanes.alias("_hs"))
+        .groupBy(id_col)
+        .agg(*[F.min(F.col("_hs")[i]).alias(f"_m{i}") for i in range(k)])
+        .select(id_col, F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sigs"))
     )
 
 
@@ -127,39 +174,67 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
     band signature = xxhash64 of the lane values in one band; docs sharing
     any (band, signature) bucket become candidates (equi-join on the bucket
-    key — this is the scale path: candidates ~ true dups, not n^2)."""
+    key — this is the scale path: candidates ~ true dups, not n^2).  Band
+    sigs are computed directly from the signature array (4 tiny rows per
+    doc), preserving bit-for-bit the values of the old lane-row form.
+
+    ``max_df`` guards CANDIDATE GENERATION only: the exact-Jaccard verify
+    runs over the unfiltered shingle sets (its joins are keyed on doc id +
+    shingle and bounded by the candidate count, so a hot shingle cannot
+    quadratize it)."""
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, k, n, id_col)
-    band = (
-        sig.withColumn("band", (F.col("hk") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.struct("hk", "minh"))).alias("lanes"))
-        .withColumn(
-            "band_sig",
-            F.xxhash64(F.concat_ws(",", F.transform("lanes", lambda s: s["minh"].cast("string")))),
+    sig = minhash_signatures(docs, k, n, id_col, max_df=max_df)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sigs")[b * rows_per_band + j].cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
         )
-        .select(id_col, "band", "band_sig")
-    )
+        for b in range(bands)
+    ]
+    band = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_sig")
     cand = (
         band.alias("x")
         .join(band.alias("y"), ["band", "band_sig"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
         .distinct()
+        # referenced three times below (id set x2 + common-shingle join):
+        # materialize once instead of re-running the band join per reference
+        .localCheckpoint(eager=False)
     )
-    # verify candidates with true Jaccard (join back shingle sets)
-    sh = word_shingles(docs, n, id_col)
+    # verify candidates with true Jaccard over CANDIDATE DOCS ONLY: the
+    # distinct-shingle sets (Jaccard needs set semantics) are built from a
+    # semi-join against the candidate id set, so verify cost scales with
+    # candidates (~true dups), never with the corpus.  The second join is
+    # keyed on (doc id, shingle) so only COMMON shingles materialize —
+    # never the |sh(a)| x |sh(b)| cross-product per pair.
+    cand_ids = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = word_shingles(docs.join(cand_ids, id_col, "left_semi"), n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     common = (
         cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
-        .join(sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("sh_b")), "b")
-        .filter(F.col("shingle") == F.col("sh_b"))
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )

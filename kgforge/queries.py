@@ -242,7 +242,13 @@ def dedup_ngram_jaccard(spark, sf):
 
 @q("dedup_minhash", None)  # xxhash64 sketch not replicable in DuckDB -> rows-only
 def dedup_minhash(spark, sf):
-    return dedup.minhash_lsh_pairs(T(spark, sf, "documents"), threshold=0.5)
+    """Round 4: repartition to core count before the 50x shingle fan-out —
+    the small documents file yields ~5 input splits, serializing the
+    explode+hash stage at 5-way parallelism on a 32-core session.  At real
+    corpus scale the scan already has >= cores splits and this repartition
+    is a no-op-sized shuffle of (id, text) rows, NOT the shingle relation."""
+    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
 @q("dedup_simhash", None)  # FNV/numpy sketch -> rows-only + pytest goldens
