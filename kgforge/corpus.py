@@ -311,6 +311,16 @@ POOL: List[PoolQuery] = [
         ],
     ),
     PoolQuery(
+        # zero-or-one property path (round 4): '?' expands to a zero-length
+        # arm (emits no TPs under collect-all-arms) plus the single step, so
+        # the canonical BGP collapses with the plain spelling (the variant)
+        "q24",
+        f"PREFIX dbo: <{DBO}> SELECT ?x ?y WHERE {{ ?x dbo:capital? ?y }}",
+        "SELECT", False,
+        [TP(V("x"), I(DBO + "capital"), V("y"))],
+        (f"PREFIX dbo: <{DBO}> SELECT ?a ?b WHERE {{ ?a dbo:capital ?b }}",),
+    ),
+    PoolQuery(
         # VALUES inline data: parsed + validated, binds solutions, adds no TPs
         "q20",
         f"PREFIX dbo: <{DBO}> SELECT ?x WHERE "
@@ -376,7 +386,7 @@ def entity_dict_rows() -> List[Tuple[str, str, float, str]]:
 # ---------------------------------------------------------------------------
 
 # bump when generate_rows output changes: benchmark corpus caches key on it
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4  # round 4: q24 zero-or-one path query joins the pool
 
 LANG_EXT = {"py": "py", "java": "java", "md": "md", "sparql": "rq", "txt": "txt", "log": "log"}
 

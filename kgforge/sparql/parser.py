@@ -11,12 +11,13 @@ implements the grammar subset fixed in SURVEY.md U2:
   sub-SELECT groups parsed (their WHERE TPs are collected);
   VALUES inline data parsed and validated (binds solutions, adds no TPs);
   property paths: sequence '/', inverse '^' (fresh-var decomposition),
-  alternative '|' (one TP group per branch, the UNION-equivalent) and
+  alternative '|' (one TP group per branch, the UNION-equivalent),
   quantifiers '+'/'*' as bounded-depth expansions (sequences of length
   1..MAX_PATH_DEPTH, one TP group per depth — the zero-length arm of '*'
   emits no TPs so both expand identically under collect-all-arms
-  semantics); expansions past the alternative budget are counted rejects
-  with code [path_depth]; '?' stays a lexical reject (not in PUNCT);
+  semantics), and zero-or-one '?' as the two-arm expansion (zero-length
+  arm + single pass, round 4); expansions past the alternative budget are
+  counted rejects with code [path_depth];
   triple patterns are collected from ALL basic graph pattern groups
   (the reference keeps the BGP content of the whole WHERE clause);
   'a' keyword -> rdf:type; ';' predicate-object lists and ',' object lists;
@@ -55,7 +56,7 @@ _TOKEN_RE = re.compile(
   | (?P<BNODE>_:[A-Za-z_][A-Za-z_0-9.-]*)
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9])?|[A-Za-z_][A-Za-z_0-9.-]*:)
   | (?P<KEYWORD>[A-Za-z][A-Za-z_0-9]*)
-  | (?P<PUNCT>[{}().;,*\[\]]|\|\||&&|[!<>=]=?|[+\-/|^])
+  | (?P<PUNCT>[{}().;,*\[\]]|\|\||&&|[!<>=]=?|[+\-/|^?])
     """,
     re.VERBOSE,
 )
@@ -301,6 +302,17 @@ class _Parser:
                         "[path_depth] quantified path expansion exceeds alternative budget"
                     )
             inner = expanded
+        elif self.at_punct("?"):
+            # zero-or-one (round 4, VERDICT r3 item 4): exactly the two arms
+            # the '*' machinery already models — a zero-length arm (emits no
+            # TPs under collect-all-arms semantics, like '*'s) plus the
+            # path itself.  A bare '?' lexes as PUNCT; '?name' still wins
+            # longest-match as a VAR token, so objects like '?o' after the
+            # quantified predicate are unaffected.
+            self.next()
+            inner = [[]] + inner
+            if len(inner) > self.MAX_PATH_ALTS:
+                raise ParseError("[path_alts] too many property-path alternatives")
         if inverse:
             inner = [[(not inv, p) for inv, p in reversed(alt)] for alt in inner]
         return inner
@@ -319,8 +331,8 @@ class _Parser:
     def parse_predicate_object_list(self, subject: Term) -> None:
         while True:
             alts = self.parse_path()
-            if len(alts) > 1 or len(alts[0]) > 1 or alts[0][0][0]:
-                self.simple = False  # path sugar used
+            if len(alts) > 1 or not alts[0] or len(alts[0]) > 1 or alts[0][0][0]:
+                self.simple = False  # path sugar used (incl. a zero-length '?' arm)
             while True:
                 obj = self.parse_term()
                 for steps in alts:

@@ -56,16 +56,19 @@ def test_path_alternative_always_equals_union_form(preds):
     assert canonicalize_bgp(alt.tps) == canonicalize_bgp(uni.tps)
 
 
-@given(_iri, st.sampled_from(["+", "*"]))
+@given(_iri, st.sampled_from(["+", "*", "?"]))
 @settings(max_examples=30, deadline=None)
 def test_path_quantifier_always_equals_bounded_union(pred, mod):
     """Property: '?s p+ ?o' (and p*) canonicalizes identically to the
-    explicit UNION of depth-1..3 sequence chains, for any predicate."""
+    explicit UNION of depth-1..3 sequence chains, for any predicate; 'p?'
+    (zero-or-one, round 4) to the depth-1 chain alone (its zero-length arm
+    emits no TPs)."""
     from kgforge.sparql import canonicalize_bgp, parse_query
 
     quant = parse_query("SELECT ?s WHERE { ?s " + pred + mod + " ?o }")
     union_body = " UNION ".join(
-        "{ ?s " + "/".join([pred] * d) + " ?o }" for d in (1, 2, 3)
+        "{ ?s " + "/".join([pred] * d) + " ?o }"
+        for d in ((1,) if mod == "?" else (1, 2, 3))
     )
     uni = parse_query("SELECT ?s WHERE { " + union_body + " }")
     assert quant.parse_ok and uni.parse_ok

@@ -83,6 +83,43 @@ def test_quantifier_expansion_equals_explicit_union():
     assert canonicalize_bgp(a) == canonicalize_bgp(b)
 
 
+def test_zero_or_one_expands_to_single_step():
+    # p? = zero-length arm (no TPs) + single step: one TP, path sugar flag set
+    r = parse_query("SELECT ?x WHERE { ?x <http://p>? ?y }")
+    assert r.parse_ok and len(r.tps) == 1 and not r.simple
+    tp = r.tps[0]
+    assert (tp.s.value, tp.p.value, tp.o.value) == ("x", "http://p", "y")
+    # canonical BGP collapses with the plain single-TP spelling
+    plain = parse_query("SELECT ?x WHERE { ?x <http://p> ?y }").tps
+    assert canonicalize_bgp(r.tps) == canonicalize_bgp(plain)
+
+
+def test_zero_or_one_in_sequence():
+    # p?/q -> arms: [q] (zero arm) and [p, q]: 1 + 2 = 3 TPs
+    r = parse_query("SELECT ?x WHERE { ?x <http://p>?/<http://q> ?y }")
+    assert r.parse_ok and len(r.tps) == 3
+    preds = [tp.p.value for tp in r.tps]
+    assert preds.count("http://q") == 2 and preds.count("http://p") == 1
+
+
+def test_zero_or_one_of_group():
+    # (p|q)? -> zero arm + one arm per branch
+    r = parse_query("SELECT ?x WHERE { ?x (<http://p>|<http://q>)? ?y }")
+    assert r.parse_ok and len(r.tps) == 2
+    assert {tp.p.value for tp in r.tps} == {"http://p", "http://q"}
+
+
+def test_zero_or_one_var_object_unaffected():
+    # '?o' after the quantifier must still lex as a VAR, not two tokens
+    r = parse_query("SELECT ?x WHERE { ?x <http://p>? ?o . ?o <http://q> ?z }")
+    assert r.parse_ok and len(r.tps) == 2
+
+
+def test_bare_question_mark_in_term_position_rejected():
+    r = parse_query("SELECT ?x WHERE { ?x <http://p> ? }")
+    assert not r.parse_ok
+
+
 def test_inverse_quantifier():
     # ^(p+) == (^p)+: every expanded TP runs object->subject
     r = parse_query("SELECT ?x WHERE { ?x ^<http://p>+ ?y }")
