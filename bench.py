@@ -4,11 +4,15 @@ Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus the KG-construction pipeline itself on a
 deterministically generated corpus (the BASELINE.md files/sec metric).
 
-Output: {"metric": "total_wall_sec", "value": N, "unit": "sec",
+Output: {"metric": "sum_of_query_medians_sec", "value": N, "unit": "sec",
          "queries": {...per-query MEDIAN sec...}, "sf": 0.1,
          "kg_files_per_sec": N}
 "value" is the SUM OF PER-QUERY MEDIANS (rep-count-invariant; the raw
 multi-rep loop wall is reported separately as wall_all_reps_sec).
+ADVICE r3: the metric NAME now says what the value is — r1/r2 reported a
+true single-pass wall under "total_wall_sec", r3 reported median-sums under
+the same name; comparisons across that boundary carry a measurement-change
+discontinuity (documented in BENCH.md).
 
 Every query (and the pipeline) runs KGFORGE_BENCH_REPS times (default 3);
 "queries" carries medians and "spread" the per-query max-min, so
@@ -109,7 +113,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total_wall_sec",
+                "metric": "sum_of_query_medians_sec",
                 "value": round(total, 3),
                 "unit": "sec",
                 "wall_all_reps_sec": round(time.time() - t_total, 3),

@@ -35,7 +35,14 @@ def main(argv: list[str] | None = None) -> int:
         default="minhash",
         help="near-dup pair generator feeding the connected-components step",
     )
-    ap.add_argument("--threshold", type=float, default=0.5, help="Jaccard/cosine gate")
+    ap.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="similarity gate: Jaccard for --method minhash (default 0.5), "
+        "cosine for --method embed (default 0.8); honored as given "
+        "(ADVICE r3: no silent clamping)",
+    )
     ap.add_argument("--max-hamming", type=int, default=3, help="bit distance gate (simhash)")
     ap.add_argument(
         "--embeddings",
@@ -59,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.docs)
     if args.method == "minhash":
-        pairs = dedup.minhash_lsh_pairs(docs, threshold=args.threshold)
+        thr = 0.5 if args.threshold is None else args.threshold
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=thr)
     elif args.method == "simhash":
         pairs = dedup.simhash_near_pairs(docs, max_hamming=args.max_hamming)
     elif args.method == "embed":
@@ -68,7 +76,14 @@ def main(argv: list[str] | None = None) -> int:
         from kgforge.operators import similarity
 
         emb = spark.read.parquet(args.embeddings)
-        pairs = similarity.lsh_near_pairs(emb, threshold=max(args.threshold, 0.8))
+        thr = 0.8 if args.threshold is None else args.threshold
+        if thr < 0.5:
+            print(
+                f"warning: cosine threshold {thr} is permissive; the LSH band "
+                "recall is tuned for near-duplicates (>= ~0.8)",
+                file=sys.stderr,
+            )
+        pairs = similarity.lsh_near_pairs(emb, threshold=thr)
     else:  # exact: same-content cliques via md5 equi-join
         pairs = dedup.exact_pairs(docs)
 

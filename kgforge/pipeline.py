@@ -43,13 +43,18 @@ def _obs_get(obs, key: str) -> int:
     action (empty input -> no task ever ran -> no metrics row materialized;
     Observation.get then raises a Py4J "assertion failed" from toPyRow rather
     than blocking).  Anything else (analysis error, interrupted job) must
-    propagate rather than silently read as a 0-valued metric."""
+    propagate rather than silently read as a 0-valued metric.
+
+    ADVICE round 3 narrowing: require the JVM exception CLASS
+    (java.lang.AssertionError) alongside the message, so an unrelated Py4J
+    error whose text merely contains 'assertion failed' still propagates."""
     try:
         return int(obs.get[key])
     except KeyError:
         return 0
     except Exception as exc:
-        if "assertion failed" in str(exc):
+        msg = str(exc)
+        if "java.lang.AssertionError" in msg and "assertion failed" in msg:
             return 0  # zero-task action: no metrics row exists
         raise
 

@@ -73,3 +73,37 @@ def test_path_quantifier_always_equals_bounded_union(pred, mod):
     uni = parse_query("SELECT ?s WHERE { " + union_body + " }")
     assert quant.parse_ok and uni.parse_ok
     assert canonicalize_bgp(quant.tps) == canonicalize_bgp(uni.tps)
+
+
+def test_parse_cache_bounded_on_high_distinct_corpus():
+    """VERDICT r3 item 8: 500k DISTINCT query strings through the memoized
+    parse path must keep the cache inside its byte budget (evicting LRU
+    entries) instead of growing without bound — the old entry-count cap
+    admitted multi-GiB of TP tuples per worker on high-cardinality corpora.
+    Process RSS is asserted only loosely (interpreter noise), the cache's
+    own accounting exactly."""
+    import resource
+
+    from kgforge.operators.extract import _PARSE_CACHE, _parse_one
+
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on linux
+    for i in range(500_000):
+        _parse_one(
+            f"SELECT ?s WHERE {{ ?s <http://example.org/pred/p{i}> ?o{i % 97} }}"
+        )
+    assert _PARSE_CACHE.bytes <= _PARSE_CACHE.max_bytes
+    assert len(_PARSE_CACHE) < 500_000  # eviction actually happened
+    assert _PARSE_CACHE.misses >= 500_000
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # 64 MiB budget + slack for interpreter/allocator overhead << 2 GiB worker
+    assert (rss_after - rss_before) < 1_000_000, f"RSS grew {rss_after - rss_before} KiB"
+
+
+def test_parse_cache_hits_repeated_queries():
+    from kgforge.operators.extract import _PARSE_CACHE, _parse_one
+
+    q = "SELECT ?s WHERE { ?s <http://example.org/hot> ?o }"
+    r1 = _parse_one(q)
+    h0 = _PARSE_CACHE.hits
+    r2 = _parse_one(q)
+    assert r2 == r1 and _PARSE_CACHE.hits == h0 + 1
