@@ -2,15 +2,28 @@
 
 No multi-node cluster exists in this sandbox, so the N -> 4N executor
 criterion is evidenced by running the IDENTICAL pipeline on IDENTICAL input
-CPU-pinned to 1 CPU (local[1]) and to 4 CPUs (local[12], its swept optimum)
-— one subprocess per configuration so each JVM is fresh — with medians over
-the configured repetitions:
+at two CPU-pinned parallelism levels — one subprocess per configuration so
+each JVM is fresh — with medians over the configured repetitions:
 
-    raw efficiency    = (throughput_4cpu / throughput_1cpu) / 4   gate >= 0.8
+    raw efficiency    = (throughput_hi / throughput_lo) / (hi/lo)   gate >= 0.8
     engine efficiency = pipeline speedup / best minimal-JVM-Spark
                         speedup on the same span (platform ceiling) gate >= 0.8
 
-Usage:  python bench_tools/scaling.py [n_rows] [reps]
+GATE LABELING (ADVICE r3): the raw number is the gate AS WRITTEN in
+BASELINE.json and is reported first; the engine number is the protocol
+rev-3 PROPOSAL (this repo's own BASELINE.md revision) and is labeled
+"pending upstream acceptance" — redefining an acceptance criterion is the
+criterion owner's call, not the implementation's.  The ceiling denominator
+is measured over several draws and reported as a RANGE, with the engine
+efficiency computed against best/median/worst draws.
+
+Primary span: 1 -> 4 pinned CPUs (the host's only linear-grant span).
+Second span (round 4, VERDICT item 7): 8 -> 32 pinned CPUs — a second
+evidence point for the ceiling claim: if the engine tracks the minimal-JVM
+ceiling on a span where the hypervisor grant is deeply sublinear, the
+normalization argument is not an artifact of the 1->4 choice.
+
+Usage:  python bench_tools/scaling.py [n_rows] [reps] [--second-span]
 Writes BENCH.md at the repo root and prints one JSON line.
 """
 
@@ -85,11 +98,14 @@ spark.stop()
 """
 
 
+def _pin_prefix(cores: int) -> list:
+    return ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
+
+
 def run_reference(cores: int, corpus: str) -> dict:
     slots = cores if cores == 1 else 2 * cores  # bare-JVM jobs: no Python stalls to hide
     code = _REF_SNIPPET.format(repo=REPO, cores=cores, slots=slots, corpus=corpus)
-    cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
-           sys.executable, "-c", code]
+    cmd = _pin_prefix(cores) + [sys.executable, "-c", code]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -106,7 +122,7 @@ def run_once(cores: int, corpus: str, pin: bool = True) -> dict:
     code = _RUN_SNIPPET.format(repo=REPO, cores=cores, slots=slots, corpus=corpus)
     cmd = [sys.executable, "-c", code]
     if pin:
-        cmd = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] + cmd
+        cmd = _pin_prefix(cores) + cmd
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -114,21 +130,12 @@ def run_once(cores: int, corpus: str, pin: bool = True) -> dict:
     raise RuntimeError(f"no RESULT from local[{cores}]: {p.stdout[-2000:]} {p.stderr[-2000:]}")
 
 
-def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-
-    from kgforge.corpus import CORPUS_VERSION, write_corpus_parquet
-
-    corpus = f"/tmp/kgforge_scaling_corpus_v{CORPUS_VERSION}_{n_rows}.parquet"
-    if not os.path.exists(corpus):
-        write_corpus_parquet(corpus, n_rows)
-
-    # N=1 -> 4N=4: the only span where this sandbox's hypervisor grants a
-    # full 4x CPU (measured host throughput grants: 1->4 cpus = 4.07x,
-    # 4->16 = 3.16x, 8->32 = 2.3x; see BENCH.md).  Both runs CPU-pinned.
+def measure_span(
+    lo: int, hi: int, corpus: str, n_rows: int, reps: int, ref_draws: int
+) -> dict:
+    """Pipeline medians at both core counts + a multi-draw ceiling."""
     results: dict = {}
-    for cores in (1, 4):
+    for cores in (lo, hi):
         walls, s1s, s2s = [], [], []
         for _ in range(reps):
             r = run_once(cores, corpus)
@@ -142,32 +149,126 @@ def main() -> None:
             "stage2_median_s": round(statistics.median(s2s), 2),
             "throughput_rows_per_s": round(n_rows / statistics.median(walls), 1),
         }
-
-    ref = {c: run_reference(c, corpus) for c in (1, 4)}
-    ref_speedup = {
-        k: round(ref[1][k] / ref[4][k], 2) for k in ("scan_agg", "distinct")
+    # ceiling: several independent subprocess draws per config; the speedup
+    # per draw pairs draw i at lo with draw i at hi, and the RANGE across
+    # draws is reported (ADVICE r3: a single draw makes the denominator a
+    # lottery — disclosed drift ~2.07-3.00x across r3 draws)
+    draws = []
+    for _ in range(ref_draws):
+        ref_lo = run_reference(lo, corpus)
+        ref_hi = run_reference(hi, corpus)
+        draws.append(
+            {k: round(ref_lo[k] / ref_hi[k], 2) for k in ("scan_agg", "distinct")}
+        )
+    per_draw_best = [max(d.values()) for d in draws]
+    ceiling = {
+        "draws": draws,
+        "best": max(per_draw_best),
+        "median": round(statistics.median(per_draw_best), 2),
+        "min": min(per_draw_best),
+    }
+    factor = hi / lo
+    thr_lo = results[lo]["throughput_rows_per_s"]
+    thr_hi = results[hi]["throughput_rows_per_s"]
+    speedup = round(thr_hi / thr_lo, 2)
+    return {
+        "lo": lo,
+        "hi": hi,
+        "results": results,
+        "raw_efficiency": round((thr_hi / thr_lo) / factor, 3),
+        "pipeline_speedup": speedup,
+        "ceiling": ceiling,
+        "engine_efficiency": {
+            "vs_best_ceiling": round(speedup / ceiling["best"], 2),
+            "vs_median_ceiling": round(speedup / ceiling["median"], 2),
+            "vs_min_ceiling": round(speedup / ceiling["min"], 2),
+        },
     }
 
-    thr_n = results[1]["throughput_rows_per_s"]
-    thr_4n = results[4]["throughput_rows_per_s"]
-    eff = round((thr_4n / thr_n) / 4.0, 3)
-    pipeline_speedup = round(thr_4n / thr_n, 2)
-    ceiling = max(ref_speedup.values())
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 120_000
+    reps = int(args[1]) if len(args) > 1 else 3
+    second_span = "--second-span" in sys.argv
+
+    from kgforge.corpus import CORPUS_VERSION, write_corpus_parquet
+
+    corpus = f"/tmp/kgforge_scaling_corpus_v{CORPUS_VERSION}_{n_rows}.parquet"
+    if not os.path.exists(corpus):
+        write_corpus_parquet(corpus, n_rows)
+
+    # N=1 -> 4N=4: the only span where this sandbox's hypervisor grants a
+    # full 4x CPU (measured host throughput grants: 1->4 cpus = 4.07x,
+    # 4->16 = 3.16x, 8->32 = 2.3x; see BENCH.md).  Both runs CPU-pinned.
+    span14 = measure_span(1, 4, corpus, n_rows, reps, ref_draws=3)
+    span832 = None
+    if second_span:
+        span832 = measure_span(8, 32, corpus, n_rows, max(2, reps - 1), ref_draws=3)
+
+    eff = span14["raw_efficiency"]
+    eng = span14["engine_efficiency"]
+    gate_status = (
+        f"raw {'PASS' if eff >= 0.8 else 'FAIL'} / "
+        f"engine {'PASS' if eng['vs_best_ceiling'] >= 0.8 else 'FAIL'} "
+        "(proposed protocol rev 3, pending upstream acceptance)"
+    )
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": eff,
         "gate": 0.8,
         "passes": eff >= 0.8,
-        "pipeline_speedup_1to4": pipeline_speedup,
-        "minimal_spark_jvm_speedup_1to4": ref_speedup,
-        "efficiency_vs_platform_spark_ceiling": round(pipeline_speedup / ceiling, 2),
+        "gate_status": gate_status,
+        "pipeline_speedup_1to4": span14["pipeline_speedup"],
+        "ceiling_1to4": span14["ceiling"],
+        "engine_efficiency_1to4": eng,
+        "second_span_8to32": span832,
         "n_rows": n_rows,
         "reps": reps,
-        "N_1cpu": results[1],
-        "4N_4cpu": results[4],
+        "N_1cpu": span14["results"][1],
+        "4N_4cpu": span14["results"][4],
     }
     print(json.dumps(summary))
+    _write_bench_md(n_rows, reps, span14, span832)
 
+
+def _span_table(span: dict) -> str:
+    lo, hi, res = span["lo"], span["hi"], span["results"]
+    slots = {1: "local[1]"}.get(lo, f"local[{3 * lo}]")
+    slots_hi = f"local[{3 * hi}]"
+    return f"""| config | median wall (s) | stage1 (s) | stage2 (s) | rows/s |
+| --- | --- | --- | --- | --- |
+| {lo} cpu ({slots}) | {res[lo]['wall_median_s']} | {res[lo]['stage1_median_s']} | {res[lo]['stage2_median_s']} | {res[lo]['throughput_rows_per_s']} |
+| {hi} cpus ({slots_hi}) | {res[hi]['wall_median_s']} | {res[hi]['stage1_median_s']} | {res[hi]['stage2_median_s']} | {res[hi]['throughput_rows_per_s']} |
+"""
+
+
+def _write_bench_md(n_rows: int, reps: int, span14: dict, span832: dict | None) -> None:
+    eff = span14["raw_efficiency"]
+    eng = span14["engine_efficiency"]
+    ceil = span14["ceiling"]
+    res = span14["results"]
+    second = ""
+    if span832 is not None:
+        c832 = span832["ceiling"]
+        second = f"""
+## Second evidence span: 8 -> 32 pinned CPUs (round 4)
+
+On this span the hypervisor grant is deeply sublinear (~2.3x for pure-CPU
+pools), so NEITHER the pipeline nor bare JVM Spark can approach 4x; the
+claim under test is that the pipeline TRACKS the minimal-JVM ceiling, i.e.
+the engine adds no scaling loss of its own on a second, independent span.
+
+{_span_table(span832)}
+Pipeline speedup 8->32: **{span832['pipeline_speedup']}x**; minimal-JVM-Spark
+ceiling draws (best-per-draw): {[max(d.values()) for d in c832['draws']]}
+(best {c832['best']}x, median {c832['median']}x, min {c832['min']}x).
+Engine efficiency on this span: **{span832['engine_efficiency']['vs_best_ceiling']}
+(vs best draw)** / {span832['engine_efficiency']['vs_median_ceiling']} (vs median) /
+{span832['engine_efficiency']['vs_min_ceiling']} (vs min).  Raw efficiency
+{span832['raw_efficiency']} is dominated by the grant curve, as predicted by
+the protocol's normalization argument.
+"""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
             f"""# BENCH — scaling-efficiency evidence (generated {time.strftime('%Y-%m-%d %H:%M')} UTC)
@@ -177,6 +278,12 @@ pipeline on the identical {n_rows:,}-row deterministic corpus at two
 CPU-pinned parallelism levels (sandbox stand-in for N vs 4N executors),
 {reps} repetitions, median reported.
 
+**GATE RESULT (labeling per ADVICE r3): raw {"PASS" if eff >= 0.8 else "FAIL"} ({eff} vs 0.8) /
+proposed-rev-3 engine {"PASS" if eng['vs_best_ceiling'] >= 0.8 else "FAIL"} ({eng['vs_best_ceiling']} vs best ceiling draw) —
+the engine metric is this repo's protocol revision, PENDING UPSTREAM
+ACCEPTANCE; the raw number is the gate as originally written and is always
+co-reported.**
+
 **Why N=1 CPU vs 4N=4 CPUs:** this host's hypervisor does not grant linear
 CPU beyond ~4 busy vCPUs (measured pure-CPU throughput grants with pinned
 worker pools: 1->4 cpus = 4.07x, 4->16 = 3.16x, 8->32 = 2.3x), so 1->4 is
@@ -185,23 +292,26 @@ config is taskset-pinned to exactly its CPU budget — unpinned, a "1-core"
 local[1] job free-rides its separate-process Python workers on idle cores.
 Task slots are tuned per config to its own optimum and disclosed: 1 slot on
 the 1-CPU config (2 slots measured +14% wall, re-swept round 3), 3
-slots/core on the 4-CPU config (overcommit hiding JVM<->Python pipeline
-stalls; round-3 sweep: 8 slots 52.3s, 12 slots 49.3s, 16 slots 58.6s).
-Outputs + shuffle dirs on tmpfs: the criterion targets compute/shuffle
-scaling, not this sandbox's single virtio disk.
+slots/core on multi-CPU configs (overcommit hiding JVM<->Python pipeline
+stalls; round-3 sweep at 4 cpus: 8 slots 52.3s, 12 slots 49.3s, 16 slots
+58.6s).  Outputs + shuffle dirs on tmpfs: the criterion targets
+compute/shuffle scaling, not this sandbox's single virtio disk.
 
-| config | median wall (s) | stage1 (s) | stage2 (s) | rows/s |
-| --- | --- | --- | --- | --- |
-| N  (1 cpu, local[1])   | {results[1]['wall_median_s']} | {results[1]['stage1_median_s']} | {results[1]['stage2_median_s']} | {thr_n} |
-| 4N (4 cpus, local[12]) | {results[4]['wall_median_s']} | {results[4]['stage1_median_s']} | {results[4]['stage2_median_s']} | {thr_4n} |
-
+{_span_table(span14)}
 **Raw scaling efficiency = (thr_4N / thr_N) / 4 = {eff}** (gate >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-**Engine scaling efficiency (primary, BASELINE.md protocol rev 3) =
-pipeline speedup / platform Spark ceiling = {pipeline_speedup} / {ceiling} =
-{round(pipeline_speedup / ceiling, 2)}** (gate >= 0.8:
-{"PASS" if pipeline_speedup / ceiling >= 0.8 else "FAIL"})
+**Engine scaling efficiency (proposed rev 3, pending upstream acceptance) =
+pipeline speedup / platform Spark ceiling = {span14['pipeline_speedup']} /
+[{ceil['min']} .. {ceil['best']}] = {eng['vs_best_ceiling']} (vs best draw),
+{eng['vs_median_ceiling']} (vs median draw), {eng['vs_min_ceiling']} (vs min draw)**
+(gate >= 0.8: {"PASS" if eng['vs_best_ceiling'] >= 0.8 else "FAIL"} on every draw choice
+{"" if eng['vs_min_ceiling'] >= 0.8 else "except the min draw"})
 
-Raw walls: N {results[1]['walls']}, 4N {results[4]['walls']}.
+Raw walls: N {res[1]['walls']}, 4N {res[4]['walls']}.
+
+The ceiling denominator is a measured, noisy quantity — reported as the
+per-draw best-speedup list {[max(d.values()) for d in ceil['draws']]}
+(best {ceil['best']}x / median {ceil['median']}x / min {ceil['min']}x), never a
+single draw (ADVICE r3).
 
 The raw ratio moves INVERSELY with serial-side engineering: round 3's
 task-committed parse sink cut the 1-CPU stage-1 wall by ~20-25% (the JVM
@@ -214,22 +324,33 @@ BASELINE.md "Scaling-measurement protocol", revision note).
 ## Platform ceiling (measured, same corpus, same pinning)
 
 Minimal PURE-JVM Spark jobs — a bare parquet scan + sha2 + groupBy/agg, and
-a bare wide-string distinct, no Python, no kgforge code — speed up only
-{ref_speedup['scan_agg']}x / {ref_speedup['distinct']}x from 1 to 4 pinned
-CPUs on this host (ALU-pure multiprocessing scales 4.07x over the same
-span; the shortfall is the platform's memory/hypervisor behavior for
-JVM-shaped work, not engine design).  The kgforge pipeline speeds up
-**{pipeline_speedup}x** over the same span — {round(pipeline_speedup / ceiling, 2)}x
-the best minimal-Spark ceiling — i.e. the ENGINE adds no scaling loss on
-top of what bare Spark achieves here; on a real multi-executor cluster the
-per-executor memory bandwidth is not shared, which is what the >=0.8 gate
-assumes.
+a bare wide-string distinct, no Python, no kgforge code — are the host's
+own ceiling for Spark-shaped work (ALU-pure multiprocessing scales 4.07x
+over the same span; the shortfall is the platform's memory/hypervisor
+behavior for JVM-shaped work, not engine design).  The kgforge pipeline
+speeds up **{span14['pipeline_speedup']}x** over the 1->4 span — {eng['vs_best_ceiling']}x
+the best minimal-Spark ceiling draw — i.e. the ENGINE adds no scaling loss
+on top of what bare Spark achieves here; on a real multi-executor cluster
+the per-executor memory bandwidth is not shared, which is what the >=0.8
+gate assumes.
+{second}
+## Memory note: parse-cache budget (round 4)
 
-| job | 1 cpu (s) | 4 cpus (s) | speedup |
-| --- | --- | --- | --- |
-| minimal scan+sha+agg (JVM) | {round(ref[1]['scan_agg'], 1)} | {round(ref[4]['scan_agg'], 1)} | {ref_speedup['scan_agg']}x |
-| minimal distinct (JVM) | {round(ref[1]['distinct'], 1)} | {round(ref[4]['distinct'], 1)} | {ref_speedup['distinct']}x |
-| kgforge pipeline (full) | {results[1]['wall_median_s']} | {results[4]['wall_median_s']} | {pipeline_speedup}x |
+The fused parse stage memoizes per distinct query string through a
+byte-budgeted LRU (kgforge/operators/extract.py:_ByteLRU, default 64 MiB
+per Python worker, env KGFORGE_PARSE_CACHE_BYTES).  A 500k-distinct-query
+fuzz run (tests/test_fuzz.py::test_parse_cache_bounded_on_high_distinct_corpus)
+holds the cache at its budget with LRU eviction and <~1 GiB total process
+RSS growth — the prior 200k-ENTRY cap admitted unbounded bytes per entry on
+high-cardinality corpora.
+
+## Benchmark-metric discontinuity note (ADVICE r3)
+
+bench.py's headline metric is named `sum_of_query_medians_sec` from round 4
+on: rounds 1-2 reported a true single-pass wall under `total_wall_sec`,
+round 3 reported the sum of per-query 3-rep medians under that same name.
+Cross-round comparisons spanning r2->r3 carry that measurement change;
+r3->r4 comparisons are like-for-like (same median-sum definition).
 """
         )
 
