@@ -278,6 +278,15 @@ class _Parser:
         return alts
 
     def parse_path_elt(self) -> List[List[Tuple[bool, Term]]]:
+        if self.at_punct("!"):
+            # negated property set !iri / !(iri|^iri|...): set complements
+            # have no finite BGP decomposition, so they are OUTSIDE the
+            # subset by design — a CODED reject (not a generic parse error)
+            # so the quarantine rollup can count them distinctly.
+            raise ParseError(
+                "[path_negated] negated property sets are outside the "
+                "BGP-decomposable path subset"
+            )
         inverse = False
         if self.at_punct("^"):
             self.next()

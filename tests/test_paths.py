@@ -120,6 +120,16 @@ def test_bare_question_mark_in_term_position_rejected():
     assert not r.parse_ok
 
 
+def test_negated_property_set_is_coded_reject():
+    for q in (
+        "SELECT ?x WHERE { ?x !<http://p> ?y }",
+        "SELECT ?x WHERE { ?x !(<http://p>|^<http://q>) ?y }",
+        "SELECT ?x WHERE { ?x <http://p>/!<http://q> ?y }",
+    ):
+        r = parse_query(q)
+        assert not r.parse_ok and "[path_negated]" in r.error, q
+
+
 def test_inverse_quantifier():
     # ^(p+) == (^p)+: every expanded TP runs object->subject
     r = parse_query("SELECT ?x WHERE { ?x ^<http://p>+ ?y }")
