@@ -45,11 +45,9 @@ sys.path.insert(0, {repo!r})
 from kgforge.conf import get_spark
 from kgforge import pipeline
 
-# Task slots per config are tuned to that config's own optimum (disclosed in
-# BENCH.md): multi-core runs use 3 slots/core — overcommit that hides
-# JVM<->Python pipeline stalls (round-3 sweep at 4 cpus: 8 slots 52.3s,
-# 12 slots 49.3s, 16 slots 58.6s) — while the saturated 1-core baseline
-# measures FASTEST at 1 slot (2 slots: +14%% wall, re-swept round 3).
+# Task slots per config are tuned to that config's own swept optimum
+# (_SLOT_OPTIMA below; sweeps disclosed in BENCH.md).  Overcommit only wins
+# at 4 cpus; 1 slot/core is fastest at 1, 8, and 32 pinned cpus.
 # Both sides best-vs-best.
 # initial shuffle partitions = 4x cores: AQE coalesces small shuffles DOWN
 # but can never split an oversized reduce partition UP — at the larger
@@ -113,12 +111,21 @@ def run_reference(cores: int, corpus: str) -> dict:
     raise RuntimeError(f"no reference RESULT: {p.stderr[-1500:]}")
 
 
+# Per-config task-slot optima, each swept on THIS host and disclosed in
+# BENCH.md.  3 slots/core only wins at 4 cpus (hides JVM<->Python stalls);
+# at 8/32 pinned cpus 1 slot/core is fastest and overcommit actively hurts
+# (round-4 sweep, 1.92M rows: 8 cpus -> 8 slots 29.6s / 16 slots 31.6s /
+# 24 slots 51.3s; 32 cpus -> 32 slots 20.7s / 48 slots 28.0s / 96 slots
+# 88.4s — 96 slots on a hypervisor with sublinear grants simply thrashes).
+_SLOT_OPTIMA = {1: 1, 4: 12, 8: 8, 32: 32}
+
+
 def run_once(cores: int, corpus: str, pin: bool = True) -> dict:
     """Run the pipeline once at local[cores].  With pin=True the whole process
     tree (JVM + pyspark workers) is taskset-pinned to exactly ``cores`` CPUs —
     without pinning, a local[1] job free-rides its Python workers and GC
     threads on idle cores and understates the true 1-core baseline."""
-    slots = cores if cores == 1 else 3 * cores
+    slots = _SLOT_OPTIMA.get(cores, cores)
     code = _RUN_SNIPPET.format(repo=REPO, cores=cores, slots=slots, corpus=corpus)
     cmd = [sys.executable, "-c", code]
     if pin:
@@ -209,9 +216,10 @@ def main() -> None:
     eff = span14["raw_efficiency"]
     eng = span14["engine_efficiency"]
     gate_status = (
-        f"raw {'PASS' if eff >= 0.8 else 'FAIL'} / "
-        f"engine {'PASS' if eng['vs_best_ceiling'] >= 0.8 else 'FAIL'} "
-        "(proposed protocol rev 3, pending upstream acceptance)"
+        f"raw {'PASS' if eff >= 0.8 else 'FAIL'} ({eff}); proposed-rev-3 "
+        f"engine vs ceiling draws: best {eng['vs_best_ceiling']} / median "
+        f"{eng['vs_median_ceiling']} / min {eng['vs_min_ceiling']} "
+        "(pending upstream acceptance; no single draw is privileged)"
     )
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
@@ -234,8 +242,8 @@ def main() -> None:
 
 def _span_table(span: dict) -> str:
     lo, hi, res = span["lo"], span["hi"], span["results"]
-    slots = {1: "local[1]"}.get(lo, f"local[{3 * lo}]")
-    slots_hi = f"local[{3 * hi}]"
+    slots = f"local[{_SLOT_OPTIMA.get(lo, lo)}]"
+    slots_hi = f"local[{_SLOT_OPTIMA.get(hi, hi)}]"
     return f"""| config | median wall (s) | stage1 (s) | stage2 (s) | rows/s |
 | --- | --- | --- | --- | --- |
 | {lo} cpu ({slots}) | {res[lo]['wall_median_s']} | {res[lo]['stage1_median_s']} | {res[lo]['stage2_median_s']} | {res[lo]['throughput_rows_per_s']} |
@@ -278,11 +286,13 @@ pipeline on the identical {n_rows:,}-row deterministic corpus at two
 CPU-pinned parallelism levels (sandbox stand-in for N vs 4N executors),
 {reps} repetitions, median reported.
 
-**GATE RESULT (labeling per ADVICE r3): raw {"PASS" if eff >= 0.8 else "FAIL"} ({eff} vs 0.8) /
-proposed-rev-3 engine {"PASS" if eng['vs_best_ceiling'] >= 0.8 else "FAIL"} ({eng['vs_best_ceiling']} vs best ceiling draw) —
-the engine metric is this repo's protocol revision, PENDING UPSTREAM
-ACCEPTANCE; the raw number is the gate as originally written and is always
-co-reported.**
+**GATE RESULT (labeling per ADVICE r3): raw {"PASS" if eff >= 0.8 else "FAIL"} ({eff} vs 0.8).
+Proposed-rev-3 engine efficiency, reported against the ceiling's observed
+RANGE rather than any single draw: {eng['vs_best_ceiling']} (vs best draw) /
+{eng['vs_median_ceiling']} (vs median) / {eng['vs_min_ceiling']} (vs min) —
+this metric is this repo's protocol revision, PENDING UPSTREAM ACCEPTANCE;
+the raw number is the gate as originally written and is always co-reported
+first.**
 
 **Why N=1 CPU vs 4N=4 CPUs:** this host's hypervisor does not grant linear
 CPU beyond ~4 busy vCPUs (measured pure-CPU throughput grants with pinned
@@ -301,10 +311,12 @@ compute/shuffle scaling, not this sandbox's single virtio disk.
 **Raw scaling efficiency = (thr_4N / thr_N) / 4 = {eff}** (gate >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 **Engine scaling efficiency (proposed rev 3, pending upstream acceptance) =
 pipeline speedup / platform Spark ceiling = {span14['pipeline_speedup']} /
-[{ceil['min']} .. {ceil['best']}] = {eng['vs_best_ceiling']} (vs best draw),
-{eng['vs_median_ceiling']} (vs median draw), {eng['vs_min_ceiling']} (vs min draw)**
-(gate >= 0.8: {"PASS" if eng['vs_best_ceiling'] >= 0.8 else "FAIL"} on every draw choice
-{"" if eng['vs_min_ceiling'] >= 0.8 else "except the min draw"})
+[{ceil['min']} .. {ceil['best']}]: vs best draw {eng['vs_best_ceiling']}
+({"PASS" if eng['vs_best_ceiling'] >= 0.8 else "FAIL"}), vs median draw
+{eng['vs_median_ceiling']} ({"PASS" if eng['vs_median_ceiling'] >= 0.8 else "FAIL"}),
+vs min draw {eng['vs_min_ceiling']} ({"PASS" if eng['vs_min_ceiling'] >= 0.8 else "FAIL"})**
+— no single draw is privileged; the spread IS the finding (the denominator
+is a measured, noisy quantity).
 
 Raw walls: N {res[1]['walls']}, 4N {res[4]['walls']}.
 
@@ -328,11 +340,12 @@ a bare wide-string distinct, no Python, no kgforge code — are the host's
 own ceiling for Spark-shaped work (ALU-pure multiprocessing scales 4.07x
 over the same span; the shortfall is the platform's memory/hypervisor
 behavior for JVM-shaped work, not engine design).  The kgforge pipeline
-speeds up **{span14['pipeline_speedup']}x** over the 1->4 span — {eng['vs_best_ceiling']}x
-the best minimal-Spark ceiling draw — i.e. the ENGINE adds no scaling loss
-on top of what bare Spark achieves here; on a real multi-executor cluster
-the per-executor memory bandwidth is not shared, which is what the >=0.8
-gate assumes.
+speeds up **{span14['pipeline_speedup']}x** over the 1->4 span, i.e.
+{eng['vs_min_ceiling']}-{eng['vs_best_ceiling']}x the minimal-Spark ceiling
+depending on the draw — the engine tracks what bare Spark achieves here to
+within the ceiling's own measurement noise; on a real multi-executor
+cluster the per-executor memory bandwidth is not shared, which is what the
+>=0.8 gate assumes.
 {second}
 ## Memory note: parse-cache budget (round 4)
 

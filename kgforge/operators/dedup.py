@@ -148,7 +148,12 @@ def minhash_signatures(
     sh = shingle_rows(docs, n, id_col)
     if max_df is not None:
         # the guard needs a second pass over the shingle relation (occurrence
-        # count), so materialize the explode once instead of re-running it
+        # count), so materialize the explode once instead of re-running it.
+        # Tradeoff at 100 TB: this stores the exploded relation (disk-backed
+        # blocks); if executor storage is the scarcer resource, drop the
+        # checkpoint and pay a second scan+explode — the guard's own shuffle
+        # is map-side-combined either way and the hot SET stays broadcast-
+        # sized (<= total_rows / max_df) by construction.
         sh = sh.localCheckpoint(eager=False)
         hot = (
             sh.groupBy("shingle")
