@@ -300,12 +300,14 @@ worker pools: 1->4 cpus = 4.07x, 4->16 = 3.16x, 8->32 = 2.3x), so 1->4 is
 the only span where the HARDWARE can express a 4x speedup at all.  Each
 config is taskset-pinned to exactly its CPU budget — unpinned, a "1-core"
 local[1] job free-rides its separate-process Python workers on idle cores.
-Task slots are tuned per config to its own optimum and disclosed: 1 slot on
-the 1-CPU config (2 slots measured +14% wall, re-swept round 3), 3
-slots/core on multi-CPU configs (overcommit hiding JVM<->Python pipeline
-stalls; round-3 sweep at 4 cpus: 8 slots 52.3s, 12 slots 49.3s, 16 slots
-58.6s).  Outputs + shuffle dirs on tmpfs: the criterion targets
-compute/shuffle scaling, not this sandbox's single virtio disk.
+Task slots are tuned per config to its own swept optimum and disclosed:
+1 slot at 1 CPU (2 slots: +14% wall, re-swept r3); 12 slots at 4 CPUs
+(r3 sweep: 8/12/16 slots = 52.3/49.3/58.6 s — overcommit hides JVM<->Python
+stalls only here); 8 slots at 8 CPUs (r4 sweep: 8/16/24 slots =
+29.6/31.6/51.3 s); 32 slots at 32 CPUs (r4 sweep: 32/48/96 slots =
+20.7/28.0/88.4 s — overcommit on a sublinear-grant hypervisor thrashes).
+Outputs + shuffle dirs on tmpfs: the criterion targets compute/shuffle
+scaling, not this sandbox's single virtio disk.
 
 {_span_table(span14)}
 **Raw scaling efficiency = (thr_4N / thr_N) / 4 = {eff}** (gate >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
@@ -341,7 +343,7 @@ own ceiling for Spark-shaped work (ALU-pure multiprocessing scales 4.07x
 over the same span; the shortfall is the platform's memory/hypervisor
 behavior for JVM-shaped work, not engine design).  The kgforge pipeline
 speeds up **{span14['pipeline_speedup']}x** over the 1->4 span, i.e.
-{eng['vs_min_ceiling']}-{eng['vs_best_ceiling']}x the minimal-Spark ceiling
+{eng['vs_best_ceiling']}-{eng['vs_min_ceiling']}x the minimal-Spark ceiling
 depending on the draw — the engine tracks what bare Spark achieves here to
 within the ceiling's own measurement noise; on a real multi-executor
 cluster the per-executor memory bandwidth is not shared, which is what the
