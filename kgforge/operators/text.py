@@ -104,6 +104,89 @@ def hash_split(
     )
 
 
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's OWN
+    unigram language model — the cheap perplexity-style quality signal a
+    training-data pipeline uses to rank/filter documents (out-of-vocabulary
+    junk and boilerplate both score low).  Pure JVM expressions, two passes:
+
+      pass 1: vocabulary count table (map-side-combined hash agg over the
+              exploded word relation — vocab-sized shuffle, not corpus);
+      pass 2: words equi-join the vocab table on word; the corpus-total
+              token count joins in as a broadcast single row (1-row cross
+              join, never a global window over data rows); avg(ln(c/t))
+              per document.
+
+    The word explode is evaluated in both passes — at corpus scale a
+    second scan is preferred over materializing the exploded relation
+    (same reasoning as the MinHash guard note in dedup.py).  Rounded to 5
+    decimals so double-summation order cannot flip the oracle hash."""
+    w = docs.select(F.col(id_col), F.explode(_words()).alias("word")).filter(
+        F.length("word") > 0
+    )
+    vf = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = vf.agg(F.sum("c").alias("t"))
+    return (
+        w.join(vf, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 5).alias("avg_logprob"),
+            F.count("*").alias("n_words"),
+        )
+    )
+
+
+def quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style hard quality rules (public heuristics: word-count
+    bounds, mean-word-length bounds, symbol-to-character ratio, stopword
+    presence), each as its own boolean column plus the conjunction — the
+    filter shape a pretraining corpus pass ships.  Whole-stage codegen
+    only; every rule is ANSI-SQL-expressible for the DuckDB oracle."""
+    words = _words()
+    n_words = F.size(F.filter(words, lambda w: F.length(w) > 0))
+    total_word_chars = F.aggregate(
+        F.filter(words, lambda w: F.length(w) > 0),
+        F.lit(0),
+        lambda acc, w: acc + F.length(w),
+    )
+    mean_word_len = total_word_chars / F.greatest(n_words, F.lit(1))
+    # symbols = non-alphanumeric, non-whitespace chars
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    has_stopword = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN))) > 0
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_word_count"),
+        (
+            (mean_word_len >= min_mean_word_len)
+            & (mean_word_len <= max_mean_word_len)
+        ).alias("ok_word_len"),
+        (symbol_ratio <= max_symbol_ratio).alias("ok_symbols"),
+        has_stopword.alias("ok_stopword"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_stopword"),
+    )
+
+
 def fingerprints(docs: DataFrame, n: int = 4, k: int = 5) -> DataFrame:
     """Rolling-hash document fingerprint: the k smallest xxhash64 values over
     word n-grams (a k-min sketch — stable under small edits)."""

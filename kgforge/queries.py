@@ -1217,6 +1217,58 @@ def hash_split_q(spark, sf):
     )
 
 
+@q(
+    "text_unigram_lm",
+    """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents),
+         w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+         vf AS (SELECT word, count(*) AS c FROM w2 GROUP BY word),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vf)
+       SELECT doc_id,
+              round(avg(ln(c / t)), 5) AS avg_logprob,
+              CAST(count(*) AS BIGINT) AS n_words
+       FROM w2 JOIN vf USING (word), tot
+       GROUP BY doc_id""",
+)
+def text_unigram_lm(spark, sf):
+    """Corpus-self-scored unigram-LM quality signal (the cheap
+    perplexity-style ranking a pretraining pipeline filters on); the oracle
+    replays the identical vocabulary counts and log-mean arithmetic."""
+    return text.unigram_logprob(T(spark, sf, "documents"))
+
+
+@q(
+    "text_quality_rules",
+    """WITH w AS (SELECT doc_id, text,
+                         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> length(x) > 0) AS words
+                  FROM documents),
+         m AS (SELECT doc_id, text,
+                      CAST(len(words) AS INT) AS n_words,
+                      list_sum(list_transform(words, x -> length(x)))
+                        / greatest(len(words), 1) AS mwl,
+                      CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1) AS sr,
+                      len(list_filter(words,
+                          x -> x IN ('the','a','of','and','to','in','is','it'))) > 0 AS has_stop
+               FROM w)
+       SELECT doc_id, n_words,
+              round(mwl, 4) AS mean_word_len,
+              round(sr, 4) AS symbol_ratio,
+              n_words >= 3 AND n_words <= 100000 AS ok_word_count,
+              mwl >= 2.0 AND mwl <= 12.0 AS ok_word_len,
+              sr <= 0.3 AS ok_symbols,
+              has_stop AS ok_stopword,
+              (n_words >= 3 AND n_words <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
+                AND sr <= 0.3 AND has_stop AS keep
+       FROM m""",
+)
+def text_quality_rules(spark, sf):
+    """Gopher-style hard quality rules as per-rule booleans + the keep
+    conjunction — the corpus filter shape; all rules replayed in SQL."""
+    return text.quality_rules(T(spark, sf, "documents"))
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -1224,8 +1276,10 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "tpch_q3",
     "ann_batch_topk",
     "hash_split",
+    "text_unigram_lm",
+    "text_quality_rules",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
     "round 4: the CC oracle must be driver-recorded (swapped in for tpch_q3)"
 )
-assert len(REGISTRY) == 55, f"registry must hold exactly 55 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 57, f"registry must hold exactly 57 entries, got {len(REGISTRY)}"

@@ -384,3 +384,34 @@ def test_hash_split_deterministic_and_proportional(spark):
     c = {r.doc_id for r in text.hash_split(docs, salt="split2").collect() if r.is_val}
     val_a = {r.doc_id for r in a if r.is_val}
     assert c != val_a
+
+
+def test_unigram_logprob_ranks_common_text_higher(spark):
+    import math
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "zqxjkw vbnmpl qwerty"),  # all-OOV junk: every word unique
+    ]
+    out = {r.doc_id: r.avg_logprob for r in text.unigram_logprob(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1] == out[2]  # identical docs score identically
+    assert out[1] > out[3]  # junk scores strictly lower
+    # hand-check doc 3: each word occurs once in a 15-token corpus
+    assert out[3] == pytest.approx(math.log(1 / 15), abs=1e-4)
+
+
+def test_quality_rules_flags(spark):
+    rows = [
+        (1, "the quick brown fox jumps over it"),  # clean: passes all
+        (2, "ok"),  # too few words
+        (3, "@@@@ #### $$$$ %%%% ^^^^ &&&& !!!!"),  # symbol soup, no stopword
+        (4, "pneumonoultramicroscopicsilicovolcanoconiosis " * 5 + "the"),  # long words
+    ]
+    out = {r.doc_id: r for r in text.quality_rules(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].ok_word_count
+    assert not out[3].keep and not out[3].ok_symbols and not out[3].ok_stopword
+    assert not out[4].keep and not out[4].ok_word_len
