@@ -1269,6 +1269,33 @@ def text_quality_rules(spark, sf):
     return text.quality_rules(T(spark, sf, "documents"))
 
 
+@q(
+    "embed_quantize",
+    """WITH q AS (
+         SELECT vec_id,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s,
+                embedding::DOUBLE[] AS v
+         FROM embeddings)
+       SELECT vec_id,
+              round(s, 6) AS scale,
+              array_to_string(
+                list_transform(v, x -> CAST(round(x / greatest(s, 1e-12)) AS INT)),
+                ',') AS qvec_csv
+       FROM q""",
+)
+def embed_quantize(spark, sf):
+    """Symmetric int8 quantization of the embedding column (4x smaller
+    scan/shuffle payload for ANN at scale); int CSV projection at the
+    registry seam only (rows-only canonicalizer cannot sort list columns;
+    ints render identically in both engines)."""
+    out = similarity.quantize_embeddings(T(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))).alias("qvec_csv"),
+    )
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -1278,8 +1305,9 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "hash_split",
     "text_unigram_lm",
     "text_quality_rules",
+    "embed_quantize",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
     "round 4: the CC oracle must be driver-recorded (swapped in for tpch_q3)"
 )
-assert len(REGISTRY) == 57, f"registry must hold exactly 57 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 58, f"registry must hold exactly 58 entries, got {len(REGISTRY)}"

@@ -415,3 +415,21 @@ def test_quality_rules_flags(spark):
     assert not out[2].keep and not out[2].ok_word_count
     assert not out[3].keep and not out[3].ok_symbols and not out[3].ok_stopword
     assert not out[4].keep and not out[4].ok_word_len
+
+
+def test_quantize_error_bound_and_recall(planted_embeddings):
+    """int8 quantization: dequantized max abs error <= scale/2 per element;
+    quantized top-k recalls >= 0.8 of the exact top-10 and always finds the
+    planted near-duplicate."""
+    q = {r.vec_id: (r.scale, list(r.qvec)) for r in
+         similarity.quantize_embeddings(planted_embeddings).collect()}
+    orig = {r.vec_id: list(r.embedding) for r in planted_embeddings.collect()}
+    for vid, (scale, qv) in q.items():
+        assert all(abs(x) <= 127 for x in qv)
+        err = max(abs(x - qi * scale) for x, qi in zip(orig[vid], qv))
+        assert err <= scale / 2 + 1e-9, vid
+    qvec = orig[3]
+    exact = [r.vec_id for r in similarity.cosine_topk(planted_embeddings, qvec, k=10).collect()]
+    approx = [r.vec_id for r in similarity.cosine_topk_quantized(planted_embeddings, qvec, k=10).collect()]
+    assert len(set(exact) & set(approx)) / 10 >= 0.8
+    assert 3 in approx and 1003 in approx  # self + planted perturbation

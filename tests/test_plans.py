@@ -192,3 +192,17 @@ def test_dedup_candidates_via_equi_join(spark, name):
     plan = physical_plan(REGISTRY[name][0](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signatures_have_no_lane_explode(spark):
+    """Round-4 array-lane form: the ONLY Generate in the signature plan is
+    the shingle explode — no explode(sequence(...)) lane multiplication
+    (the r2/r3 form shuffled 16x the shingle rows), and exactly one
+    aggregation pair (partial+final min) keyed on the doc id."""
+    from kgforge.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(dedup.minhash_signatures(docs))
+    assert "explode(sequence(" not in plan
+    n_generate = plan.count(") Generate")
+    assert n_generate == 1, f"expected one explode (shingles), saw {n_generate}"
