@@ -1,0 +1,142 @@
+"""Training-data quality filter CLI: documents table -> kept corpus + audit.
+
+    spark-submit --py-files kgforge.zip jobs/filter_corpus.py \
+        --docs <documents.parquet> --out <dir> \
+        [--min-logprob -9.0] [--lang en,fr] [--no-rules]
+
+Composes the text-quality operators into the filter pass a pretraining
+corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
+AND an optional corpus-self-scored unigram-LM log-probability floor
+(text.unigram_logprob) AND an optional language allowlist (text.langid).
+Writes to <out>:
+
+    keep/     documents passing every enabled filter
+    audit/    (doc_id, per-rule booleans, avg_logprob, pred_lang, keep)
+              — the full decision record, one row per input document
+and prints ONE JSON metrics line (n_docs, n_kept, drop breakdown per
+filter).  All filters are JVM-side DataFrame ops; the only driver-side
+values are the dict-sized metric counts.
+
+Local smoke:
+
+    python jobs/filter_corpus.py --docs /root/testdata/sf0.001/documents.parquet \
+        --out /tmp/kg_filter
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="kgforge corpus quality filter")
+    ap.add_argument("--docs", required=True, help="parquet path: doc_id, text, ...")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument(
+        "--min-logprob",
+        type=float,
+        default=None,
+        help="drop documents whose corpus-unigram avg log-probability is "
+        "below this floor (e.g. -9.0); omit to disable the LM filter",
+    )
+    ap.add_argument(
+        "--lang",
+        default=None,
+        help="comma-separated language allowlist (langid marker heuristic); "
+        "omit to disable the language filter",
+    )
+    ap.add_argument(
+        "--no-rules", action="store_true", help="disable the Gopher-style hard rules"
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from kgforge.conf import get_spark
+
+        spark = get_spark("kgforge-filter", master=args.master)
+
+    from kgforge.operators import text
+
+    docs = spark.read.parquet(args.docs)
+
+    # multilingual stopword union: Gopher's stopword rule is English-specific;
+    # a mixed-language corpus would mass-fail it, so the CLI unions the
+    # langid marker words into the presence check
+    stopwords = tuple(
+        dict.fromkeys(
+            list(text.STOPWORDS_EN)
+            + [w for marks in text.LANG_MARKERS.values() for w in marks]
+        )
+    )
+    audit = text.quality_rules(docs, stopwords=stopwords).select(
+        "doc_id", "ok_word_count", "ok_word_len", "ok_symbols", "ok_stopword",
+        F.col("keep").alias("ok_rules"),
+    )
+    rules_col = F.lit(True) if args.no_rules else F.col("ok_rules")
+
+    lm = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
+    # documents with zero words never appear in the LM relation: left join +
+    # null floor treats them as failing any enabled floor
+    audit = audit.join(lm, "doc_id", "left")
+    if args.min_logprob is not None:
+        lm_col = F.coalesce(F.col("avg_logprob") >= args.min_logprob, F.lit(False))
+    else:
+        lm_col = F.lit(True)
+
+    lang = text.langid(docs).select("doc_id", "pred_lang")
+    audit = audit.join(lang, "doc_id", "left")
+    if args.lang:
+        allow = [x.strip() for x in args.lang.split(",") if x.strip()]
+        lang_col = F.col("pred_lang").isin(allow)
+    else:
+        lang_col = F.lit(True)
+
+    audit = audit.withColumn("ok_lm", lm_col).withColumn("ok_lang", lang_col)
+    audit = audit.withColumn("keep", rules_col & F.col("ok_lm") & F.col("ok_lang"))
+    audit.write.mode("overwrite").parquet(os.path.join(args.out, "audit"))
+    audit_r = spark.read.parquet(os.path.join(args.out, "audit"))
+
+    keep = docs.join(
+        audit_r.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
+
+    # dict-sized decision summary in one aggregation pass
+    row = audit_r.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.sum((~F.col("ok_rules")).cast("int")).alias("fail_rules"),
+        F.sum((~F.col("ok_lm")).cast("int")).alias("fail_lm"),
+        F.sum((~F.col("ok_lang")).cast("int")).alias("fail_lang"),
+    ).head()
+    metrics = {
+        "n_docs": row.n_docs,
+        "n_kept": row.n_kept,
+        "drop_rate": round((row.n_docs - row.n_kept) / max(row.n_docs, 1), 4),
+        "fail_rules": row.fail_rules,
+        "fail_lm": row.fail_lm,
+        "fail_lang": row.fail_lang,
+        "filters": {
+            "rules": not args.no_rules,
+            "min_logprob": args.min_logprob,
+            "lang": args.lang,
+        },
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

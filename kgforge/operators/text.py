@@ -145,12 +145,18 @@ def quality_rules(
     min_mean_word_len: float = 2.0,
     max_mean_word_len: float = 12.0,
     max_symbol_ratio: float = 0.3,
+    stopwords: tuple = STOPWORDS_EN,
 ) -> DataFrame:
     """Gopher-style hard quality rules (public heuristics: word-count
     bounds, mean-word-length bounds, symbol-to-character ratio, stopword
     presence), each as its own boolean column plus the conjunction — the
     filter shape a pretraining corpus pass ships.  Whole-stage codegen
-    only; every rule is ANSI-SQL-expressible for the DuckDB oracle."""
+    only; every rule is ANSI-SQL-expressible for the DuckDB oracle.
+
+    The stopword-presence rule is ENGLISH-specific in Gopher's original
+    formulation (the default list); for a multilingual corpus pass a
+    per-language or union list (jobs/filter_corpus.py unions the langid
+    marker words) or route by language first."""
     words = _words()
     n_words = F.size(F.filter(words, lambda w: F.length(w) > 0))
     total_word_chars = F.aggregate(
@@ -164,7 +170,7 @@ def quality_rules(
         F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
         / F.greatest(F.length("text"), F.lit(1))
     )
-    has_stopword = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS_EN))) > 0
+    has_stopword = F.size(F.filter(words, lambda w: w.isin(*stopwords))) > 0
     out = docs.select(
         F.col(id_col),
         n_words.alias("n_words"),

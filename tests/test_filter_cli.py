@@ -1,0 +1,61 @@
+"""filter_corpus CLI (jobs/filter_corpus.py): keep/audit outputs and the
+one-line JSON metrics over a corpus with planted quality violations."""
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the garden"),  # clean en
+    (1, "le chat et la maison les arbres des fleurs dans le jardin"),  # clean fr
+    (2, "ok"),  # fails word-count rule
+    (3, "@@@@ #### $$$$ %%%% ^^^^ &&&& ****"),  # fails symbols + stopword
+    (4, "el perro y los gatos una casa en la calle"),  # clean es
+]
+
+
+@pytest.fixture()
+def docs_path(spark, tmpdir_path):
+    p = os.path.join(tmpdir_path, "fdocs.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(p)
+    return p
+
+
+def _run(docs_path, out, capsys, *extra):
+    import filter_corpus
+
+    rc = filter_corpus.main(["--docs", docs_path, "--out", out, *extra])
+    assert rc == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_rules_only_drops_planted_violations(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_rules")
+    m = _run(docs_path, out, capsys)
+    assert m["n_docs"] == 5 and m["fail_rules"] == 2 and m["n_kept"] == 3
+    kept = {r.doc_id for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert kept == {0, 1, 4}
+    audit = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "audit")).collect()}
+    assert not audit[2].ok_word_count and not audit[3].ok_symbols
+
+
+def test_lang_allowlist_composes(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_lang")
+    m = _run(docs_path, out, capsys, "--lang", "en,fr")
+    kept = {r.doc_id for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert kept == {0, 1}  # es doc dropped by language, rule-violators by rules
+    assert m["fail_lang"] >= 1
+
+
+def test_logprob_floor_drops_everything_at_zero(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_lm")
+    # avg log-prob is always < 0, so a floor of 0 drops every document
+    m = _run(docs_path, out, capsys, "--min-logprob", "0", "--no-rules")
+    assert m["n_kept"] == 0 and m["fail_lm"] == 5
