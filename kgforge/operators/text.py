@@ -104,7 +104,9 @@ def hash_split(
     )
 
 
-def unigram_logprob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", head_size: int = 10_000
+) -> DataFrame:
     """Per-document average unigram log-probability under the corpus's OWN
     unigram language model — the cheap perplexity-style quality signal a
     training-data pipeline uses to rank/filter documents (out-of-vocabulary
@@ -117,6 +119,15 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
               join, never a global window over data rows); avg(ln(c/t))
               per document.
 
+    SKEW: ``word`` is a Zipf-distributed join key — a plain shuffle join
+    sends every occurrence of 'the' to one reducer.  The join therefore
+    splits on the vocabulary HEAD (top ``head_size`` words by count —
+    dict-sized by construction, broadcast): head-word rows take a broadcast
+    hash join and never shuffle; the residual tail join is skew-free
+    because every hot key is in the head.  Same explicit-defuse discipline
+    as the hot-predicate salting (SURVEY.md 4.3.1); AQE skew-join remains
+    a second net under it.
+
     The word explode is evaluated in both passes — at corpus scale a
     second scan is preferred over materializing the exploded relation
     (same reasoning as the MinHash guard note in dedup.py).  Rounded to 5
@@ -126,8 +137,13 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     vf = w.groupBy("word").agg(F.count("*").alias("c"))
     tot = vf.agg(F.sum("c").alias("t"))
+    head = F.broadcast(vf.orderBy(F.desc("c"), "word").limit(head_size))
+    w_head = w.join(head, "word")
+    w_tail = w.join(F.broadcast(head.select("word")), "word", "left_anti").join(
+        vf, "word"
+    )
     return (
-        w.join(vf, "word")
+        w_head.unionByName(w_tail)
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(

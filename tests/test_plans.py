@@ -206,3 +206,35 @@ def test_minhash_signatures_have_no_lane_explode(spark):
     assert "explode(sequence(" not in plan
     n_generate = plan.count(") Generate")
     assert n_generate == 1, f"expected one explode (shingles), saw {n_generate}"
+
+
+def test_unigram_lm_hot_words_take_broadcast_join(spark):
+    """The Zipf-head split: the vocabulary head joins broadcast (hot words
+    never shuffle on the word key) and a tiny head_size forces real rows
+    down both paths while keeping results identical to the plain join."""
+    from kgforge.operators import text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = text.unigram_logprob(docs, head_size=5)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # equivalence: head/tail split must not change any score
+    from pyspark.sql import functions as F
+
+    w = docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    vf = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = vf.agg(F.sum("c").alias("t"))
+    plain = (
+        w.join(vf, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 5).alias("avg_logprob"),
+            F.count("*").alias("n_words"),
+        )
+    )
+    got = {r.doc_id: (r.avg_logprob, r.n_words) for r in df.collect()}
+    want = {r.doc_id: (r.avg_logprob, r.n_words) for r in plain.collect()}
+    assert got == want
