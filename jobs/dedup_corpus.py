@@ -2,12 +2,19 @@
 
     spark-submit --py-files kgforge.zip jobs/dedup_corpus.py \
         --docs <documents.parquet> --out <dir> \
-        [--method minhash|simhash|exact] [--threshold 0.5] [--max-hamming 3]
+        [--method minhash|simhash|exact] [--threshold 0.5] [--max-hamming 3] \
+        [--state <dir>]
 
 Writes to <out>:
     clusters/   (doc_id, cluster_id, is_canonical)  — full assignment
     keep/       the canonical documents only (the deduped corpus)
 and prints ONE JSON metrics line (n_docs, n_clusters, n_dropped, dup_rate).
+
+With ``--state`` (minhash only), --docs is a NEW BATCH joining a growing
+corpus: candidates come from one equi-join of the batch's band signatures
+against the persisted state, and the cluster assignment updates from
+compressed star edges — per-batch cost O(batch + candidates), never
+O(corpus) (the dedup analogue of the incremental graph MERGE).
 
 Local smoke:
 
@@ -48,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
         "--embeddings",
         help="parquet (vec_id, embedding) aligned with doc_id — required for --method embed",
     )
+    ap.add_argument(
+        "--state",
+        help="incremental mode (minhash only): persistent state directory "
+        "holding bands/ (LSH band signatures of every prior doc), corpus/ "
+        "(accumulated documents), assign/ (current cluster assignment).  "
+        "Each invocation treats --docs as a NEW BATCH: candidates come from "
+        "one equi-join of the batch's bands against the state, old text is "
+        "read only for candidate docs, and clusters update from compressed "
+        "star edges — per-batch cost is O(batch + candidates), not O(corpus).",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -65,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     from kgforge.operators import dedup
 
     docs = spark.read.parquet(args.docs)
+    if args.state:
+        if args.method != "minhash":
+            ap.error("--state (incremental mode) supports --method minhash only")
+        return _run_incremental(spark, docs, args)
     if args.method == "minhash":
         thr = 0.5 if args.threshold is None else args.threshold
         pairs = dedup.minhash_lsh_pairs(docs, threshold=thr)
@@ -105,6 +126,80 @@ def main(argv: list[str] | None = None) -> int:
         "method": args.method,
         "n_docs": n_docs,
         "n_clusters": n_clusters,
+        "n_kept": n_keep,
+        "n_dropped": n_docs - n_keep,
+        "dup_rate": round((n_docs - n_keep) / max(n_docs, 1), 4),
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+def _run_incremental(spark, new_docs, args) -> int:
+    """One incremental batch: pair against state, update state, emit the
+    refreshed assignment + keep set and one JSON metrics line."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kgforge.operators import dedup
+
+    thr = 0.5 if args.threshold is None else args.threshold
+    bands_p = os.path.join(args.state, "bands")
+    corpus_p = os.path.join(args.state, "corpus")
+    assign_p = os.path.join(args.state, "assign")
+
+    def _read_or_empty(path, schema):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    old_bands = _read_or_empty(bands_p, "doc_id long, band int, band_sig long")
+    old_docs = _read_or_empty(corpus_p, "doc_id long, text string")
+    prev_assign = _read_or_empty(
+        assign_p, "doc_id long, cluster_id long, is_canonical boolean"
+    )
+    first_batch = prev_assign.rdd.isEmpty()
+
+    pairs, new_bands = dedup.incremental_minhash_pairs(
+        new_docs, old_bands, old_docs, threshold=thr
+    )
+    # materialize this batch's pairs before touching state (plain-parquet
+    # discipline: compute everything derived from current state, then
+    # append — the Iceberg backend would wrap the two appends + assign
+    # overwrite in one transaction, same seam as triples.merge_graph)
+    pairs = pairs.localCheckpoint(eager=True)
+    new_bands.write.mode("append").parquet(bands_p)
+    new_docs.select("doc_id", "text").write.mode("append").parquet(corpus_p)
+    all_docs = spark.read.parquet(corpus_p)
+    assign = dedup.dedup_clusters_incremental(
+        all_docs, None if first_batch else prev_assign, pairs
+    )
+    # assign/ is both input and output: stage to a temp dir, then swap
+    tmp_assign = os.path.join(tempfile.gettempdir(), "kg_dedup_assign_tmp")
+    shutil.rmtree(tmp_assign, ignore_errors=True)
+    assign.write.parquet(tmp_assign)
+    shutil.rmtree(assign_p, ignore_errors=True)
+    shutil.move(tmp_assign, assign_p)
+    assign_r = spark.read.parquet(assign_p)
+
+    assign_r.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+    keep = all_docs.join(
+        assign_r.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
+    )
+    keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
+
+    n_batch = new_docs.count()
+    n_docs = all_docs.count()
+    n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
+    metrics = {
+        "method": "minhash",
+        "incremental": True,
+        "n_batch": n_batch,
+        "n_new_pairs": pairs.count(),
+        "n_docs": n_docs,
+        "n_clusters": assign_r.select("cluster_id").distinct().count(),
         "n_kept": n_keep,
         "n_dropped": n_docs - n_keep,
         "dup_rate": round((n_docs - n_keep) / max(n_docs, 1), 4),

@@ -173,27 +173,20 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def band_signatures(
     docs: DataFrame,
     k: int = 16,
     bands: int = 4,
     n: int = 3,
-    threshold: float = 0.5,
     max_df: int | None = 1000,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
-
-    band signature = xxhash64 of the lane values in one band; docs sharing
-    any (band, signature) bucket become candidates (equi-join on the bucket
-    key — this is the scale path: candidates ~ true dups, not n^2).  Band
-    sigs are computed directly from the signature array (4 tiny rows per
-    doc), preserving bit-for-bit the values of the old lane-row form.
-
-    ``max_df`` guards CANDIDATE GENERATION only: the exact-Jaccard verify
-    runs over the unfiltered shingle sets (its joins are keyed on doc id +
-    shingle and bounded by the candidate count, so a hot shingle cannot
-    quadratize it)."""
+    """(doc_id, band, band_sig): the LSH banding of the MinHash signature —
+    band signature = xxhash64 of the lane values in one band, derived
+    directly from the signature array (``bands`` tiny rows per doc).  This
+    relation IS the incremental-dedup state: persisting it lets a new batch
+    generate candidates against the whole corpus with one equi-join,
+    without touching old documents' text (see incremental_minhash_pairs)."""
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k, n, id_col, max_df=max_df)
     band_structs = [
@@ -211,25 +204,24 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    band = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, "bk.band", "bk.band_sig")
-    cand = (
-        band.alias("x")
-        .join(band.alias("y"), ["band", "band_sig"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .distinct()
-        # referenced three times below (id set x2 + common-shingle join):
-        # materialize once instead of re-running the band join per reference
-        .localCheckpoint(eager=False)
-    )
-    # verify candidates with true Jaccard over CANDIDATE DOCS ONLY: the
-    # distinct-shingle sets (Jaccard needs set semantics) are built from a
-    # semi-join against the candidate id set, so verify cost scales with
-    # candidates (~true dups), never with the corpus.  The second join is
-    # keyed on (doc id, shingle) so only COMMON shingles materialize —
-    # never the |sh(a)| x |sh(b)| cross-product per pair.
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    docs: DataFrame,
+    n: int,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a, b) pairs over CANDIDATE
+    DOCS ONLY: the distinct-shingle sets (Jaccard needs set semantics) are
+    built from a semi-join against the candidate id set, so verify cost
+    scales with candidates (~true dups), never with the corpus.  The second
+    join is keyed on (doc id, shingle) so only COMMON shingles materialize —
+    never the |sh(a)| x |sh(b)| cross-product per pair."""
     cand_ids = (
         cand.select(F.col("a").alias(id_col))
         .union(cand.select(F.col("b").alias(id_col)))
@@ -253,6 +245,100 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    Docs sharing any (band, band_sig) bucket become candidates (equi-join
+    on the bucket key — this is the scale path: candidates ~ true dups,
+    not n^2).  Band sigs preserve bit-for-bit the values of the old
+    lane-row form (pytest-pinned).
+
+    ``max_df`` guards CANDIDATE GENERATION only: the exact-Jaccard verify
+    runs over the unfiltered shingle sets (see _jaccard_verify)."""
+    band = band_signatures(docs, k, bands, n, max_df, id_col)
+    cand = (
+        band.alias("x")
+        .join(band.alias("y"), ["band", "band_sig"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+        # referenced three times by the verify (id set x2 + common join):
+        # materialize once instead of re-running the band join per reference
+        .localCheckpoint(eager=False)
+    )
+    return _jaccard_verify(cand, docs, n, threshold, id_col)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    old_bands: DataFrame,
+    old_docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    id_col: str = "doc_id",
+) -> tuple:
+    """Near-dup pairs for a NEW document batch against a growing corpus —
+    the per-batch path an always-growing 100 TB corpus needs instead of
+    re-pairing everything (the dedup analogue of triples.merge_graph).
+
+    State = the persisted ``band_signatures`` relation of all prior docs
+    (``old_bands``) plus the corpus itself (``old_docs``, read only for the
+    text of CANDIDATE old docs via semi-join pushdown).  Per batch:
+
+      1. band the new docs (one pass over the batch only);
+      2. candidates = new x new (batch self-join) UNION new x old (batch
+         bands equi-join the STATE on (band, band_sig) — at scale the
+         state table is bucketed by band_sig, so this probes buckets, it
+         never scans old text);
+      3. exact-Jaccard verify over candidate docs only (old + new text
+         union, semi-joined to candidate ids);
+      4. caller appends the returned new bands to the state table.
+
+    Old x old pairs were emitted by earlier batches (pytest pins
+    batch-union == one-shot).  ``max_df`` counts occurrences within the
+    NEW batch only — the guard is a heuristic and batch-local counting
+    keeps the state append-only; pass None for exact batch-union
+    equivalence to the one-shot run.
+
+    Returns (pairs, new_bands): pairs involve >= 1 new doc; new_bands is
+    the state delta to append."""
+    new_bands = band_signatures(new_docs, k, bands, n, max_df, id_col).localCheckpoint(
+        eager=False
+    )
+    nn = (
+        new_bands.alias("x")
+        .join(new_bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+    )
+    no = (
+        new_bands.alias("x")
+        .join(old_bands.alias("y"), ["band", "band_sig"])
+        .select(
+            F.least(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("a"),
+            F.greatest(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    cand = nn.unionByName(no).distinct().localCheckpoint(eager=False)
+    docs_all = old_docs.select(F.col(id_col), "text").unionByName(
+        new_docs.select(F.col(id_col), "text")
+    )
+    pairs = _jaccard_verify(cand, docs_all, n, threshold, id_col)
+    return pairs, new_bands
 
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"
@@ -536,3 +622,27 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def dedup_clusters_incremental(
+    all_docs: DataFrame,
+    prev_assign: DataFrame | None,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment after a new batch WITHOUT replaying the full pair
+    history: previous assignments compress each old component into star
+    edges (member -> cluster_id), which preserve exactly its connectivity,
+    so connected components re-runs over |old docs with a non-trivial
+    cluster| + |new pairs| edges — bounded by corpus size, independent of
+    how many batches (and pair relations) produced the old state.  A new
+    pair bridging two old components merges them correctly because both
+    stars join the same new component; min-labels stay global minima by
+    construction (an old cluster_id IS its component's minimum member)."""
+    edges = new_pairs.select("a", "b")
+    if prev_assign is not None:
+        star = prev_assign.filter(F.col(id_col) != F.col("cluster_id")).select(
+            F.col(id_col).alias("a"), F.col("cluster_id").alias("b")
+        )
+        edges = edges.unionByName(star)
+    return dedup_clusters(all_docs, id_col=id_col, pairs=edges)

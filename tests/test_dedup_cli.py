@@ -63,3 +63,46 @@ def test_exact_cli_keeps_near_dups(spark, docs_path, tmpdir_path, capsys):
     assert m["n_kept"] == 4  # only the byte-identical pair collapses
     keep_ids = {r.doc_id for r in spark.read.parquet(f"{out}/keep").collect()}
     assert keep_ids == {0, 2, 3, 4}
+
+
+def test_incremental_state_mode_matches_oneshot(spark, tmpdir_path, capsys):
+    """Two --state batches must end with the same clusters/keep as one
+    one-shot run over the full corpus."""
+    import dedup_corpus
+
+    b1 = DOCS[:3]
+    b2 = [(10, DOCS[0][1]), (11, DOCS[3][1]), (12, "fresh unrelated topic entirely")]
+    full = b1 + b2
+    p_b1 = os.path.join(tmpdir_path, "inc_b1.parquet")
+    p_b2 = os.path.join(tmpdir_path, "inc_b2.parquet")
+    p_full = os.path.join(tmpdir_path, "inc_full.parquet")
+    spark.createDataFrame(b1, "doc_id long, text string").write.parquet(p_b1)
+    spark.createDataFrame(b2, "doc_id long, text string").write.parquet(p_b2)
+    spark.createDataFrame(full, "doc_id long, text string").write.parquet(p_full)
+
+    state = os.path.join(tmpdir_path, "inc_state")
+    out1 = os.path.join(tmpdir_path, "inc_out1")
+    out2 = os.path.join(tmpdir_path, "inc_out2")
+    assert dedup_corpus.main(["--docs", p_b1, "--out", out1, "--state", state]) == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["incremental"] and m1["n_docs"] == 3
+    assert dedup_corpus.main(["--docs", p_b2, "--out", out2, "--state", state]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["n_batch"] == 3 and m2["n_docs"] == 6
+
+    out_full = os.path.join(tmpdir_path, "inc_out_full")
+    assert dedup_corpus.main(["--docs", p_full, "--out", out_full]) == 0
+    capsys.readouterr()
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in spark.read.parquet(os.path.join(out2, "clusters")).collect()
+    }
+    want = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in spark.read.parquet(os.path.join(out_full, "clusters")).collect()
+    }
+    assert got == want
+    # doc 10 (exact copy of doc 0, which lives in batch 1) joined cluster 0;
+    # doc 11 copies DOCS[3]'s text but doc 3 is in NEITHER batch -> singleton
+    by_doc = {d: c for d, c, _ in got}
+    assert by_doc[10] == 0 and by_doc[11] == 11 and by_doc[12] == 12

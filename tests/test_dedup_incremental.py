@@ -1,0 +1,94 @@
+"""Incremental corpus dedup (dedup.incremental_minhash_pairs +
+dedup.dedup_clusters_incremental): batch-wise pair generation against the
+persisted band state, and cluster maintenance from compressed star edges —
+the per-batch path of a growing corpus.  The gate: the union of per-batch
+results must equal the one-shot run over the full corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators import dedup
+
+# batch 1: two near-dup families + singletons; batch 2: new docs joining
+# existing families, a new family, and a bridge between old families
+BATCH1 = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (2, "completely different content about spark shuffles and parquet files"),
+    (3, "numerical linear algebra kernels on tensor cores with mixed precision"),
+    (4, "spark structured streaming with watermarks and stateful operators"),
+]
+BATCH2 = [
+    (10, "the quick brown fox jumps over the lazy dog again and again today"),  # joins {0,1}
+    (11, "completely different content about spark shuffles and parquet files"),  # joins {2}
+    (12, "a brand new topic about knowledge graphs and entity linking"),
+    (13, "a brand new topic about knowledge graphs and entity linking today"),  # pairs with 12
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    return b1, b2, b1.unionByName(b2)
+
+
+KW = dict(threshold=0.5, max_df=None)  # max_df=None: exact batch-union equivalence
+
+
+def test_incremental_pairs_union_equals_oneshot(spark, frames):
+    b1, b2, full = frames
+    empty_bands = spark.createDataFrame([], "doc_id long, band int, band_sig long")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    p1, bands1 = dedup.incremental_minhash_pairs(b1, empty_bands, empty_docs, **KW)
+    p2, bands2 = dedup.incremental_minhash_pairs(b2, bands1, b1, **KW)
+    got = {(r.a, r.b, r.jaccard) for r in p1.collect()} | {
+        (r.a, r.b, r.jaccard) for r in p2.collect()
+    }
+    want = {(r.a, r.b, r.jaccard) for r in dedup.minhash_lsh_pairs(full, **KW).collect()}
+    assert got == want
+    assert want  # discriminating: the corpus actually has near-dups
+    # batch-2 output involves at least one new doc per pair
+    assert all(r.a >= 10 or r.b >= 10 for r in p2.collect())
+    # the state delta is exactly the batch's band rows
+    assert bands2.count() == 4 * len(BATCH2)
+
+
+def test_incremental_clusters_equal_oneshot(spark, frames):
+    b1, b2, full = frames
+    empty_bands = spark.createDataFrame([], "doc_id long, band int, band_sig long")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    p1, bands1 = dedup.incremental_minhash_pairs(b1, empty_bands, empty_docs, **KW)
+    assign1 = dedup.dedup_clusters_incremental(b1, None, p1)
+    p2, _ = dedup.incremental_minhash_pairs(b2, bands1, b1, **KW)
+    assign2 = dedup.dedup_clusters_incremental(full, assign1, p2)
+    got = {(r.doc_id, r.cluster_id, r.is_canonical) for r in assign2.collect()}
+    want = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(full, pairs=dedup.minhash_lsh_pairs(full, **KW)).collect()
+    }
+    assert got == want
+    by_doc = dict((d, c) for d, c, _ in got)
+    assert by_doc[10] == 0 and by_doc[11] == 2  # new docs joined old clusters
+    assert by_doc[13] == 12  # new family rooted at its own min
+
+
+def test_incremental_bridge_merges_old_components(spark):
+    """A new doc similar to members of TWO distinct old clusters must merge
+    them: the star edges of both old components meet through the new pair
+    set."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (5, "y"), (6, "y"), (9, "z")], "doc_id long, text string"
+    )
+    prev = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (5, 5, True), (6, 5, False), (9, 9, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    new_pairs = spark.createDataFrame([(2, 20), (6, 20)], "a long, b long")
+    all_docs = docs.unionByName(
+        spark.createDataFrame([(20, "xy")], "doc_id long, text string")
+    )
+    out = {r.doc_id: r.cluster_id for r in
+           dedup.dedup_clusters_incremental(all_docs, prev, new_pairs).collect()}
+    assert out[1] == out[2] == out[5] == out[6] == out[20] == 1
+    assert out[9] == 9  # untouched singleton survives
