@@ -1296,6 +1296,22 @@ def embed_quantize(spark, sf):
     )
 
 
+@q("dedup_incremental", None)  # two-batch state flow -> rows-only + pytest
+def dedup_incremental(spark, sf):
+    """Incremental dedup demo: split documents by id parity, process as two
+    batches against the band state, return the final cluster assignment —
+    pytest pins batch-union == one-shot (test_dedup_incremental.py)."""
+    docs = T(spark, sf, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    empty_bands = spark.createDataFrame([], "doc_id long, band int, band_sig long")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    p1, bands1 = dedup.incremental_minhash_pairs(b1, empty_bands, empty_docs)
+    assign1 = dedup.dedup_clusters_incremental(b1, None, p1)
+    p2, _ = dedup.incremental_minhash_pairs(b2, bands1, b1)
+    return dedup.dedup_clusters_incremental(docs, assign1, p2).orderBy("doc_id")
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -1306,8 +1322,9 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "text_unigram_lm",
     "text_quality_rules",
     "embed_quantize",
+    "dedup_incremental",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
     "round 4: the CC oracle must be driver-recorded (swapped in for tpch_q3)"
 )
-assert len(REGISTRY) == 58, f"registry must hold exactly 58 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 59, f"registry must hold exactly 59 entries, got {len(REGISTRY)}"
