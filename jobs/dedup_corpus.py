@@ -135,54 +135,16 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run_incremental(spark, new_docs, args) -> int:
-    """One incremental batch: pair against state, update state, emit the
-    refreshed assignment + keep set and one JSON metrics line."""
-    import shutil
-    import tempfile
-
+    """One incremental batch: apply to state (dedup.incremental_dedup_update),
+    emit the refreshed assignment + keep set and one JSON metrics line."""
     from pyspark.sql import functions as F
 
     from kgforge.operators import dedup
 
     thr = 0.5 if args.threshold is None else args.threshold
-    bands_p = os.path.join(args.state, "bands")
-    corpus_p = os.path.join(args.state, "corpus")
-    assign_p = os.path.join(args.state, "assign")
-
-    def _read_or_empty(path, schema):
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            return spark.createDataFrame([], schema)
-
-    old_bands = _read_or_empty(bands_p, "doc_id long, band int, band_sig long")
-    old_docs = _read_or_empty(corpus_p, "doc_id long, text string")
-    prev_assign = _read_or_empty(
-        assign_p, "doc_id long, cluster_id long, is_canonical boolean"
-    )
-    first_batch = prev_assign.rdd.isEmpty()
-
-    pairs, new_bands = dedup.incremental_minhash_pairs(
-        new_docs, old_bands, old_docs, threshold=thr
-    )
-    # materialize this batch's pairs before touching state (plain-parquet
-    # discipline: compute everything derived from current state, then
-    # append — the Iceberg backend would wrap the two appends + assign
-    # overwrite in one transaction, same seam as triples.merge_graph)
-    pairs = pairs.localCheckpoint(eager=True)
-    new_bands.write.mode("append").parquet(bands_p)
-    new_docs.select("doc_id", "text").write.mode("append").parquet(corpus_p)
-    all_docs = spark.read.parquet(corpus_p)
-    assign = dedup.dedup_clusters_incremental(
-        all_docs, None if first_batch else prev_assign, pairs
-    )
-    # assign/ is both input and output: stage to a temp dir, then swap
-    tmp_assign = os.path.join(tempfile.gettempdir(), "kg_dedup_assign_tmp")
-    shutil.rmtree(tmp_assign, ignore_errors=True)
-    assign.write.parquet(tmp_assign)
-    shutil.rmtree(assign_p, ignore_errors=True)
-    shutil.move(tmp_assign, assign_p)
-    assign_r = spark.read.parquet(assign_p)
+    n_batch = new_docs.count()
+    assign_r = dedup.incremental_dedup_update(spark, new_docs, args.state, thr)
+    all_docs = spark.read.parquet(os.path.join(args.state, "corpus"))
 
     assign_r.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
     keep = all_docs.join(
@@ -190,14 +152,12 @@ def _run_incremental(spark, new_docs, args) -> int:
     )
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
 
-    n_batch = new_docs.count()
     n_docs = all_docs.count()
     n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
     metrics = {
         "method": "minhash",
         "incremental": True,
         "n_batch": n_batch,
-        "n_new_pairs": pairs.count(),
         "n_docs": n_docs,
         "n_clusters": assign_r.select("cluster_id").distinct().count(),
         "n_kept": n_keep,

@@ -341,6 +341,68 @@ def incremental_minhash_pairs(
     return pairs, new_bands
 
 
+def incremental_dedup_update(
+    spark,
+    new_docs: DataFrame,
+    state_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ONE new-document batch to a persistent dedup state directory
+    and return the refreshed full-corpus cluster assignment.
+
+    State layout (plain-parquet backend):
+        bands/   band_signatures of every prior doc (append-only)
+        corpus/  accumulated (doc_id, text)        (append-only)
+        assign/  current (doc_id, cluster_id, is_canonical) (replaced)
+
+    The two appends + assign swap are NOT one transaction on plain parquet —
+    a crash between them can leave bands without corpus rows for the batch;
+    this is the same seam triples.merge_graph documents, closed by the
+    Iceberg backend's multi-table transaction (kgforge/catalog.py).  Used by
+    jobs/dedup_corpus.py --state (batch CLI) and
+    kgforge.streaming.incremental.run_incremental_dedup (foreachBatch)."""
+    import os
+    import shutil
+    import tempfile
+
+    bands_p = os.path.join(state_dir, "bands")
+    corpus_p = os.path.join(state_dir, "corpus")
+    assign_p = os.path.join(state_dir, "assign")
+
+    def _read_or_empty(path, schema):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    old_bands = _read_or_empty(bands_p, f"{id_col} long, band int, band_sig long")
+    old_docs = _read_or_empty(corpus_p, f"{id_col} long, text string")
+    prev_assign = _read_or_empty(
+        assign_p, f"{id_col} long, cluster_id long, is_canonical boolean"
+    )
+    first_batch = prev_assign.rdd.isEmpty()
+
+    pairs, new_bands = incremental_minhash_pairs(
+        new_docs, old_bands, old_docs, threshold=threshold, id_col=id_col
+    )
+    # materialize this batch's pairs BEFORE mutating state: everything
+    # derived from current state is computed first, then appended
+    pairs = pairs.localCheckpoint(eager=True)
+    new_bands.write.mode("append").parquet(bands_p)
+    new_docs.select(id_col, "text").write.mode("append").parquet(corpus_p)
+    all_docs = spark.read.parquet(corpus_p)
+    assign = dedup_clusters_incremental(
+        all_docs, None if first_batch else prev_assign, pairs, id_col=id_col
+    )
+    # assign/ is both input and output of this step: stage, then swap
+    tmp_assign = tempfile.mkdtemp(prefix="kg_assign_") + "/a"
+    assign.write.parquet(tmp_assign)
+    shutil.rmtree(assign_p, ignore_errors=True)
+    shutil.move(tmp_assign, assign_p)
+    return spark.read.parquet(assign_p)
+
+
 SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 

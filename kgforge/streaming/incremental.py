@@ -53,6 +53,66 @@ def run_incremental(
     q.awaitTermination()
 
 
+class _EpochLedger:
+    """Merged-epoch bookkeeping for NON-IDEMPOTENT foreachBatch bodies
+    (graph merge, dedup state append): records every applied epoch id and
+    skips redelivered ones.
+
+    Epoch ids restart at 0 when the stream checkpoint is recreated, and a
+    fresh checkpoint also REDELIVERS every source file — silently skipping
+    "already-applied" epoch 0 would drop data, silently re-applying would
+    double-count everything (review finding, round 3).  The ledger is bound
+    to a stream identity stored beside the checkpoint and fails loudly on
+    mismatch: state and checkpoint_dir live and die as a unit on the
+    parquet backend (Iceberg closes this by committing data + epoch marker
+    in one transaction).  The ledger file is written by atomic rename AFTER
+    the state mutation commits; a crash between the two leaves a one-epoch
+    double-apply window — the documented transaction seam."""
+
+    def __init__(self, ledger_path: str, checkpoint_dir: str):
+        import os
+        import uuid
+
+        self.path = ledger_path
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        sid_path = os.path.join(checkpoint_dir, "kg_stream_id")
+        if os.path.exists(sid_path):
+            with open(sid_path) as fh:
+                self.sid = fh.read().strip()
+        else:
+            self.sid = uuid.uuid4().hex[:12]
+            with open(sid_path, "w") as fh:
+                fh.write(self.sid)
+
+    def key(self, epoch_id: int) -> str:
+        return f"{self.sid}:{epoch_id}"
+
+    def done(self) -> set:
+        try:
+            with open(self.path) as fh:
+                entries = {line.strip() for line in fh if line.strip()}
+        except OSError:
+            return set()
+        foreign = {e for e in entries if not e.startswith(f"{self.sid}:")}
+        if foreign:
+            raise RuntimeError(
+                "epoch ledger was written under a different stream checkpoint "
+                f"({sorted(foreign)[0].split(':')[0]} != {self.sid}): a "
+                "recreated checkpoint redelivers all files and would "
+                "double-apply the existing state. Rebuild the state (and "
+                "delete the ledger) or restore the original checkpoint_dir."
+            )
+        return entries
+
+    def mark(self, done: set, epoch_id: int) -> None:
+        import os
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(done | {self.key(epoch_id)})) + "\n")
+        os.replace(tmp, self.path)
+
+
 def run_incremental_graph(
     spark: SparkSession,
     source_dir: str,
@@ -76,8 +136,6 @@ def run_incremental_graph(
     leaves a one-epoch double-count window — exactly the seam the Iceberg
     backend closes by committing data + epoch marker in one transaction
     (kgforge/catalog.py)."""
-    import os
-
     from kgforge.operators.extract import extract_parse_df, prefilter, with_content_sha
     from kgforge.operators.linking import link_terms
     from kgforge.operators.triples import explode_tps, graph_triples, merge_graph
@@ -87,64 +145,75 @@ def run_incremental_graph(
 
         entity_dict = default_entity_dict(spark)
 
-    ledger = graph_dir.rstrip("/") + "_merged_epochs.txt"
-
-    # Epoch ids restart at 0 when the stream checkpoint is recreated, and a
-    # fresh checkpoint also REDELIVERS every source file — silently skipping
-    # "already-merged" epoch 0 would drop data, silently merging would
-    # double-count everything already in the graph (review finding).  Bind
-    # the ledger to a stream identity stored beside the checkpoint and fail
-    # loudly on mismatch: graph_dir and checkpoint_dir live and die as a
-    # unit on the parquet backend (Iceberg closes this by committing data +
-    # epoch marker in one transaction).
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    sid_path = os.path.join(checkpoint_dir, "kg_stream_id")
-    if os.path.exists(sid_path):
-        with open(sid_path) as fh:
-            sid = fh.read().strip()
-    else:
-        import uuid
-
-        sid = uuid.uuid4().hex[:12]
-        with open(sid_path, "w") as fh:
-            fh.write(sid)
-
-    def _merged_epochs() -> set:
-        try:
-            with open(ledger) as fh:
-                entries = {line.strip() for line in fh if line.strip()}
-        except OSError:
-            return set()
-        foreign = {e for e in entries if not e.startswith(f"{sid}:")}
-        if foreign:
-            raise RuntimeError(
-                "graph ledger was written under a different stream checkpoint "
-                f"({sorted(foreign)[0].split(':')[0]} != {sid}): a recreated "
-                "checkpoint redelivers all files and would double-merge the "
-                "existing graph. Rebuild graph_dir (and delete the ledger) or "
-                "restore the original checkpoint_dir."
-            )
-        return entries
+    ledger = _EpochLedger(graph_dir.rstrip("/") + "_merged_epochs.txt", checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        done = _merged_epochs()
-        if f"{sid}:{epoch_id}" in done:
+        done = ledger.done()
+        if ledger.key(epoch_id) in done:
             return  # redelivered micro-batch: already merged
         linked = link_terms(
             explode_tps(extract_parse_df(prefilter(with_content_sha(batch_df)))),
             entity_dict,
         )
         merge_graph(spark, graph_triples(linked), graph_dir)
-        tmp = ledger + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(sorted(done | {f"{sid}:{epoch_id}"})) + "\n")
-        os.replace(tmp, ledger)
+        ledger.mark(done, epoch_id)
 
-    _merged_epochs()  # pre-flight: fail BEFORE the stream starts, not
+    ledger.done()  # pre-flight: fail BEFORE the stream starts, not
     # wrapped inside a StreamingQueryException mid-batch
 
     stream = (
         spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_files_per_batch: int = 32,
+) -> None:
+    """CONTINUOUS corpus dedup: each micro-batch of new documents pairs
+    against the persisted band state (dedup.incremental_dedup_update — one
+    equi-join of the batch's band signatures against the state, old text
+    read only for candidate docs) and refreshes the full-corpus cluster
+    assignment; the corpus dedups as it arrives, no full re-pairing.
+
+    Same exactly-once layering as run_incremental_graph: the stream
+    checkpoint makes file delivery exactly-once across restarts; the state
+    appends are NOT idempotent, so the shared epoch ledger skips
+    redelivered micro-batches (transaction seam documented on
+    _EpochLedger)."""
+    from kgforge.operators.dedup import incremental_dedup_update
+
+    ledger = _EpochLedger(
+        state_dir.rstrip("/") + "_dedup_epochs.txt", checkpoint_dir
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = ledger.done()
+        if ledger.key(epoch_id) in done:
+            return
+        incremental_dedup_update(spark, batch_df, state_dir, threshold)
+        ledger.mark(done, epoch_id)
+
+    ledger.done()  # pre-flight, before the stream starts
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_batch)
         .parquet(source_dir)
     )

@@ -92,3 +92,43 @@ def test_incremental_bridge_merges_old_components(spark):
            dedup.dedup_clusters_incremental(all_docs, prev, new_pairs).collect()}
     assert out[1] == out[2] == out[5] == out[6] == out[20] == 1
     assert out[9] == 9  # untouched singleton survives
+
+
+def test_streaming_dedup_equals_oneshot(spark, tmpdir_path):
+    """run_incremental_dedup over file-arriving batches must end with the
+    same cluster assignment as a one-shot dedup over the full corpus, and a
+    re-run with no new files must change nothing (epoch ledger + stream
+    checkpoint)."""
+    import os
+
+    from kgforge.streaming.incremental import run_incremental_dedup
+
+    src_dir = os.path.join(tmpdir_path, "sdedup_src")
+    state = os.path.join(tmpdir_path, "sdedup_state")
+    ckpt = os.path.join(tmpdir_path, "sdedup_ckpt")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    run_incremental_dedup(spark, src_dir, state, ckpt, threshold=0.5)
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+    run_incremental_dedup(spark, src_dir, state, ckpt, threshold=0.5)
+
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in spark.read.parquet(os.path.join(state, "assign")).collect()
+    }
+    full = b1.unionByName(b2)
+    want = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(
+            full, pairs=dedup.minhash_lsh_pairs(full, threshold=0.5)
+        ).collect()
+    }
+    assert got == want
+    # idle re-run: no new files -> state unchanged
+    run_incremental_dedup(spark, src_dir, state, ckpt, threshold=0.5)
+    again = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in spark.read.parquet(os.path.join(state, "assign")).collect()
+    }
+    assert again == got
