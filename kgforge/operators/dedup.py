@@ -359,7 +359,12 @@ def incremental_dedup_update(
     The two appends + assign swap are NOT one transaction on plain parquet —
     a crash between them can leave bands without corpus rows for the batch;
     this is the same seam triples.merge_graph documents, closed by the
-    Iceberg backend's multi-table transaction (kgforge/catalog.py).  Used by
+    Iceberg backend's multi-table transaction (kgforge/catalog.py).
+
+    Contract: ``doc_id`` values must be globally unique across batches (a
+    re-sent id appends a duplicate corpus row and double-counts in the
+    assignment); delivery-level redelivery of a whole batch is handled one
+    level up by the stream epoch ledger, not here.  Used by
     jobs/dedup_corpus.py --state (batch CLI) and
     kgforge.streaming.incremental.run_incremental_dedup (foreachBatch)."""
     import os
