@@ -2,7 +2,7 @@
 
     spark-submit --py-files kgforge.zip jobs/filter_corpus.py \
         --docs <documents.parquet> --out <dir> \
-        [--min-logprob -9.0] [--lang en,fr] [--no-rules]
+        [--min-logprob -9.0 | --drop-logprob-pct 5] [--lang en,fr] [--no-rules]
 
 Composes the text-quality operators into the filter pass a pretraining
 corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
@@ -43,6 +43,16 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="drop documents whose corpus-unigram avg log-probability is "
         "below this floor (e.g. -9.0); omit to disable the LM filter",
+    )
+    ap.add_argument(
+        "--drop-logprob-pct",
+        type=float,
+        default=None,
+        help="drop the WORST-scoring P percent of documents by corpus-unigram "
+        "avg log-probability (floor = approx P-th percentile, one "
+        "percentile_approx aggregate — the relative form of --min-logprob "
+        "a corpus-scale pass actually uses); mutually exclusive with "
+        "--min-logprob",
     )
     ap.add_argument(
         "--lang",
@@ -86,12 +96,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     rules_col = F.lit(True) if args.no_rules else F.col("ok_rules")
 
+    if args.min_logprob is not None and args.drop_logprob_pct is not None:
+        ap.error("--min-logprob and --drop-logprob-pct are mutually exclusive")
     lm = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
+    floor = args.min_logprob
+    if args.drop_logprob_pct is not None:
+        # one scalar aggregate (t-digest sketch), never a global sort
+        floor = lm.agg(
+            F.percentile_approx(
+                "avg_logprob", args.drop_logprob_pct / 100.0, 10_000
+            ).alias("q")
+        ).head().q
     # documents with zero words never appear in the LM relation: left join +
     # null floor treats them as failing any enabled floor
     audit = audit.join(lm, "doc_id", "left")
-    if args.min_logprob is not None:
-        lm_col = F.coalesce(F.col("avg_logprob") >= args.min_logprob, F.lit(False))
+    if floor is not None:
+        lm_col = F.coalesce(F.col("avg_logprob") >= floor, F.lit(False))
     else:
         lm_col = F.lit(True)
 
@@ -131,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         "filters": {
             "rules": not args.no_rules,
             "min_logprob": args.min_logprob,
+            "drop_logprob_pct": args.drop_logprob_pct,
+            "lm_floor": None if floor is None else round(floor, 5),
             "lang": args.lang,
         },
     }

@@ -59,3 +59,24 @@ def test_logprob_floor_drops_everything_at_zero(spark, docs_path, tmpdir_path, c
     # avg log-prob is always < 0, so a floor of 0 drops every document
     m = _run(docs_path, out, capsys, "--min-logprob", "0", "--no-rules")
     assert m["n_kept"] == 0 and m["fail_lm"] == 5
+
+
+def test_percentile_floor_drops_worst_scorers(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_pct")
+    m = _run(docs_path, out, capsys, "--drop-logprob-pct", "60", "--no-rules")
+    assert m["filters"]["lm_floor"] is not None
+    assert 0 < m["fail_lm"] < m["n_docs"]  # some but not all dropped
+    # the floor is a real percentile: kept docs all score >= it
+    audit = spark.read.parquet(os.path.join(out, "audit"))
+    kept_scores = [r.avg_logprob for r in audit.filter("keep").collect()]
+    assert all(s >= m["filters"]["lm_floor"] for s in kept_scores)
+
+
+def test_min_logprob_and_pct_are_exclusive(docs_path, tmpdir_path):
+    import filter_corpus
+
+    with pytest.raises(SystemExit):
+        filter_corpus.main([
+            "--docs", docs_path, "--out", os.path.join(tmpdir_path, "f_x"),
+            "--min-logprob", "-9", "--drop-logprob-pct", "5",
+        ])
