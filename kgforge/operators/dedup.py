@@ -401,10 +401,12 @@ def incremental_dedup_update(
         all_docs, None if first_batch else prev_assign, pairs, id_col=id_col
     )
     # assign/ is both input and output of this step: stage, then swap
-    tmp_assign = tempfile.mkdtemp(prefix="kg_assign_") + "/a"
+    tmp_parent = tempfile.mkdtemp(prefix="kg_assign_")
+    tmp_assign = os.path.join(tmp_parent, "a")
     assign.write.parquet(tmp_assign)
     shutil.rmtree(assign_p, ignore_errors=True)
     shutil.move(tmp_assign, assign_p)
+    shutil.rmtree(tmp_parent, ignore_errors=True)
     return spark.read.parquet(assign_p)
 
 
