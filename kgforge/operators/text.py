@@ -21,7 +21,9 @@ LANG_MARKERS = {
 
 
 def _words(col: str = "text") -> F.Column:
-    return F.split(F.trim(F.col(col)), r"\s+")
+    # null text behaves as empty: every downstream rule/score/flag then
+    # evaluates to a deterministic value instead of a silent null verdict
+    return F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
 
 
 def quality_features(docs: DataFrame) -> DataFrame:
@@ -181,10 +183,11 @@ def quality_rules(
         lambda acc, w: acc + F.length(w),
     )
     mean_word_len = total_word_chars / F.greatest(n_words, F.lit(1))
-    # symbols = non-alphanumeric, non-whitespace chars
+    # symbols = non-alphanumeric, non-whitespace chars; null text == empty
+    txt = F.coalesce(F.col("text"), F.lit(""))
     symbol_ratio = (
-        F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
-        / F.greatest(F.length("text"), F.lit(1))
+        F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", ""))
+        / F.greatest(F.length(txt), F.lit(1))
     )
     has_stopword = F.size(F.filter(words, lambda w: w.isin(*stopwords))) > 0
     out = docs.select(

@@ -433,3 +433,20 @@ def test_quantize_error_bound_and_recall(planted_embeddings):
     approx = [r.vec_id for r in similarity.cosine_topk_quantized(planted_embeddings, qvec, k=10).collect()]
     assert len(set(exact) & set(approx)) / 10 >= 0.8
     assert 3 in approx and 1003 in approx  # self + planted perturbation
+
+
+def test_text_ops_null_safe(spark):
+    """NULL text must behave as empty everywhere: deterministic False/und/0
+    verdicts, never a silent null keep flag (a null drops out of
+    filter(keep) while looking unevaluated in the audit)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the cat")], "doc_id long, text string"
+    )
+    rules = {r.doc_id: r for r in text.quality_rules(docs).collect()}
+    assert rules[1].keep is False and rules[1].n_words == 0
+    assert rules[1].ok_stopword is False and rules[1].symbol_ratio == 0.0
+    assert rules[2].keep is False
+    lang = {r.doc_id: (r.pred_lang, r.marker_hits) for r in text.langid(docs).collect()}
+    assert lang[1] == ("und", 0) and lang[2] == ("und", 0)
+    feats = {r.doc_id: r.n_tokens for r in text.quality_features(docs).collect()}
+    assert feats[1] == 1  # split('') yields one empty token (documented)
