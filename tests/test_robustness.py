@@ -123,3 +123,34 @@ def test_streaming_epoch_write_is_idempotent(spark, tmpdir_path):
     n1 = spark.read.parquet(f"{out}/parsed").count()
     process_batch(src, 0)  # simulated retry of the same epoch
     assert spark.read.parquet(f"{out}/parsed").count() == n1
+
+
+def test_pipeline_survives_adversarial_content(spark, tmpdir_path):
+    """Codifies the /verify adversarial probe: unicode literals, 5000-deep
+    nesting (RecursionError -> counted reject, not a dead stage), '}' inside
+    literals, 100 kB lines, and a negated-path reject — the pipeline must
+    complete, count rejects, and resume to identical numbers."""
+    import os
+
+    from kgforge import pipeline
+
+    rows = [
+        {"repo": "r", "path": "a.rq", "commit": "c1", "lang": "sparql",
+         "content": 'SELECT ?s WHERE { ?s <http://p> "é中文 \\u2603" }'},
+        {"repo": "r", "path": "b.rq", "commit": "c2", "lang": "sparql",
+         "content": "SELECT ?s WHERE " + "{" * 5000},
+        {"repo": "r", "path": "c.rq", "commit": "c3", "lang": "sparql",
+         "content": 'ASK { ?s <http://p> "}" }'},
+        {"repo": "r", "path": "d.txt", "commit": "c4", "lang": "txt",
+         "content": "SELECT ?x WHERE { ?x <http://p> ?y } " + "z" * 100_000},
+        {"repo": "r", "path": "e.rq", "commit": "c5", "lang": "sparql",
+         "content": "SELECT ?x WHERE { ?x <http://p>? ?y . ?x !<http://q> ?z }"},
+    ]
+    src = spark.createDataFrame(rows)
+    out = os.path.join(tmpdir_path, "adversarial")
+    m = pipeline.run(spark, src, out, n_parts=4, run_id="adv1")
+    assert m["n_mentions"] == 4  # the 5000-brace block never balances
+    assert m["n_parse_ok"] == 3  # unicode, literal-brace, huge-line parse
+    assert m["n_fixture_triples"] == 3
+    m2 = pipeline.run(spark, src, out, n_parts=4, resume=True, run_id="adv2")
+    assert (m2["n_mentions"], m2["n_parse_ok"]) == (4, 3)
