@@ -415,40 +415,53 @@ SIMHASH_SCHEMA = "doc_id long, simhash long"
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (token-hash bit majority), computed with
-    numpy inside mapInPandas — one Arrow batch per call, never per-row."""
+    numpy inside mapInPandas.
+
+    BATCH-VECTORIZED (round 4): the only remaining per-doc Python work is
+    tokenize+dedup; everything numeric runs once per Arrow batch — token
+    hashing via pandas.util.hash_array (C siphash over the flattened token
+    array, deterministic with the fixed default key), bit expansion as one
+    (tokens x 64) matrix, per-document +/-1 voting via np.add.reduceat over
+    the doc offsets, and sign packing as one matmul-shaped reduction.  The
+    previous form re-entered numpy per document, which made per-doc
+    overhead the dominant cost on short documents.  Hash values differ
+    from the earlier FNV-1a form (a seeded-sketch version change, like any
+    reseeding; pair semantics and determinism are what the tests pin)."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for did, text in zip(pdf[id_col], pdf["text"]):
-                toks = text.split()
-                if not toks:
-                    out.append((did, 0))
-                    continue
-                # deterministic 64-bit token hashes (FNV-1a, vectorized-ish)
-                hs = np.fromiter(
-                    (_fnv1a64(t) for t in set(toks)), dtype=np.uint64, count=len(set(toks))
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-                vote = (2 * bits - 1).sum(axis=0)
-                sim = np.uint64(0)
-                for i in range(64):
-                    if vote[i] > 0:
-                        sim |= np.uint64(1) << np.uint64(i)
-                out.append((did, int(np.int64(sim))))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+            ids = pdf[id_col].to_numpy()
+            uniq = [
+                list(dict.fromkeys(t.split())) if isinstance(t, str) else []
+                for t in pdf["text"]
+            ]
+            counts = np.fromiter((len(u) for u in uniq), dtype=np.int64, count=len(uniq))
+            flat = [tok for u in uniq for tok in u]
+            sims = np.zeros(len(ids), dtype=np.uint64)
+            if flat:
+                hs = pd.util.hash_array(np.asarray(flat, dtype=object))
+                bits = (
+                    (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int32)
+                votes = 2 * bits - 1
+                nz = counts > 0
+                offsets = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+                # offsets restricted to non-empty docs are strictly
+                # increasing, so each reduceat segment is exactly one doc
+                seg = np.add.reduceat(votes, offsets[nz], axis=0)
+                packed = (
+                    (seg > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                ).sum(axis=1)
+                sims[nz] = packed
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash": sims.view(np.int64)}
+            )
 
     return docs.select(F.col(id_col).alias("doc_id"), "text").mapInPandas(
         gen, schema=SIMHASH_SCHEMA
     )
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
