@@ -341,6 +341,36 @@ def incremental_minhash_pairs(
     return pairs, new_bands
 
 
+def apply_tombstones(
+    assign: DataFrame, removed: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove tombstoned documents from a cluster assignment and RE-ELECT
+    the canonical per cluster (min surviving member) — the practical
+    deletion a corpus dedup needs: a removed canonical must not leave its
+    cluster without a keeper, and removed docs must leave the keep set.
+
+    The cluster LABEL becomes opaque after deletions: it stays stable (no
+    downstream re-keying) but may name a doc that no longer exists —
+    labels are identities, not members.  Full component SPLITS on
+    bridge-doc removal are out of scope by design: that requires the
+    retained pair history (or re-pairing the affected clusters), not the
+    assignment alone; for corpus dedup, keeping transitively-linked
+    near-dups in one cluster after a member's removal is conservative in
+    the safe direction (never emits two near-identical keepers).
+    ``removed`` is a one-column (id) DataFrame."""
+    rm = removed.select(F.col(removed.columns[0]).alias(id_col))
+    alive = assign.join(rm, id_col, "left_anti")
+    new_canon = alive.groupBy("cluster_id").agg(F.min(id_col).alias("_keeper"))
+    return (
+        alive.join(new_canon, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("_keeper")).alias("is_canonical"),
+        )
+    )
+
+
 def incremental_dedup_update(
     spark,
     new_docs: DataFrame,

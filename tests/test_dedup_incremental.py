@@ -132,3 +132,25 @@ def test_streaming_dedup_equals_oneshot(spark, tmpdir_path):
         for r in spark.read.parquet(os.path.join(state, "assign")).collect()
     }
     assert again == got
+
+
+def test_tombstones_reelect_canonical(spark):
+    """Removing a canonical re-elects the min surviving member; removed docs
+    leave the assignment; untouched clusters keep their flags; exactly one
+    canonical per surviving cluster."""
+    assign = spark.createDataFrame(
+        [(0, 0, True), (1, 0, False), (2, 0, False),
+         (5, 5, True), (6, 5, False), (9, 9, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    removed = spark.createDataFrame([(0,), (9,)], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.apply_tombstones(assign, removed).collect()}
+    assert 0 not in out and 9 not in out
+    assert out[1] == (0, True)  # re-elected keeper; label stays 0 (opaque)
+    assert out[2] == (0, False)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    per_cluster = {}
+    for _, (cid, canon) in out.items():
+        per_cluster[cid] = per_cluster.get(cid, 0) + int(canon)
+    assert all(n == 1 for n in per_cluster.values())
