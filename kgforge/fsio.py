@@ -52,6 +52,14 @@ class LocalFS:
     def isdir(self, p: str) -> bool:
         return os.path.isdir(p)
 
+    def rmtree(self, p: str) -> None:
+        """Recursive delete, absent-path tolerant — used by the incremental
+        dedup state swap (stage/old cleanup) where the path may or may not
+        exist depending on where a prior run stopped."""
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+
 
 _BACKENDS: Dict[str, object] = {"file": LocalFS()}
 

@@ -134,6 +134,77 @@ def test_streaming_dedup_equals_oneshot(spark, tmpdir_path):
     assert again == got
 
 
+def test_corrupt_state_raises_instead_of_resetting(spark, tmpdir_path):
+    """A corrupt bands/ dir (present but unreadable) must RAISE — the
+    pre-round-5 bare `except Exception` treated it as 'first batch' and the
+    assign/ swap then overwrote the good state with a from-scratch
+    re-cluster of the new batch alone (VERDICT r4 item 2)."""
+    import os
+
+    state = os.path.join(tmpdir_path, "corrupt_state")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    dedup.incremental_dedup_update(spark, b1, state, threshold=0.5)
+    # corrupt the band state: truncate every parquet footer
+    bands = os.path.join(state, "bands")
+    for f in os.listdir(bands):
+        if f.endswith(".parquet"):
+            with open(os.path.join(bands, f), "r+b") as fh:
+                fh.truncate(4)
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    before = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(state, "assign")).collect()
+    }
+    with pytest.raises(Exception):
+        dedup.incremental_dedup_update(spark, b2, state, threshold=0.5)
+    # the failure happened BEFORE any state mutation: assign/ is untouched
+    after = {
+        (r.doc_id, r.cluster_id)
+        for r in spark.read.parquet(os.path.join(state, "assign")).collect()
+    }
+    assert after == before
+
+
+def test_assign_swap_crash_recovery(spark, tmpdir_path):
+    """Every crash point inside the assign swap must be recoverable: a
+    complete staged dir is promoted (it is the newer result); a renamed-away
+    old dir is restored when no staged result completed."""
+    import os
+
+    from kgforge import fsio
+    from kgforge.operators.dedup import _recover_assign_swap
+
+    fs = fsio.get_fs(tmpdir_path)
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+
+    # crash between rename-old and rename-new, staged write complete: the
+    # staged (newer) assignment must win over the renamed-away old one
+    state = os.path.join(tmpdir_path, "swap_a")
+    dedup.incremental_dedup_update(spark, b1, state, threshold=0.5)
+    assign_p = os.path.join(state, "assign")
+    os.replace(assign_p, assign_p + "__old")
+    staged = spark.read.parquet(assign_p + "__old").filter("doc_id != 0")
+    staged.write.parquet(assign_p + "__staged")
+    want = {(r.doc_id, r.cluster_id) for r in staged.collect()}
+    _recover_assign_swap(fs, assign_p)
+    assert os.path.exists(assign_p)
+    assert not os.path.exists(assign_p + "__old") and not os.path.exists(assign_p + "__staged")
+    got = {(r.doc_id, r.cluster_id) for r in spark.read.parquet(assign_p).collect()}
+    assert got == want
+
+    # crash mid-staged-write (no _SUCCESS), assign renamed away: restore old
+    state2 = os.path.join(tmpdir_path, "swap_b")
+    dedup.incremental_dedup_update(spark, b1, state2, threshold=0.5)
+    assign_p2 = os.path.join(state2, "assign")
+    want2 = {(r.doc_id, r.cluster_id) for r in spark.read.parquet(assign_p2).collect()}
+    os.replace(assign_p2, assign_p2 + "__old")
+    os.makedirs(assign_p2 + "__staged")  # incomplete: no _SUCCESS marker
+    _recover_assign_swap(fs, assign_p2)
+    got2 = {(r.doc_id, r.cluster_id) for r in spark.read.parquet(assign_p2).collect()}
+    assert got2 == want2
+    assert not os.path.exists(assign_p2 + "__staged")
+
+
 def test_tombstones_reelect_canonical(spark):
     """Removing a canonical re-elects the min surviving member; removed docs
     leave the assignment; untouched clusters keep their flags; exactly one

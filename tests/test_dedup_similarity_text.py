@@ -34,6 +34,24 @@ def test_exact_duplicates(docs):
     assert rows[3] == 1
 
 
+def test_exact_pairs_star_linear_in_clique_size(spark):
+    """A 1,000-copy content clique must emit exactly 999 star edges (member
+    -> min id), NOT the ~500k rows of the pre-round-5 full pair list — the
+    100 TB boilerplate-family guarantee (VERDICT r4 item 1).  Components
+    over the star must equal min-per-content groups."""
+    rows = [(i, "identical boilerplate license text body") for i in range(1000)]
+    rows += [(2000, "one unrelated document"), (2001, "one unrelated document")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = dedup.exact_pairs(docs)
+    assert edges.count() == 999 + 1  # 1000-clique star + the 2-copy pair
+    assert edges.filter(F.col("a") >= F.col("b")).count() == 0  # hub is the min
+    hubs = {r.a for r in edges.select("a").distinct().collect()}
+    assert hubs == {0, 2000}
+    assign = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs=edges).collect()}
+    assert all(assign[i] == 0 for i in range(1000))
+    assert assign[2000] == assign[2001] == 2000
+
+
 def test_ngram_jaccard_finds_near_dup(docs):
     pairs = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
