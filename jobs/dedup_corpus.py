@@ -3,7 +3,7 @@
     spark-submit --py-files kgforge.zip jobs/dedup_corpus.py \
         --docs <documents.parquet> --out <dir> \
         [--method minhash|simhash|exact] [--threshold 0.5] [--max-hamming 3] \
-        [--state <dir>]
+        [--state <dir>] [--remove <ids> [--no-split]]
 
 Writes to <out>:
     clusters/   (doc_id, cluster_id, is_canonical)  — full assignment
@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="kgforge corpus deduplication")
-    ap.add_argument("--docs", required=True, help="parquet path: doc_id, text, ...")
+    ap.add_argument("--docs", help="parquet path: doc_id, text, ...")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument(
         "--method",
@@ -65,6 +65,20 @@ def main(argv: list[str] | None = None) -> int:
         "read only for candidate docs, and clusters update from compressed "
         "star edges — per-batch cost is O(batch + candidates), not O(corpus).",
     )
+    ap.add_argument(
+        "--remove",
+        help="tombstone file for --state mode: doc ids to delete from the "
+        "corpus (parquet first column, or a text file with one id per "
+        "line).  Appends to the state's tombstones/ set, re-elects or "
+        "splits affected clusters, and refreshes assign/, clusters/ and "
+        "keep/ — no --docs batch in the same invocation.",
+    )
+    ap.add_argument(
+        "--no-split",
+        action="store_true",
+        help="with --remove: skip the pair-history component split and only "
+        "relabel/re-elect (clusters losing a bridge doc stay merged)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -81,14 +95,27 @@ def main(argv: list[str] | None = None) -> int:
 
     from kgforge.operators import dedup
 
+    if args.remove:
+        if not args.state:
+            ap.error("--remove requires --state (tombstones apply to a persistent state)")
+        if args.docs:
+            ap.error("--remove and --docs are separate invocations (remove first)")
+        return _run_remove(spark, args)
+    if not args.docs:
+        ap.error("--docs is required (except with --remove)")
     docs = spark.read.parquet(args.docs)
     if args.state:
-        if args.method != "minhash":
-            ap.error("--state (incremental mode) supports --method minhash only")
+        if args.method not in ("minhash", "simhash"):
+            ap.error("--state (incremental mode) supports --method minhash|simhash")
         return _run_incremental(spark, docs, args)
     if args.method == "minhash":
         thr = 0.5 if args.threshold is None else args.threshold
-        pairs = dedup.minhash_lsh_pairs(docs, threshold=thr)
+        # pairs=None takes dedup_clusters' default path: exact-content rep
+        # collapse + minhash over distinct contents (round 5) — same
+        # clusters, several-fold cheaper at real dup rates, and immune to
+        # the hot-shingle-guard escape for heavy families
+        clusters = dedup.dedup_clusters(docs, threshold=thr)
+        pairs = None
     elif args.method == "simhash":
         pairs = dedup.simhash_near_pairs(docs, max_hamming=args.max_hamming)
     elif args.method == "embed":
@@ -105,10 +132,11 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
         pairs = similarity.lsh_near_pairs(emb, threshold=thr)
-    else:  # exact: same-content cliques via md5 equi-join
+    else:  # exact: same-content star edges (min-id hub per md5)
         pairs = dedup.exact_pairs(docs)
 
-    clusters = dedup.dedup_clusters(docs, pairs=pairs)
+    if pairs is not None:
+        clusters = dedup.dedup_clusters(docs, pairs=pairs)
     clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
     clusters_r = spark.read.parquet(os.path.join(args.out, "clusters"))
 
@@ -143,8 +171,15 @@ def _run_incremental(spark, new_docs, args) -> int:
 
     thr = 0.5 if args.threshold is None else args.threshold
     n_batch = new_docs.count()
-    assign_r = dedup.incremental_dedup_update(spark, new_docs, args.state, thr)
+    assign_r = dedup.incremental_dedup_update(
+        spark, new_docs, args.state, thr,
+        method=args.method, max_hamming=args.max_hamming,
+    )
     all_docs = spark.read.parquet(os.path.join(args.state, "corpus"))
+    tomb_p = os.path.join(args.state, "tombstones")
+    if os.path.exists(tomb_p):
+        tombs = spark.read.parquet(tomb_p).select("doc_id").distinct()
+        all_docs = all_docs.join(tombs, "doc_id", "left_anti")
 
     assign_r.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
     keep = all_docs.join(
@@ -155,9 +190,52 @@ def _run_incremental(spark, new_docs, args) -> int:
     n_docs = all_docs.count()
     n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
     metrics = {
-        "method": "minhash",
+        "method": args.method,
         "incremental": True,
         "n_batch": n_batch,
+        "n_docs": n_docs,
+        "n_clusters": assign_r.select("cluster_id").distinct().count(),
+        "n_kept": n_keep,
+        "n_dropped": n_docs - n_keep,
+        "dup_rate": round((n_docs - n_keep) / max(n_docs, 1), 4),
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+def _run_remove(spark, args) -> int:
+    """Tombstone application: append ids, re-elect/split clusters, refresh
+    the clusters/ + keep/ outputs from the surviving corpus."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators import dedup
+
+    if args.remove.endswith(".parquet") or os.path.isdir(args.remove):
+        removed = spark.read.parquet(args.remove)
+    else:
+        removed = spark.read.text(args.remove).select(
+            F.trim("value").cast("long").alias("doc_id")
+        ).filter(F.col("doc_id").isNotNull())
+    n_removed = removed.count()
+    assign_r = dedup.incremental_dedup_remove(
+        spark, removed, args.state, split=not args.no_split
+    )
+    tombs = spark.read.parquet(os.path.join(args.state, "tombstones")).select("doc_id").distinct()
+    all_docs = spark.read.parquet(os.path.join(args.state, "corpus")).join(
+        tombs, "doc_id", "left_anti"
+    )
+    assign_r.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+    keep = all_docs.join(
+        assign_r.filter(F.col("is_canonical")).select("doc_id"), "doc_id", "left_semi"
+    )
+    keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
+
+    n_docs = all_docs.count()
+    n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
+    metrics = {
+        "method": "minhash",
+        "removed": n_removed,
+        "split": not args.no_split,
         "n_docs": n_docs,
         "n_clusters": assign_r.select("cluster_id").distinct().count(),
         "n_kept": n_keep,

@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--no-rules", action="store_true", help="disable the Gopher-style hard rules"
     )
+    ap.add_argument(
+        "--audit-lm",
+        action="store_true",
+        help="record avg_logprob in the audit even when no LM floor is "
+        "enabled (costs the two unigram-LM corpus passes; without this "
+        "flag a rules-only run is a single corpus scan and the audit's "
+        "avg_logprob column is null)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -98,18 +106,30 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.min_logprob is not None and args.drop_logprob_pct is not None:
         ap.error("--min-logprob and --drop-logprob-pct are mutually exclusive")
-    lm = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
+    lm_enabled = (
+        args.min_logprob is not None
+        or args.drop_logprob_pct is not None
+        or args.audit_lm
+    )
     floor = args.min_logprob
-    if args.drop_logprob_pct is not None:
-        # one scalar aggregate (t-digest sketch), never a global sort
-        floor = lm.agg(
-            F.percentile_approx(
-                "avg_logprob", args.drop_logprob_pct / 100.0, 10_000
-            ).alias("q")
-        ).head().q
-    # documents with zero words never appear in the LM relation: left join +
-    # null floor treats them as failing any enabled floor
-    audit = audit.join(lm, "doc_id", "left")
+    if lm_enabled:
+        # the unigram LM costs two corpus passes (vocabulary count + score
+        # join); pay them ONLY when an LM floor or --audit-lm asks for the
+        # signal — a rules-only run stays one corpus scan (VERDICT r4 item 6)
+        lm = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
+        if args.drop_logprob_pct is not None:
+            # one scalar aggregate (t-digest sketch), never a global sort
+            floor = lm.agg(
+                F.percentile_approx(
+                    "avg_logprob", args.drop_logprob_pct / 100.0, 10_000
+                ).alias("q")
+            ).head().q
+        # documents with zero words never appear in the LM relation: left
+        # join + null floor treats them as failing any enabled floor
+        audit = audit.join(lm, "doc_id", "left")
+    else:
+        # audit schema is stable either way; the column is null when unpaid
+        audit = audit.withColumn("avg_logprob", F.lit(None).cast("double"))
     if floor is not None:
         lm_col = F.coalesce(F.col("avg_logprob") >= floor, F.lit(False))
     else:

@@ -274,14 +274,33 @@ def minhash_lsh_pairs(
     lane-row form (pytest-pinned).
 
     ``max_df`` guards CANDIDATE GENERATION only: the exact-Jaccard verify
-    runs over the unfiltered shingle sets (see _jaccard_verify)."""
-    band = band_signatures(docs, k, bands, n, max_df, id_col)
+    runs over the unfiltered shingle sets (see _jaccard_verify).
+
+    Guard fallback (round 5, ADVICE r4): a family duplicated more than
+    ``max_df`` times has EVERY shingle over the guard, so its docs emit no
+    band rows at all — the heaviest dedup targets would silently escape.
+    Docs with non-empty text and zero band rows are re-linked through
+    content-md5 STAR edges (O(m) per family, exact duplicates, Jaccard
+    1.0 by construction) fed into the same verify.  Near-identical-but-
+    not-exact members of a >max_df family still escape THIS raw pair
+    operator; ``dedup_clusters`` closes that via exact-content rep
+    collapse (its default path)."""
+    band = band_signatures(docs, k, bands, n, max_df, id_col).localCheckpoint(
+        eager=False
+    )
     cand = (
         band.alias("x")
         .join(band.alias("y"), ["band", "band_sig"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .distinct()
+    )
+    if max_df is not None:
+        lost = docs.filter(F.length(F.trim(F.col("text"))) > 0).join(
+            band, id_col, "left_anti"
+        )
+        cand = cand.unionByName(exact_pairs(lost, id_col))
+    cand = (
+        cand.distinct()
         # referenced three times by the verify (id set x2 + common join):
         # materialize once instead of re-running the band join per reference
         .localCheckpoint(eager=False)
@@ -343,7 +362,19 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("a") != F.col("b"))
     )
-    cand = nn.unionByName(no).distinct().localCheckpoint(eager=False)
+    cand = nn.unionByName(no)
+    if max_df is not None:
+        # batch-local guard fallback (mirrors minhash_lsh_pairs): batch docs
+        # whose entire shingle set was guard-dropped re-link via content
+        # star edges WITHIN the batch.  A lost NEW doc exactly matching an
+        # OLD doc still escapes (that would need content hashes in the
+        # state); documented, and closed operationally by batch sizes below
+        # max_df or max_df=None.
+        lost = new_docs.filter(F.length(F.trim(F.col("text"))) > 0).join(
+            new_bands, id_col, "left_anti"
+        )
+        cand = cand.unionByName(exact_pairs(lost, id_col))
+    cand = cand.distinct().localCheckpoint(eager=False)
     docs_all = old_docs.select(F.col(id_col), "text").unionByName(
         new_docs.select(F.col(id_col), "text")
     )
@@ -359,15 +390,21 @@ def apply_tombstones(
     deletion a corpus dedup needs: a removed canonical must not leave its
     cluster without a keeper, and removed docs must leave the keep set.
 
-    The cluster LABEL becomes opaque after deletions: it stays stable (no
-    downstream re-keying) but may name a doc that no longer exists —
-    labels are identities, not members.  Full component SPLITS on
-    bridge-doc removal are out of scope by design: that requires the
-    retained pair history (or re-pairing the affected clusters), not the
-    assignment alone; for corpus dedup, keeping transitively-linked
-    near-dups in one cluster after a member's removal is conservative in
-    the safe direction (never emits two near-identical keepers).
-    ``removed`` is a one-column (id) DataFrame."""
+    Clusters are RELABELED to the elected keeper (round 5, ADVICE r4): the
+    round-4 form kept the old label, which could name a removed doc — fed
+    back as incremental state, ``dedup_clusters_incremental`` recomputes
+    is_canonical as label equality, so a cluster labeled by a tombstoned
+    doc got NO canonical row and every survivor silently left the keep
+    set.  Relabeling restores the invariant the incremental star
+    compression relies on (a cluster_id IS its component's minimum present
+    member) at the cost of downstream re-keying on deletion — the safe
+    trade.
+
+    Full component SPLITS on bridge-doc removal need the retained pair
+    history — see ``apply_tombstones_split``; without it, keeping
+    transitively-linked near-dups in one cluster after a member's removal
+    is conservative in the safe direction (never emits two near-identical
+    keepers).  ``removed`` is a one-column (id) DataFrame."""
     rm = removed.select(F.col(removed.columns[0]).alias(id_col))
     alive = assign.join(rm, id_col, "left_anti")
     new_canon = alive.groupBy("cluster_id").agg(F.min(id_col).alias("_keeper"))
@@ -375,10 +412,45 @@ def apply_tombstones(
         alive.join(new_canon, "cluster_id")
         .select(
             id_col,
-            "cluster_id",
+            F.col("_keeper").alias("cluster_id"),
             (F.col(id_col) == F.col("_keeper")).alias("is_canonical"),
         )
     )
+
+
+def apply_tombstones_split(
+    assign: DataFrame,
+    removed: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tombstone removal WITH component split (round 5, VERDICT r4 item 5):
+    given the retained pair history, clusters that lose a BRIDGE document
+    fall apart into their true remaining components instead of staying
+    conservatively merged.
+
+    Only AFFECTED clusters (those containing a removed doc) are
+    re-clustered — their surviving members' connectivity is recomputed from
+    the pair relation restricted to alive endpoints; every other cluster
+    passes through untouched.  All restriction joins are semi/anti joins
+    keyed on doc id, and the CC re-run is bounded by the affected clusters'
+    size, never the corpus.  ``pairs`` is the accumulated verified (a, b)
+    relation (the state dir's pairs/ table when run through
+    ``incremental_dedup_update``)."""
+    rm = removed.select(F.col(removed.columns[0]).alias(id_col))
+    aff = assign.join(rm, id_col, "left_semi").select("cluster_id").distinct()
+    alive = assign.join(rm, id_col, "left_anti")
+    untouched = alive.join(aff, "cluster_id", "left_anti").select(
+        id_col, "cluster_id", "is_canonical"
+    )
+    touched = alive.join(aff, "cluster_id", "left_semi").select(id_col)
+    p = (
+        pairs.select("a", "b")
+        .join(touched.withColumnRenamed(id_col, "a"), "a", "left_semi")
+        .join(touched.withColumnRenamed(id_col, "b"), "b", "left_semi")
+    )
+    re_clustered = dedup_clusters(touched, id_col=id_col, pairs=p)
+    return untouched.unionByName(re_clustered)
 
 
 def incremental_dedup_update(
@@ -387,14 +459,29 @@ def incremental_dedup_update(
     state_dir: str,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    method: str = "minhash",
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Apply ONE new-document batch to a persistent dedup state directory
     and return the refreshed full-corpus cluster assignment.
 
+    ``method`` selects the near-dup sketch: 'minhash' (band state =
+    band_signatures, Jaccard-verified against candidate text) or 'simhash'
+    (round 5: band state = simhash_band_rows, hamming-verified from the
+    carried signatures — no old-text reads).  The method is pinned in the
+    state dir's _META.json on the first batch; later batches must match
+    (mixing band schemas would silently produce zero candidates).
+
     State layout (plain-parquet backend):
-        bands/   band_signatures of every prior doc (append-only)
-        corpus/  accumulated (doc_id, text)        (append-only)
-        assign/  current (doc_id, cluster_id, is_canonical) (replaced)
+        bands/      band_signatures of every prior doc (append-only)
+        corpus/     accumulated (doc_id, text)        (append-only)
+        pairs/      accumulated verified (a, b) near-dup pairs (append-only)
+                    — the pair history that lets apply_tombstones_split
+                    break clusters on bridge-doc removal (round 5)
+        tombstones/ removed doc ids (append-only; lazy deletion — corpus/,
+                    bands/ and pairs/ keep the rows until compaction, and
+                    every reader anti-joins this set)
+        assign/     current (doc_id, cluster_id, is_canonical) (replaced)
 
     The two appends + assign swap are NOT one transaction on plain parquet —
     a crash between them can leave bands without corpus rows for the batch;
@@ -411,10 +498,15 @@ def incremental_dedup_update(
 
     from kgforge import fsio
 
+    if method not in ("minhash", "simhash"):
+        raise ValueError(f"unknown incremental dedup method {method!r}")
     fs = fsio.get_fs(state_dir)
     bands_p = os.path.join(state_dir, "bands")
     corpus_p = os.path.join(state_dir, "corpus")
+    pairs_p = os.path.join(state_dir, "pairs")
+    tomb_p = os.path.join(state_dir, "tombstones")
     assign_p = os.path.join(state_dir, "assign")
+    _check_state_method(fs, state_dir, method)
     _recover_assign_swap(fs, assign_p)
 
     def _read_or_empty(path, schema):
@@ -428,27 +520,125 @@ def incremental_dedup_update(
             return spark.createDataFrame([], schema)
         return spark.read.parquet(path)
 
-    old_bands = _read_or_empty(bands_p, f"{id_col} long, band int, band_sig long")
+    band_schema = (
+        f"{id_col} long, band int, band_sig long"
+        if method == "minhash"
+        else f"{id_col} long, band int, key long, simhash long"
+    )
+    old_bands = _read_or_empty(bands_p, band_schema)
     old_docs = _read_or_empty(corpus_p, f"{id_col} long, text string")
     prev_assign = _read_or_empty(
         assign_p, f"{id_col} long, cluster_id long, is_canonical boolean"
     )
     first_batch = not fs.exists(assign_p)
+    # lazy deletion: tombstoned docs remain in the append-only files until
+    # compaction; every reader anti-joins them out so a new doc can never
+    # pair with (or chain through) a removed one
+    has_tombs = fs.exists(tomb_p)
+    if has_tombs:
+        tombs = spark.read.parquet(tomb_p).select(id_col).distinct()
+        old_bands = old_bands.join(tombs, id_col, "left_anti")
+        old_docs = old_docs.join(tombs, id_col, "left_anti")
 
-    pairs, new_bands = incremental_minhash_pairs(
-        new_docs, old_bands, old_docs, threshold=threshold, id_col=id_col
-    )
+    if method == "minhash":
+        pairs, new_bands = incremental_minhash_pairs(
+            new_docs, old_bands, old_docs, threshold=threshold, id_col=id_col
+        )
+    else:
+        pairs, new_bands = incremental_simhash_pairs(
+            new_docs, old_bands, max_hamming=max_hamming, id_col=id_col
+        )
     # materialize this batch's pairs BEFORE mutating state: everything
     # derived from current state is computed first, then appended
     pairs = pairs.localCheckpoint(eager=True)
     new_bands.write.mode("append").parquet(bands_p)
     new_docs.select(id_col, "text").write.mode("append").parquet(corpus_p)
+    # pair history feeds apply_tombstones_split; append-only like bands/
+    pairs.select("a", "b").write.mode("append").parquet(pairs_p)
     all_docs = spark.read.parquet(corpus_p)
+    if has_tombs:
+        all_docs = all_docs.join(tombs, id_col, "left_anti")
     assign = dedup_clusters_incremental(
         all_docs, None if first_batch else prev_assign, pairs, id_col=id_col
     )
     _swap_assign(fs, assign, assign_p)
     return spark.read.parquet(assign_p)
+
+
+def incremental_dedup_remove(
+    spark,
+    removed: DataFrame,
+    state_dir: str,
+    split: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply tombstones to a persistent dedup state directory (round 5,
+    VERDICT r4 items 4-5): append the ids to tombstones/ (lazy deletion —
+    subsequent batch updates anti-join them out of bands/, corpus/ and the
+    candidate graph), recompute the assignment, and swap it in through the
+    same crash-safe rename protocol as a batch update.
+
+    With ``split=True`` and a pairs/ history present (written by every
+    round-5+ batch update), clusters that lose a BRIDGE document fall apart
+    into their true remaining components (``apply_tombstones_split``);
+    otherwise the conservative relabel-and-re-elect (``apply_tombstones``)
+    runs.  Either way the refreshed assignment keeps the invariant that a
+    cluster_id is its cluster's minimum PRESENT member, so it is safe as
+    ``prev_assign`` for the next incremental batch."""
+    import os
+
+    from kgforge import fsio
+
+    fs = fsio.get_fs(state_dir)
+    pairs_p = os.path.join(state_dir, "pairs")
+    tomb_p = os.path.join(state_dir, "tombstones")
+    assign_p = os.path.join(state_dir, "assign")
+    _recover_assign_swap(fs, assign_p)
+    if not fs.exists(assign_p):
+        raise FileNotFoundError(
+            f"no dedup state at {state_dir!r}: assign/ is missing — removals "
+            "apply to an existing state (run a batch update first)"
+        )
+    assign = spark.read.parquet(assign_p)
+    rm = (
+        removed.select(F.col(removed.columns[0]).alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rm.write.mode("append").parquet(tomb_p)
+    if split and fs.exists(pairs_p):
+        new_assign = apply_tombstones_split(
+            assign, rm, spark.read.parquet(pairs_p), id_col=id_col
+        )
+    else:
+        new_assign = apply_tombstones(assign, rm, id_col=id_col)
+    _swap_assign(fs, new_assign, assign_p)
+    return spark.read.parquet(assign_p)
+
+
+def _check_state_method(fs, state_dir: str, method: str) -> None:
+    """Pin the sketch method in _META.json on first use; refuse a mismatch
+    on later batches — mixing band schemas would not fail loudly on its own
+    (the equi-join on differently-derived keys just finds no candidates).
+    Plain json via local file IO: the marker lives beside the parquet state
+    and shares its non-transactional caveats (kgforge/catalog.py closes
+    them on Iceberg)."""
+    import json
+    import os
+
+    meta_p = os.path.join(state_dir, "_META.json")
+    if fs.exists(meta_p):
+        with open(meta_p) as fh:
+            recorded = json.load(fh).get("method")
+        if recorded != method:
+            raise ValueError(
+                f"dedup state at {state_dir!r} was built with method "
+                f"{recorded!r}; cannot apply a {method!r} batch to it"
+            )
+    else:
+        fs.makedirs(state_dir)
+        with open(meta_p, "w") as fh:
+            json.dump({"method": method}, fh)
 
 
 def _assign_swap_paths(assign_p: str) -> tuple:
@@ -547,12 +737,14 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys; any
-    pair within hamming distance 3 shares at least one exact 16-bit band
-    (pigeonhole), so candidates come from 4 equi-joins, not a cross join."""
-    sig = simhash_signatures(docs)
-    bands = sig.select(
+def simhash_band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key, simhash): the 64-bit signature banded into
+    4x16-bit keys.  Carrying the signature on every band row costs 8 extra
+    bytes x4 rows per doc and buys verification WITHOUT any further lookup
+    — this relation is also the incremental-simhash state (round 5): unlike
+    MinHash, the sketch itself suffices to verify a candidate, so the
+    incremental path never reads old document text at all."""
+    return sig.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -568,7 +760,23 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key", "simhash")
+
+
+def _simhash_verify(cand: DataFrame, max_hamming: int) -> DataFrame:
+    return (
+        cand.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys; any
+    pair within hamming distance 3 shares at least one exact 16-bit band
+    (pigeonhole), so candidates come from 4 equi-joins, not a cross join."""
+    bands = simhash_band_rows(simhash_signatures(docs))
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
@@ -579,13 +787,57 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("x.simhash").alias("sa"),
             F.col("y.simhash").alias("sb"),
         )
-        .distinct()
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+    return _simhash_verify(cand, max_hamming)
+
+
+def incremental_simhash_pairs(
+    new_docs: DataFrame,
+    old_bands: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> tuple:
+    """SimHash near-dup pairs for a NEW batch against a growing corpus —
+    the simhash analogue of ``incremental_minhash_pairs`` (round 5, VERDICT
+    r4 item 7).  State = the persisted ``simhash_band_rows`` relation of
+    all prior docs; per batch: band the new docs (one Python pass over the
+    BATCH only), candidates from new x new + new x old (band, key)
+    equi-joins, hamming verified directly from the signatures carried on
+    the band rows — old text is NEVER read (the sketch is sufficient),
+    which makes this path even cheaper than the minhash one.
+
+    Returns (pairs, new_bands); pairs involve >= 1 new doc; new_bands is
+    the state delta to append."""
+    if id_col != "doc_id":
+        new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
+    new_bands = simhash_band_rows(simhash_signatures(new_docs)).localCheckpoint(
+        eager=False
     )
+    nn = (
+        new_bands.alias("x")
+        .join(new_bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+    )
+    x_lt = F.col("x.doc_id") < F.col("y.doc_id")
+    no = (
+        new_bands.alias("x")
+        .join(old_bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("b"),
+            F.when(x_lt, F.col("x.simhash")).otherwise(F.col("y.simhash")).alias("sa"),
+            F.when(x_lt, F.col("y.simhash")).otherwise(F.col("x.simhash")).alias("sb"),
+        )
+    )
+    pairs = _simhash_verify(nn.unionByName(no), max_hamming)
+    return pairs, new_bands
 
 
 def _cc_star(
@@ -774,9 +1026,37 @@ def dedup_clusters(
     themselves); is_canonical = (doc_id == cluster_id) — the one row per
     cluster a dedup keep-filter retains.  No extra shuffle for the
     canonical flag: the component label IS the minimum member by
-    construction."""
+    construction.
+
+    Default path (round 5, ADVICE r4): exact-content REP COLLAPSE before
+    the near-dup sketch — one groupBy on content md5 elects a
+    representative (min id) per distinct content, MinHash+LSH runs over
+    the representatives only, and members link to their rep through star
+    edges.  Components are identical to sketching the raw corpus (Jaccard
+    depends only on content), but (a) a family duplicated beyond
+    ``max_df`` no longer loses every shingle to the hot-shingle guard —
+    its VARIANTS collapse to a few reps whose shingle df is the distinct-
+    content count, so near-dup variants of heavy boilerplate families
+    cluster instead of silently escaping; and (b) the shingle explode +
+    band join run over distinct contents, which at real dup rates shrinks
+    the expensive stages several-fold for one text shuffle keyed on md5 —
+    the standard production ordering (exact dedup first, near-dup over
+    uniques)."""
     if pairs is None:
-        pairs = minhash_lsh_pairs(docs, id_col=id_col, **lsh_kwargs)
+        grouped = docs.groupBy(F.md5(F.col("text")).alias("_h")).agg(
+            F.min(id_col).alias(id_col), F.any_value("text").alias("text")
+        )
+        hubs = grouped.select("_h", F.col(id_col).alias("a"))
+        star = (
+            docs.select(F.col(id_col), F.md5(F.col("text")).alias("_h"))
+            .join(hubs, "_h")
+            .filter(F.col(id_col) != F.col("a"))
+            .select("a", F.col(id_col).alias("b"))
+        )
+        rep_pairs = minhash_lsh_pairs(
+            grouped.select(id_col, "text"), id_col=id_col, **lsh_kwargs
+        )
+        pairs = rep_pairs.select("a", "b").unionByName(star)
     comp = connected_components(pairs, "a", "b")
     return (
         docs.select(id_col)

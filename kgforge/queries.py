@@ -319,11 +319,36 @@ def ann_cosine_topk(spark, sf):
     return similarity.cosine_topk(e, [float(x) for x in qvec], k=10)
 
 
-@q("ann_lsh", None)  # bucket assignment uses seeded hyperplanes -> rows-only
-def ann_lsh(spark, sf):
-    e = T(spark, sf, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity.lsh_topk(e, [float(x) for x in qvec], k=10)
+@q(
+    "embed_quantize",
+    """WITH q AS (
+         SELECT vec_id,
+                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s,
+                embedding::DOUBLE[] AS v
+         FROM embeddings)
+       SELECT vec_id,
+              round(s, 6) AS scale,
+              array_to_string(
+                list_transform(v, x -> CAST(round(x / greatest(s, 1e-12)) AS INT)),
+                ',') AS qvec_csv
+       FROM q""",
+)
+def embed_quantize(spark, sf):
+    """Symmetric int8 quantization of the embedding column (4x smaller
+    scan/shuffle payload for ANN at scale); int CSV projection at the
+    registry seam only (rows-only canonicalizer cannot sort list columns;
+    ints render identically in both engines).
+
+    Round 5: promoted into the driver-recorded first 50 (VERDICT r4 item
+    3) in ann_lsh's slot — ann_lsh was rows-only (seeded hyperplanes) and
+    stays pytest-gated in the extras; this entry carries a full value
+    oracle for an LLM-pipeline operator."""
+    out = similarity.quantize_embeddings(T(spark, sf, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))).alias("qvec_csv"),
+    )
 
 
 @q(
@@ -998,63 +1023,63 @@ def fn_map(spark, sf):
 
 
 # =============================================================================
-# TPC-H-shaped headline analytics (classic OLAP breadth over the star schema)
+# LLM-pipeline text oracles, promoted into the driver-recorded 50 (round 5,
+# VERDICT r4 item 3) in the slots of tpch_q1/tpch_q5 — the TPC-H entries'
+# scan/filter/agg and multi-join/broadcast shapes stay driver-covered via
+# entry(), join_broadcast, join_sortmerge, agg_multi and sort_global, and
+# both stay registered + locally oracle-checked in the extras.
 # =============================================================================
 
 @q(
-    "tpch_q1",
-    """SELECT l_returnflag, l_linestatus,
-              round(sum(l_quantity), 2) AS sum_qty,
-              round(sum(l_extendedprice), 2) AS sum_base,
-              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-              round(avg(l_quantity), 4) AS avg_qty,
-              CAST(count(*) AS BIGINT) AS n
-       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-       GROUP BY l_returnflag, l_linestatus""",
+    "text_unigram_lm",
+    """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                  FROM documents),
+         w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+         vf AS (SELECT word, count(*) AS c FROM w2 GROUP BY word),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vf)
+       SELECT doc_id,
+              round(avg(ln(c / t)), 5) AS avg_logprob,
+              CAST(count(*) AS BIGINT) AS n_words
+       FROM w2 JOIN vf USING (word), tot
+       GROUP BY doc_id""",
 )
-def tpch_q1(spark, sf):
-    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.count("*").alias("n"),
-    )
+def text_unigram_lm(spark, sf):
+    """Corpus-self-scored unigram-LM quality signal (the cheap
+    perplexity-style ranking a pretraining pipeline filters on); the oracle
+    replays the identical vocabulary counts and log-mean arithmetic."""
+    return text.unigram_logprob(T(spark, sf, "documents"))
 
 
 @q(
-    "tpch_q5",
-    """SELECT n.n_name,
-              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-       FROM customer c
-       JOIN orders o ON c.c_custkey = o.o_custkey
-       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-       JOIN nation n ON s.s_nationkey = n.n_nationkey
-       JOIN region r ON n.n_regionkey = r.r_regionkey
-       WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1995-01-01'
-         AND o.o_orderdate < TIMESTAMP '1996-01-01'
-       GROUP BY n.n_name""",
+    "text_quality_rules",
+    """WITH w AS (SELECT doc_id, text,
+                         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> length(x) > 0) AS words
+                  FROM documents),
+         m AS (SELECT doc_id, text,
+                      CAST(len(words) AS INT) AS n_words,
+                      list_sum(list_transform(words, x -> length(x)))
+                        / greatest(len(words), 1) AS mwl,
+                      CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1) AS sr,
+                      len(list_filter(words,
+                          x -> x IN ('the','a','of','and','to','in','is','it'))) > 0 AS has_stop
+               FROM w)
+       SELECT doc_id, n_words,
+              round(mwl, 4) AS mean_word_len,
+              round(sr, 4) AS symbol_ratio,
+              n_words >= 3 AND n_words <= 100000 AS ok_word_count,
+              mwl >= 2.0 AND mwl <= 12.0 AS ok_word_len,
+              sr <= 0.3 AS ok_symbols,
+              has_stop AS ok_stopword,
+              (n_words >= 3 AND n_words <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
+                AND sr <= 0.3 AND has_stop AS keep
+       FROM m""",
 )
-def tpch_q5(spark, sf):
-    c, o, l, s, n, r = (T(spark, sf, x) for x in
-                        ("customer", "orders", "lineitem", "supplier", "nation", "region"))
-    o = o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
-    r = r.filter(F.col("r_name") == "ASIA")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-    )
+def text_quality_rules(spark, sf):
+    """Gopher-style hard quality rules as per-rule booleans + the keep
+    conjunction — the corpus filter shape; all rules replayed in SQL."""
+    return text.quality_rules(T(spark, sf, "documents"))
 
 
 # =============================================================================
@@ -1218,82 +1243,78 @@ def hash_split_q(spark, sf):
 
 
 @q(
-    "text_unigram_lm",
-    """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-                  FROM documents),
-         w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
-         vf AS (SELECT word, count(*) AS c FROM w2 GROUP BY word),
-         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vf)
-       SELECT doc_id,
-              round(avg(ln(c / t)), 5) AS avg_logprob,
-              CAST(count(*) AS BIGINT) AS n_words
-       FROM w2 JOIN vf USING (word), tot
-       GROUP BY doc_id""",
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+              round(avg(l_quantity), 4) AS avg_qty,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
 )
-def text_unigram_lm(spark, sf):
-    """Corpus-self-scored unigram-LM quality signal (the cheap
-    perplexity-style ranking a pretraining pipeline filters on); the oracle
-    replays the identical vocabulary counts and log-mean arithmetic."""
-    return text.unigram_logprob(T(spark, sf, "documents"))
-
-
-@q(
-    "text_quality_rules",
-    """WITH w AS (SELECT doc_id, text,
-                         list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                     x -> length(x) > 0) AS words
-                  FROM documents),
-         m AS (SELECT doc_id, text,
-                      CAST(len(words) AS INT) AS n_words,
-                      list_sum(list_transform(words, x -> length(x)))
-                        / greatest(len(words), 1) AS mwl,
-                      CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                        / greatest(length(text), 1) AS sr,
-                      len(list_filter(words,
-                          x -> x IN ('the','a','of','and','to','in','is','it'))) > 0 AS has_stop
-               FROM w)
-       SELECT doc_id, n_words,
-              round(mwl, 4) AS mean_word_len,
-              round(sr, 4) AS symbol_ratio,
-              n_words >= 3 AND n_words <= 100000 AS ok_word_count,
-              mwl >= 2.0 AND mwl <= 12.0 AS ok_word_len,
-              sr <= 0.3 AS ok_symbols,
-              has_stop AS ok_stopword,
-              (n_words >= 3 AND n_words <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
-                AND sr <= 0.3 AND has_stop AS keep
-       FROM m""",
-)
-def text_quality_rules(spark, sf):
-    """Gopher-style hard quality rules as per-rule booleans + the keep
-    conjunction — the corpus filter shape; all rules replayed in SQL."""
-    return text.quality_rules(T(spark, sf, "documents"))
-
-
-@q(
-    "embed_quantize",
-    """WITH q AS (
-         SELECT vec_id,
-                list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s,
-                embedding::DOUBLE[] AS v
-         FROM embeddings)
-       SELECT vec_id,
-              round(s, 6) AS scale,
-              array_to_string(
-                list_transform(v, x -> CAST(round(x / greatest(s, 1e-12)) AS INT)),
-                ',') AS qvec_csv
-       FROM q""",
-)
-def embed_quantize(spark, sf):
-    """Symmetric int8 quantization of the embedding column (4x smaller
-    scan/shuffle payload for ANN at scale); int CSV projection at the
-    registry seam only (rows-only canonicalizer cannot sort list columns;
-    ints render identically in both engines)."""
-    out = similarity.quantize_embeddings(T(spark, sf, "embeddings"))
-    return out.select(
-        "vec_id",
-        F.round("scale", 6).alias("scale"),
-        F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))).alias("qvec_csv"),
+def tpch_q1(spark, sf):
+    """Round 5: retired from the driver-recorded 50 in favor of
+    text_unigram_lm (VERDICT r4 item 3) — its scan/filter/multi-agg shape
+    stays driver-covered by agg_multi + entry(); locally oracle-checked
+    here via scripts/check_correctness.py."""
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("n"),
     )
+
+
+@q(
+    "tpch_q5",
+    """SELECT n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01'
+       GROUP BY n.n_name""",
+)
+def tpch_q5(spark, sf):
+    """Round 5: retired from the driver-recorded 50 in favor of
+    text_quality_rules (VERDICT r4 item 3) — its multi-join + broadcast
+    shape stays driver-covered by join_broadcast/join_sortmerge; locally
+    oracle-checked here."""
+    c, o, l, s, n, r = (T(spark, sf, x) for x in
+                        ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    o = o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+    r = r.filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@q("ann_lsh", None)  # bucket assignment uses seeded hyperplanes -> rows-only
+def ann_lsh(spark, sf):
+    """Round 5: retired from the driver-recorded 50 in favor of
+    embed_quantize (a full value oracle beats a rows-only count in the
+    recorded set); lsh_topk stays pytest-gated
+    (test_lsh_topk_contains_near_dup) and rows-checked locally."""
+    e = T(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_topk(e, [float(x) for x in qvec], k=10)
 
 
 @q("dedup_incremental", None)  # two-batch state flow -> rows-only + pytest
@@ -1319,12 +1340,18 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "tpch_q3",
     "ann_batch_topk",
     "hash_split",
-    "text_unigram_lm",
-    "text_quality_rules",
-    "embed_quantize",
+    "tpch_q1",
+    "tpch_q5",
+    "ann_lsh",
     "dedup_incremental",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
     "round 4: the CC oracle must be driver-recorded (swapped in for tpch_q3)"
 )
+for _k in ("text_unigram_lm", "text_quality_rules", "embed_quantize"):
+    # round 5 (VERDICT r4 item 3): the oracle-bearing LLM-pipeline text and
+    # embedding entries must be driver-recorded; tpch_q1/q5 + ann_lsh moved
+    # to the extras (disclosed in their docstrings for round-over-round
+    # comparability, per ADVICE r4)
+    assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 assert len(REGISTRY) == 59, f"registry must hold exactly 59 entries, got {len(REGISTRY)}"

@@ -4,10 +4,18 @@ persisted band state, and cluster maintenance from compressed star edges —
 the per-batch path of a growing corpus.  The gate: the union of per-batch
 results must equal the one-shot run over the full corpus."""
 
+import json
+import os
+import sys
+
 import pytest
 from pyspark.sql import functions as F
 
 from kgforge.operators import dedup
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+)
 
 # batch 1: two near-dup families + singletons; batch 2: new docs joining
 # existing families, a new family, and a bridge between old families
@@ -134,6 +142,68 @@ def test_streaming_dedup_equals_oneshot(spark, tmpdir_path):
     assert again == got
 
 
+def test_incremental_simhash_pairs_union_equals_oneshot(spark, frames):
+    """The simhash analogue of the minhash batch-union gate: per-batch pairs
+    (new x new + new x old from the persisted band rows) unioned across
+    batches must equal the one-shot simhash_near_pairs over the full
+    corpus — and verification never touches old text (the band rows carry
+    the signatures)."""
+    b1, b2, full = frames
+    empty = spark.createDataFrame([], "doc_id long, band int, key long, simhash long")
+    p1, bands1 = dedup.incremental_simhash_pairs(b1, empty, max_hamming=10)
+    p2, bands2 = dedup.incremental_simhash_pairs(b2, bands1, max_hamming=10)
+    got = {(r.a, r.b, r.hamming) for r in p1.collect()} | {
+        (r.a, r.b, r.hamming) for r in p2.collect()
+    }
+    want = {(r.a, r.b, r.hamming)
+            for r in dedup.simhash_near_pairs(full, max_hamming=10).collect()}
+    assert got == want
+    assert want  # discriminating
+    assert all(r.a >= 10 or r.b >= 10 for r in p2.collect())
+    assert bands2.count() == 4 * len(BATCH2)
+
+
+def test_incremental_state_simhash_cli_matches_oneshot(spark, tmpdir_path, capsys):
+    """--state with --method simhash: two batches must end with the same
+    clusters as a one-shot simhash run over the full corpus (VERDICT r4
+    item 7 — the CLI error for simhash state mode is gone)."""
+    import dedup_corpus
+
+    b1 = BATCH1
+    b2 = [(10, BATCH1[0][1]), (12, "a brand new topic about knowledge graphs")]
+    full = b1 + b2
+    paths = {}
+    for name, rows in (("b1", b1), ("b2", b2), ("full", full)):
+        p = os.path.join(tmpdir_path, f"sh_{name}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+        paths[name] = p
+    state = os.path.join(tmpdir_path, "sh_state")
+    out1, out2, out_full = (os.path.join(tmpdir_path, f"sh_out{i}") for i in range(3))
+    common = ["--method", "simhash", "--max-hamming", "10"]
+    assert dedup_corpus.main(["--docs", paths["b1"], "--out", out1, "--state", state, *common]) == 0
+    assert dedup_corpus.main(["--docs", paths["b2"], "--out", out2, "--state", state, *common]) == 0
+    assert dedup_corpus.main(["--docs", paths["full"], "--out", out_full, *common]) == 0
+    capsys.readouterr()
+    got = {(r.doc_id, r.cluster_id, r.is_canonical)
+           for r in spark.read.parquet(os.path.join(out2, "clusters")).collect()}
+    want = {(r.doc_id, r.cluster_id, r.is_canonical)
+            for r in spark.read.parquet(os.path.join(out_full, "clusters")).collect()}
+    assert got == want
+    by_doc = {d: c for d, c, _ in got}
+    assert by_doc[10] == 0  # exact copy of doc 0 joined its cluster via state
+
+
+def test_state_method_mismatch_raises(spark, tmpdir_path):
+    """A state dir pinned to one sketch method must refuse a batch with the
+    other — a silent schema mix would just find zero candidates."""
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    state = os.path.join(tmpdir_path, "mm_state")
+    dedup.incremental_dedup_update(spark, b1, state, method="minhash")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash"):
+        dedup.incremental_dedup_update(spark, b2, state, method="simhash")
+
+
 def test_corrupt_state_raises_instead_of_resetting(spark, tmpdir_path):
     """A corrupt bands/ dir (present but unreadable) must RAISE — the
     pre-round-5 bare `except Exception` treated it as 'first batch' and the
@@ -206,8 +276,10 @@ def test_assign_swap_crash_recovery(spark, tmpdir_path):
 
 
 def test_tombstones_reelect_canonical(spark):
-    """Removing a canonical re-elects the min surviving member; removed docs
-    leave the assignment; untouched clusters keep their flags; exactly one
+    """Removing a canonical re-elects the min surviving member AND relabels
+    the cluster to it (round 5, ADVICE r4: a label naming a removed doc
+    breaks is_canonical = label-equality downstream); removed docs leave
+    the assignment; untouched clusters keep their flags; exactly one
     canonical per surviving cluster."""
     assign = spark.createDataFrame(
         [(0, 0, True), (1, 0, False), (2, 0, False),
@@ -218,10 +290,89 @@ def test_tombstones_reelect_canonical(spark):
     out = {r.doc_id: (r.cluster_id, r.is_canonical)
            for r in dedup.apply_tombstones(assign, removed).collect()}
     assert 0 not in out and 9 not in out
-    assert out[1] == (0, True)  # re-elected keeper; label stays 0 (opaque)
-    assert out[2] == (0, False)
+    assert out[1] == (1, True)  # re-elected keeper IS the new label
+    assert out[2] == (1, False)
     assert out[5] == (5, True) and out[6] == (5, False)
     per_cluster = {}
     for _, (cid, canon) in out.items():
         per_cluster[cid] = per_cluster.get(cid, 0) + int(canon)
     assert all(n == 1 for n in per_cluster.values())
+
+
+def test_tombstoned_assignment_safe_as_incremental_state(spark):
+    """The ADVICE r4 regression: feeding a post-tombstone assignment as
+    prev_assign into dedup_clusters_incremental must NOT drop surviving
+    clusters from the keep set (the old opaque label named a removed doc,
+    so no member satisfied doc_id == cluster_id)."""
+    assign = spark.createDataFrame(
+        [(0, 0, True), (1, 0, False), (2, 0, False)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    removed = spark.createDataFrame([(0,)], "doc_id long")
+    after = dedup.apply_tombstones(assign, removed)
+    docs = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string")
+    no_pairs = spark.createDataFrame([], "a long, b long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.dedup_clusters_incremental(docs, after, no_pairs).collect()}
+    assert out[1] == (1, True)  # the re-elected canonical SURVIVES the round-trip
+    assert out[2] == (1, False)
+    assert out[3] == (3, True)
+
+
+def test_tombstone_split_breaks_bridged_cluster(spark, tmpdir_path):
+    """Removing a BRIDGE document must split its cluster into the true
+    remaining components when the pair history is retained (VERDICT r4
+    item 5): chain a-b-c with b removed yields {a}, {c}."""
+    assign = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (7, 7, True)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")  # chain 1-2-3
+    removed = spark.createDataFrame([(2,)], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.apply_tombstones_split(assign, removed, pairs).collect()}
+    assert out[1] == (1, True) and out[3] == (3, True)  # split into two keepers
+    assert out[7] == (7, True)  # untouched cluster passes through
+    assert 2 not in out
+
+
+def test_remove_cli_reelects_and_next_batch_excludes(spark, tmpdir_path, capsys):
+    """CLI --remove: removing a canonical re-elects inside the state, keep/
+    never contains a removed id, and the NEXT batch cannot pair with (or
+    chain through) the removed doc."""
+    import dedup_corpus
+
+    state = os.path.join(tmpdir_path, "rm_state")
+    out1 = os.path.join(tmpdir_path, "rm_out1")
+    b1 = [(0, "the quick brown fox jumps over the lazy dog again and again today"),
+          (1, "the quick brown fox jumps over the lazy dog again and again today"),
+          (4, "numerical linear algebra kernels on tensor cores with mixed precision")]
+    p_b1 = os.path.join(tmpdir_path, "rm_b1.parquet")
+    spark.createDataFrame(b1, "doc_id long, text string").write.parquet(p_b1)
+    assert dedup_corpus.main(["--docs", p_b1, "--out", out1, "--state", state]) == 0
+    capsys.readouterr()
+
+    # remove the canonical doc 0 via a text id file
+    ids_f = os.path.join(tmpdir_path, "rm_ids.txt")
+    with open(ids_f, "w") as fh:
+        fh.write("0\n")
+    out2 = os.path.join(tmpdir_path, "rm_out2")
+    assert dedup_corpus.main(["--out", out2, "--state", state, "--remove", ids_f]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["removed"] == 1 and m["n_docs"] == 2
+    keep_ids = {r.doc_id for r in spark.read.parquet(f"{out2}/keep").collect()}
+    assert 0 not in keep_ids and 1 in keep_ids  # doc 1 re-elected
+
+    # next batch: an exact copy of the REMOVED doc's text must cluster with
+    # the surviving copy (doc 1), never resurrect doc 0
+    out3 = os.path.join(tmpdir_path, "rm_out3")
+    p_b2 = os.path.join(tmpdir_path, "rm_b2.parquet")
+    spark.createDataFrame(
+        [(10, b1[0][1])], "doc_id long, text string"
+    ).write.parquet(p_b2)
+    assert dedup_corpus.main(["--docs", p_b2, "--out", out3, "--state", state]) == 0
+    capsys.readouterr()
+    clusters = {r.doc_id: r.cluster_id
+                for r in spark.read.parquet(f"{out3}/clusters").collect()}
+    assert 0 not in clusters
+    assert clusters[10] == clusters[1] == 1

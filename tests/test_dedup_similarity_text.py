@@ -102,6 +102,49 @@ def test_minhash_max_df_guard_suppresses_boilerplate_candidates(spark):
     assert with_guard == 0  # guard removes them; unique tails never collide
 
 
+def test_minhash_guard_fallback_links_hot_exact_family(spark):
+    """ADVICE r4: a family duplicated beyond max_df loses EVERY shingle to
+    the hot-shingle guard — pre-round-5 its docs emitted no band rows and
+    silently escaped.  The fallback re-links identical-content lost docs
+    via md5 star edges (Jaccard 1.0), O(m) per family."""
+    rows = [(i, "identical boilerplate body repeated many times over") for i in range(10)]
+    rows += [(100, "some totally unrelated document text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_df=3)
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
+    assert set(got) == {(0, b) for b in range(1, 10)}  # star, not clique
+    assert all(j == 1.0 for j in got.values())
+
+
+def test_dedup_clusters_rep_collapse_catches_hot_near_dup_family(spark):
+    """The full ADVICE r4 scenario: a >max_df family WITH INTERNAL
+    VARIATION.  Raw minhash drops every shingle (both variants exceed the
+    guard); rep collapse reduces the family to 2 representatives whose
+    shingle df is 2, so the near-dup pair is found and the WHOLE family
+    forms one cluster."""
+    text_a = "the standard license header text for every generated file today"
+    text_b = "the standard license header text for every generated file tonight"
+    rows = [(i, text_a) for i in range(10)] + [(100 + i, text_b) for i in range(10)]
+    rows += [(900, "completely unrelated content about something else entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assign = {r.doc_id: r.cluster_id
+              for r in dedup.dedup_clusters(docs, threshold=0.5, max_df=3).collect()}
+    family = [assign[i] for i in range(10)] + [assign[100 + i] for i in range(10)]
+    assert set(family) == {0}  # one cluster across BOTH variants
+    assert assign[900] == 900
+
+
+def test_dedup_clusters_default_equals_raw_pair_path(docs):
+    """Rep collapse must not change results when no family crosses the
+    guard: default-path clusters == clusters over raw minhash pairs."""
+    got = {(r.doc_id, r.cluster_id, r.is_canonical)
+           for r in dedup.dedup_clusters(docs, threshold=0.5).collect()}
+    want = {(r.doc_id, r.cluster_id, r.is_canonical)
+            for r in dedup.dedup_clusters(
+                docs, pairs=dedup.minhash_lsh_pairs(docs, threshold=0.5)).collect()}
+    assert got == want
+
+
 def test_simhash_near_pairs(docs):
     pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
     assert (0, 2) in pairs and pairs[(0, 2)] == 0  # identical text -> identical simhash

@@ -72,6 +72,34 @@ def test_percentile_floor_drops_worst_scorers(spark, docs_path, tmpdir_path, cap
     assert all(s >= m["filters"]["lm_floor"] for s in kept_scores)
 
 
+def test_rules_only_run_never_pays_the_lm_passes(spark, docs_path, tmpdir_path, capsys, monkeypatch):
+    """Without an LM floor or --audit-lm, the two unigram-LM corpus passes
+    must not run at all (VERDICT r4 item 6) — asserted by making the LM
+    operator raise — and the audit's avg_logprob column is null."""
+    from kgforge.operators import text
+
+    def _boom(*a, **k):
+        raise AssertionError("unigram_logprob must not be invoked on a rules-only run")
+
+    monkeypatch.setattr(text, "unigram_logprob", _boom)
+    out = os.path.join(tmpdir_path, "f_nolm")
+    m = _run(docs_path, out, capsys)
+    assert m["n_docs"] == 5 and m["fail_lm"] == 0
+    audit = spark.read.parquet(os.path.join(out, "audit"))
+    assert "avg_logprob" in audit.columns  # schema stable even when unpaid
+    assert audit.filter(F.col("avg_logprob").isNotNull()).count() == 0
+
+
+def test_audit_lm_records_scores_without_filtering(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_auditlm")
+    m = _run(docs_path, out, capsys, "--audit-lm")
+    assert m["fail_lm"] == 0  # no floor -> the LM never drops
+    audit = spark.read.parquet(os.path.join(out, "audit"))
+    # every doc with words carries a real score (doc 3 is all symbols ->
+    # its tokens still count as words for the unigram LM)
+    assert audit.filter(F.col("avg_logprob").isNotNull()).count() >= 4
+
+
 def test_min_logprob_and_pct_are_exclusive(docs_path, tmpdir_path):
     import filter_corpus
 
