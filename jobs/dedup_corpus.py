@@ -3,7 +3,7 @@
     spark-submit --py-files kgforge.zip jobs/dedup_corpus.py \
         --docs <documents.parquet> --out <dir> \
         [--method minhash|simhash|exact] [--threshold 0.5] [--max-hamming 3] \
-        [--state <dir>] [--remove <ids> [--no-split]]
+        [--state <dir>] [--remove <ids> [--no-split]] [--compact]
 
 Writes to <out>:
     clusters/   (doc_id, cluster_id, is_canonical)  — full assignment
@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --remove: skip the pair-history component split and only "
         "relabel/re-elect (clusters losing a bridge doc stay merged)",
     )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="with --state: physically rewrite the state tables without "
+        "tombstoned rows and clear the tombstone set (reclaims storage and "
+        "retires the per-batch anti-join); runs alone, no --docs/--remove",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -95,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from kgforge.operators import dedup
 
+    if args.compact:
+        if not args.state:
+            ap.error("--compact requires --state")
+        if args.docs or args.remove:
+            ap.error("--compact runs alone (no --docs / --remove)")
+        m = dedup.compact_dedup_state(spark, args.state)
+        print(json.dumps(m))
+        return 0
     if args.remove:
         if not args.state:
             ap.error("--remove requires --state (tombstones apply to a persistent state)")

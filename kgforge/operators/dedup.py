@@ -461,6 +461,7 @@ def incremental_dedup_update(
     id_col: str = "doc_id",
     method: str = "minhash",
     max_hamming: int = 3,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Apply ONE new-document batch to a persistent dedup state directory
     and return the refreshed full-corpus cluster assignment.
@@ -475,12 +476,20 @@ def incremental_dedup_update(
     State layout (plain-parquet backend):
         bands/      band_signatures of every prior doc (append-only)
         corpus/     accumulated (doc_id, text)        (append-only)
+        hashes/     accumulated (doc_id, content md5) (append-only) — closes
+                    the guard-escape across batches: a batch holding more
+                    than max_df copies of one content emits no band rows
+                    for them, so without this table those docs could never
+                    link to their OLD exact copies; one md5 equi-join
+                    against the (min-id-per-md5) hub view restores the
+                    links at O(1) edges per new doc, no text reads
         pairs/      accumulated verified (a, b) near-dup pairs (append-only)
                     — the pair history that lets apply_tombstones_split
                     break clusters on bridge-doc removal (round 5)
         tombstones/ removed doc ids (append-only; lazy deletion — corpus/,
-                    bands/ and pairs/ keep the rows until compaction, and
-                    every reader anti-joins this set)
+                    bands/ and pairs/ keep the rows until compaction
+                    (compact_dedup_state), and every reader anti-joins
+                    this set)
         assign/     current (doc_id, cluster_id, is_canonical) (replaced)
 
     The two appends + assign swap are NOT one transaction on plain parquet —
@@ -503,6 +512,7 @@ def incremental_dedup_update(
     fs = fsio.get_fs(state_dir)
     bands_p = os.path.join(state_dir, "bands")
     corpus_p = os.path.join(state_dir, "corpus")
+    hashes_p = os.path.join(state_dir, "hashes")
     pairs_p = os.path.join(state_dir, "pairs")
     tomb_p = os.path.join(state_dir, "tombstones")
     assign_p = os.path.join(state_dir, "assign")
@@ -527,6 +537,7 @@ def incremental_dedup_update(
     )
     old_bands = _read_or_empty(bands_p, band_schema)
     old_docs = _read_or_empty(corpus_p, f"{id_col} long, text string")
+    old_hashes = _read_or_empty(hashes_p, f"{id_col} long, md5 string")
     prev_assign = _read_or_empty(
         assign_p, f"{id_col} long, cluster_id long, is_canonical boolean"
     )
@@ -539,22 +550,47 @@ def incremental_dedup_update(
         tombs = spark.read.parquet(tomb_p).select(id_col).distinct()
         old_bands = old_bands.join(tombs, id_col, "left_anti")
         old_docs = old_docs.join(tombs, id_col, "left_anti")
+        old_hashes = old_hashes.join(tombs, id_col, "left_anti")
 
     if method == "minhash":
         pairs, new_bands = incremental_minhash_pairs(
-            new_docs, old_bands, old_docs, threshold=threshold, id_col=id_col
+            new_docs, old_bands, old_docs, threshold=threshold, id_col=id_col,
+            max_df=max_df,
         )
     else:
         pairs, new_bands = incremental_simhash_pairs(
             new_docs, old_bands, max_hamming=max_hamming, id_col=id_col
         )
+    # cross-batch exact-content edges: link each new doc to the MIN-id old
+    # copy of its content (one hub edge suffices — exact equality is
+    # transitive, so connectivity is preserved at O(1) edges per new doc).
+    # This is what makes the hot-shingle-guard escape impossible ACROSS
+    # batches: even a batch holding >max_df copies of one content (zero
+    # band rows) still links to its old copies here, via the tiny hashes
+    # table instead of any text read.
+    new_hashes = new_docs.select(
+        F.col(id_col), F.md5(F.col("text")).alias("md5")
+    ).localCheckpoint(eager=False)
+    old_hubs = old_hashes.groupBy("md5").agg(F.min(id_col).alias("_hub"))
+    exact_no = (
+        new_hashes.join(old_hubs, "md5")
+        .select(
+            F.least(F.col(id_col), F.col("_hub")).alias("a"),
+            F.greatest(F.col(id_col), F.col("_hub")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    # the similarity column (jaccard/hamming) is method-specific and unused
+    # past this point — clustering and the pairs/ history need (a, b) only
+    pairs = pairs.select("a", "b").unionByName(exact_no).distinct()
     # materialize this batch's pairs BEFORE mutating state: everything
     # derived from current state is computed first, then appended
     pairs = pairs.localCheckpoint(eager=True)
     new_bands.write.mode("append").parquet(bands_p)
     new_docs.select(id_col, "text").write.mode("append").parquet(corpus_p)
+    new_hashes.write.mode("append").parquet(hashes_p)
     # pair history feeds apply_tombstones_split; append-only like bands/
-    pairs.select("a", "b").write.mode("append").parquet(pairs_p)
+    pairs.write.mode("append").parquet(pairs_p)
     all_docs = spark.read.parquet(corpus_p)
     if has_tombs:
         all_docs = all_docs.join(tombs, id_col, "left_anti")
@@ -614,6 +650,52 @@ def incremental_dedup_remove(
         new_assign = apply_tombstones(assign, rm, id_col=id_col)
     _swap_assign(fs, new_assign, assign_p)
     return spark.read.parquet(assign_p)
+
+
+def compact_dedup_state(spark, state_dir: str, id_col: str = "doc_id") -> dict:
+    """Physically apply the tombstone set to a dedup state directory: rewrite
+    bands/, corpus/, hashes/ and pairs/ WITHOUT the removed docs' rows, then
+    clear tombstones/ — the compaction step the lazy-deletion readers assume
+    eventually runs (removed text keeps occupying storage, and every batch
+    pays the anti-join, until it does).
+
+    Each table swaps through the same staged-rename protocol as assign/
+    (crash anywhere leaves a recoverable old/staged pair); the tombstone
+    clear comes LAST, so a crash mid-compaction at worst re-compacts rows
+    already filtered — never resurrects a removed doc.  Returns per-table
+    rows_dropped counts."""
+    import os
+
+    from kgforge import fsio
+
+    fs = fsio.get_fs(state_dir)
+    tomb_p = os.path.join(state_dir, "tombstones")
+    if not fs.exists(tomb_p):
+        return {"compacted": False, "reason": "no tombstones"}
+    tombs = spark.read.parquet(tomb_p).select(id_col).distinct().localCheckpoint(
+        eager=True
+    )
+    dropped = {}
+    tables = {
+        "bands": [id_col],
+        "corpus": [id_col],
+        "hashes": [id_col],
+        "pairs": ["a", "b"],
+    }
+    for name, keys in tables.items():
+        path = os.path.join(state_dir, name)
+        _recover_assign_swap(fs, path)
+        if not fs.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        kept = df
+        for k in keys:
+            kept = kept.join(tombs.withColumnRenamed(id_col, k), k, "left_anti")
+        before, after = df.count(), kept.count()
+        _swap_assign(fs, kept, path)
+        dropped[name] = before - after
+    fs.rmtree(tomb_p)
+    return {"compacted": True, "rows_dropped": dropped}
 
 
 def _check_state_method(fs, state_dir: str, method: str) -> None:

@@ -65,6 +65,28 @@ def test_exact_cli_keeps_near_dups(spark, docs_path, tmpdir_path, capsys):
     assert keep_ids == {0, 2, 3, 4}
 
 
+def test_compact_cli(spark, tmpdir_path, capsys):
+    """--compact applies the tombstone set physically and reports per-table
+    drops; it refuses to run together with --docs."""
+    import dedup_corpus
+
+    state = os.path.join(tmpdir_path, "cc_state")
+    p_b1 = os.path.join(tmpdir_path, "cc_b1.parquet")
+    spark.createDataFrame(DOCS[:3], "doc_id long, text string").write.parquet(p_b1)
+    out = os.path.join(tmpdir_path, "cc_out")
+    assert dedup_corpus.main(["--docs", p_b1, "--out", out, "--state", state]) == 0
+    ids_f = os.path.join(tmpdir_path, "cc_ids.txt")
+    with open(ids_f, "w") as fh:
+        fh.write("1\n")
+    assert dedup_corpus.main(["--out", out, "--state", state, "--remove", ids_f]) == 0
+    capsys.readouterr()
+    assert dedup_corpus.main(["--out", out, "--state", state, "--compact"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["compacted"] and m["rows_dropped"]["corpus"] == 1
+    with pytest.raises(SystemExit):
+        dedup_corpus.main(["--docs", p_b1, "--out", out, "--state", state, "--compact"])
+
+
 def test_incremental_state_mode_matches_oneshot(spark, tmpdir_path, capsys):
     """Two --state batches must end with the same clusters/keep as one
     one-shot run over the full corpus."""

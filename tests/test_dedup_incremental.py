@@ -204,6 +204,59 @@ def test_state_method_mismatch_raises(spark, tmpdir_path):
         dedup.incremental_dedup_update(spark, b2, state, method="simhash")
 
 
+def test_hot_batch_still_links_to_old_exact_copies(spark, tmpdir_path):
+    """Cross-batch guard-escape closure (round 5): a batch holding MORE
+    than max_df copies of one content emits no band rows for them, yet the
+    hashes/ state must still link every copy to the OLD copy of the same
+    content — one hub edge per new doc, no text reads."""
+    state = os.path.join(tmpdir_path, "hot_state")
+    b1 = spark.createDataFrame(
+        [(0, "identical boilerplate body repeated across every batch"),
+         (1, "some unrelated first-batch document text")],
+        "doc_id long, text string",
+    )
+    dedup.incremental_dedup_update(spark, b1, state, max_df=3)
+    # batch 2: 10 copies of doc 0's content -> every shingle exceeds
+    # max_df=3 WITHIN the batch, so the family has zero band rows
+    b2 = spark.createDataFrame(
+        [(100 + i, "identical boilerplate body repeated across every batch")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    assign = {r.doc_id: r.cluster_id
+              for r in dedup.incremental_dedup_update(spark, b2, state, max_df=3).collect()}
+    assert all(assign[100 + i] == 0 for i in range(10))  # linked via hashes/
+    assert assign[1] == 1
+
+
+def test_compact_dedup_state_drops_tombstoned_rows(spark, tmpdir_path):
+    """Compaction physically removes tombstoned rows from every state table,
+    clears the tombstone set, and later batches still behave identically
+    (the removed content's hub disappears with it)."""
+    state = os.path.join(tmpdir_path, "cmp_state")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    dedup.incremental_dedup_update(spark, b1, state, threshold=0.5)
+    removed = spark.createDataFrame([(0,)], "doc_id long")
+    dedup.incremental_dedup_remove(spark, removed, state)
+    m = dedup.compact_dedup_state(spark, state)
+    assert m["compacted"]
+    assert m["rows_dropped"]["corpus"] == 1 and m["rows_dropped"]["bands"] == 4
+    assert not os.path.exists(os.path.join(state, "tombstones"))
+    corpus_ids = {r.doc_id for r in spark.read.parquet(os.path.join(state, "corpus")).collect()}
+    assert 0 not in corpus_ids and corpus_ids == {1, 2, 3, 4}
+    # idempotent: nothing left to compact
+    assert dedup.compact_dedup_state(spark, state) == {
+        "compacted": False, "reason": "no tombstones"
+    }
+    # a post-compaction batch matching the REMOVED doc's text becomes its
+    # own new cluster root (never resurrects id 0); near-dup doc 1 links
+    b2 = spark.createDataFrame([(50, BATCH1[0][1])], "doc_id long, text string")
+    assign = {r.doc_id: r.cluster_id
+              for r in dedup.incremental_dedup_update(spark, b2, state, threshold=0.5).collect()}
+    assert 0 not in assign
+    assert assign[50] == assign[1]  # near-dup family reforms around survivors
+
+
 def test_corrupt_state_raises_instead_of_resetting(spark, tmpdir_path):
     """A corrupt bands/ dir (present but unreadable) must RAISE — the
     pre-round-5 bare `except Exception` treated it as 'first batch' and the
