@@ -295,10 +295,7 @@ def minhash_lsh_pairs(
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
     )
     if max_df is not None:
-        lost = docs.filter(F.length(F.trim(F.col("text"))) > 0).join(
-            band, id_col, "left_anti"
-        )
-        cand = cand.unionByName(exact_pairs(lost, id_col))
+        cand = cand.unionByName(_guard_lost_star_edges(docs, band, id_col))
     cand = (
         cand.distinct()
         # referenced three times by the verify (id set x2 + common join):
@@ -306,6 +303,24 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=False)
     )
     return _jaccard_verify(cand, docs, n, threshold, id_col)
+
+
+def _guard_lost_star_edges(docs: DataFrame, band: DataFrame, id_col: str) -> DataFrame:
+    """Content star edges for docs that emitted NO band rows despite having
+    text (their entire shingle set crossed the max_df guard).  The lost set
+    is detected on IDS ONLY — anti-joining the full docs relation against
+    the band rows would shuffle the corpus TEXT column just to find an
+    (almost always empty) id set, which measured as a 1.8x slowdown of the
+    whole pair job at sf0.1; the id-only anti join shuffles 8-byte ids, and
+    the semi join back to fetch lost docs' text lets AQE pick a broadcast
+    probe when the lost set is small (the common case: empty) while
+    degrading to a correct shuffle join for adversarial corpora where the
+    lost set is genuinely large."""
+    lost_ids = docs.select(id_col).join(band.select(id_col), id_col, "left_anti")
+    lost = docs.join(lost_ids, id_col, "left_semi").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return exact_pairs(lost, id_col)
 
 
 def incremental_minhash_pairs(
@@ -364,16 +379,12 @@ def incremental_minhash_pairs(
     )
     cand = nn.unionByName(no)
     if max_df is not None:
-        # batch-local guard fallback (mirrors minhash_lsh_pairs): batch docs
-        # whose entire shingle set was guard-dropped re-link via content
-        # star edges WITHIN the batch.  A lost NEW doc exactly matching an
-        # OLD doc still escapes (that would need content hashes in the
-        # state); documented, and closed operationally by batch sizes below
-        # max_df or max_df=None.
-        lost = new_docs.filter(F.length(F.trim(F.col("text"))) > 0).join(
-            new_bands, id_col, "left_anti"
-        )
-        cand = cand.unionByName(exact_pairs(lost, id_col))
+        # batch-local guard fallback (mirrors minhash_lsh_pairs, id-only
+        # lost detection): batch docs whose entire shingle set was
+        # guard-dropped re-link via content star edges WITHIN the batch;
+        # across batches the state's hashes/ table closes the same hole
+        # (incremental_dedup_update).
+        cand = cand.unionByName(_guard_lost_star_edges(new_docs, new_bands, id_col))
     cand = cand.distinct().localCheckpoint(eager=False)
     docs_all = old_docs.select(F.col(id_col), "text").unionByName(
         new_docs.select(F.col(id_col), "text")
