@@ -2,7 +2,8 @@
 
     spark-submit --py-files kgforge.zip jobs/filter_corpus.py \
         --docs <documents.parquet> --out <dir> \
-        [--min-logprob -9.0 | --drop-logprob-pct 5] [--lang en,fr] [--no-rules]
+        [--min-logprob -9.0 | --drop-logprob-pct 5] [--lang en,fr] [--no-rules] \
+        [--max-dup-line-frac 0.3] [--max-dup-2gram-frac 0.2] [--audit-lm]
 
 Composes the text-quality operators into the filter pass a pretraining
 corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
@@ -62,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--no-rules", action="store_true", help="disable the Gopher-style hard rules"
+    )
+    ap.add_argument(
+        "--max-dup-line-frac",
+        type=float,
+        default=None,
+        help="drop documents whose duplicate-line fraction exceeds this "
+        "(Gopher-style within-document repetition filter); omit to skip "
+        "the repetition passes entirely",
+    )
+    ap.add_argument(
+        "--max-dup-2gram-frac",
+        type=float,
+        default=None,
+        help="drop documents whose duplicate word-2-gram char-mass fraction "
+        "exceeds this; omit to skip the repetition passes entirely",
     )
     ap.add_argument(
         "--audit-lm",
@@ -135,6 +151,30 @@ def main(argv: list[str] | None = None) -> int:
     else:
         lm_col = F.lit(True)
 
+    rep_enabled = (
+        args.max_dup_line_frac is not None or args.max_dup_2gram_frac is not None
+    )
+    if rep_enabled:
+        # within-document repetition (two explode+agg corpus passes) — paid
+        # only when a repetition threshold is set, same gating as the LM
+        rep = text.repetition_scores(
+            docs,
+            max_dup_line_frac=(
+                args.max_dup_line_frac if args.max_dup_line_frac is not None else 1.0
+            ),
+            max_dup_2gram_char_frac=(
+                args.max_dup_2gram_frac if args.max_dup_2gram_frac is not None else 1.0
+            ),
+        ).select("doc_id", "dup_line_frac", "dup_2gram_char_frac", F.col("rep_ok"))
+        audit = audit.join(rep, "doc_id", "left")
+        rep_col = F.coalesce(F.col("rep_ok"), F.lit(False))
+    else:
+        audit = (
+            audit.withColumn("dup_line_frac", F.lit(None).cast("double"))
+            .withColumn("dup_2gram_char_frac", F.lit(None).cast("double"))
+        )
+        rep_col = F.lit(True)
+
     lang = text.langid(docs).select("doc_id", "pred_lang")
     audit = audit.join(lang, "doc_id", "left")
     if args.lang:
@@ -143,8 +183,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         lang_col = F.lit(True)
 
-    audit = audit.withColumn("ok_lm", lm_col).withColumn("ok_lang", lang_col)
-    audit = audit.withColumn("keep", rules_col & F.col("ok_lm") & F.col("ok_lang"))
+    audit = (
+        audit.withColumn("ok_lm", lm_col)
+        .withColumn("ok_lang", lang_col)
+        .withColumn("ok_rep", rep_col)
+        .drop("rep_ok")  # superseded by the null-safe ok_rep; no-op when disabled
+    )
+    audit = audit.withColumn(
+        "keep", rules_col & F.col("ok_lm") & F.col("ok_lang") & F.col("ok_rep")
+    )
     audit.write.mode("overwrite").parquet(os.path.join(args.out, "audit"))
     audit_r = spark.read.parquet(os.path.join(args.out, "audit"))
 
@@ -160,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         F.sum((~F.col("ok_rules")).cast("int")).alias("fail_rules"),
         F.sum((~F.col("ok_lm")).cast("int")).alias("fail_lm"),
         F.sum((~F.col("ok_lang")).cast("int")).alias("fail_lang"),
+        F.sum((~F.col("ok_rep")).cast("int")).alias("fail_rep"),
     ).head()
     metrics = {
         "n_docs": row.n_docs,
@@ -168,12 +216,15 @@ def main(argv: list[str] | None = None) -> int:
         "fail_rules": row.fail_rules,
         "fail_lm": row.fail_lm,
         "fail_lang": row.fail_lang,
+        "fail_rep": row.fail_rep,
         "filters": {
             "rules": not args.no_rules,
             "min_logprob": args.min_logprob,
             "drop_logprob_pct": args.drop_logprob_pct,
             "lm_floor": None if floor is None else round(floor, 5),
             "lang": args.lang,
+            "max_dup_line_frac": args.max_dup_line_frac,
+            "max_dup_2gram_frac": args.max_dup_2gram_frac,
         },
     }
     print(json.dumps(metrics))

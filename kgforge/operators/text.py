@@ -212,6 +212,85 @@ def quality_rules(
     )
 
 
+def repetition_scores(
+    docs: DataFrame,
+    max_dup_line_frac: float = 0.3,
+    max_dup_2gram_char_frac: float = 0.2,
+) -> DataFrame:
+    """WITHIN-document repetition signals (round 5) — the Gopher-style
+    repetition filters (Rae et al. 2021, public) that complement the
+    cross-document dedup operators: a crawl page that repeats its own
+    boilerplate hundreds of times passes every corpus-level dedup yet is
+    low-value training data.
+
+    Per document:
+      n_lines                 non-empty lines
+      dup_line_frac           lines beyond the first occurrence / lines
+      dup_2gram_char_frac     char mass (len(gram) x count) of word 2-grams
+                              occurring >= 2 times / total 2-gram char mass
+      top_2gram_char_frac     char mass of the single heaviest 2-gram /
+                              total 2-gram char mass
+      rep_ok                  both fractions under their thresholds
+
+    Plan shape: two explode+agg lanes (lines; strict word 2-grams), both
+    map-side combined and keyed on (doc, line|gram) then doc — the same
+    shuffle profile as shingling, no Python anywhere.  Documents with no
+    lines/grams score 0.0 (repetition filters only ever DROP on positive
+    evidence; emptiness is the word-count rule's job)."""
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), "\n")).alias("line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    line_stats = lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count_distinct("line").alias("n_distinct_lines"),
+    )
+    words = _words()
+    grams_arr = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams_arr).alias("gram")).filter(
+        F.length("gram") > 0
+    )
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    mass = F.length("gram") * F.col("c")
+    gram_stats = per_gram.groupBy("doc_id").agg(
+        F.sum(mass).alias("gram_chars"),
+        F.sum(F.when(F.col("c") >= 2, mass).otherwise(F.lit(0))).alias("dup_gram_chars"),
+        F.max(mass).alias("top_gram_chars"),
+    )
+    dup_line_frac = F.round(
+        (F.col("n_lines") - F.col("n_distinct_lines"))
+        / F.greatest(F.col("n_lines"), F.lit(1)),
+        6,
+    )
+    dup_2g = F.round(F.col("dup_gram_chars") / F.greatest(F.col("gram_chars"), F.lit(1)), 6)
+    top_2g = F.round(F.col("top_gram_chars") / F.greatest(F.col("gram_chars"), F.lit(1)), 6)
+    return (
+        docs.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce(dup_line_frac, F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce(dup_2g, F.lit(0.0)).alias("dup_2gram_char_frac"),
+            F.coalesce(top_2g, F.lit(0.0)).alias("top_2gram_char_frac"),
+        )
+        .withColumn(
+            "rep_ok",
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("dup_2gram_char_frac") <= max_dup_2gram_char_frac),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, n: int = 4, k: int = 5) -> DataFrame:
     """Rolling-hash document fingerprint: the k smallest xxhash64 values over
     word n-grams (a k-min sketch — stable under small edits)."""

@@ -1317,6 +1317,58 @@ def ann_lsh(spark, sf):
     return similarity.lsh_topk(e, [float(x) for x in qvec], k=10)
 
 
+@q(
+    "text_repetition",
+    """WITH l AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+                  FROM documents),
+         l2 AS (SELECT doc_id, line FROM l WHERE length(trim(line)) > 0),
+         ls AS (SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_dl
+                FROM l2 GROUP BY doc_id),
+         w AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words
+               FROM documents),
+         gi AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+                FROM w WHERE len(words) >= 2),
+         g AS (SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram FROM gi),
+         pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+         gs AS (SELECT doc_id,
+                       sum(length(gram) * c) AS gram_chars,
+                       sum(CASE WHEN c >= 2 THEN length(gram) * c ELSE 0 END) AS dup_chars,
+                       max(length(gram) * c) AS top_chars
+                FROM pg GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+              coalesce(round((ls.n_lines - ls.n_dl) / greatest(ls.n_lines, 1), 6), 0.0)
+                AS dup_line_frac,
+              coalesce(round(gs.dup_chars / greatest(gs.gram_chars, 1), 6), 0.0)
+                AS dup_2gram_char_frac,
+              coalesce(round(gs.top_chars / greatest(gs.gram_chars, 1), 6), 0.0)
+                AS top_2gram_char_frac,
+              coalesce(round((ls.n_lines - ls.n_dl) / greatest(ls.n_lines, 1), 6), 0.0) <= 0.3
+                AND coalesce(round(gs.dup_chars / greatest(gs.gram_chars, 1), 6), 0.0) <= 0.2
+                AS rep_ok
+       FROM documents d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)""",
+)
+def text_repetition(spark, sf):
+    """Within-document repetition signals (Gopher-style repetition filters):
+    duplicate-line fraction + duplicate/top word-2-gram char mass — the
+    quality filter corpus-level dedup cannot express; full value oracle
+    (both engines replay lines, strict 2-grams and char-mass arithmetic)."""
+    return text.repetition_scores(T(spark, sf, "documents"))
+
+
+@q("pack_documents", None)  # bin-packing assignment: not SQL-expressible -> rows-only + pytest
+def pack_documents_q(spark, sf):
+    """Bucketed best-fit-decreasing sequence packing: every doc assigned to
+    a <= 2048-token pack (oversize docs flagged singleton).  Budget/
+    efficiency/determinism invariants are pytest-gated
+    (test_dedup_similarity_text.py::test_pack_*)."""
+    from kgforge.operators import packing
+
+    return packing.pack_documents(
+        T(spark, sf, "documents"), budget_tokens=2048
+    ).orderBy("doc_id")
+
+
 @q("dedup_incremental", None)  # two-batch state flow -> rows-only + pytest
 def dedup_incremental(spark, sf):
     """Incremental dedup demo: split documents by id parity, process as two
@@ -1343,6 +1395,8 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "tpch_q1",
     "tpch_q5",
     "ann_lsh",
+    "text_repetition",
+    "pack_documents",
     "dedup_incremental",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
@@ -1354,4 +1408,4 @@ for _k in ("text_unigram_lm", "text_quality_rules", "embed_quantize"):
     # to the extras (disclosed in their docstrings for round-over-round
     # comparability, per ADVICE r4)
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 59, f"registry must hold exactly 59 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 61, f"registry must hold exactly 61 entries, got {len(REGISTRY)}"

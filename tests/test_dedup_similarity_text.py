@@ -496,6 +496,63 @@ def test_quantize_error_bound_and_recall(planted_embeddings):
     assert 3 in approx and 1003 in approx  # self + planted perturbation
 
 
+def test_repetition_scores_flags_planted_repetition(spark):
+    """Duplicate lines and duplicate 2-grams must be scored exactly; clean
+    prose passes; empty docs score 0.0 (repetition only drops on positive
+    evidence)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat quietly\nthen a dog barked loudly\nbirds flew over distant hills"),
+            (1, "same line\nsame line\nsame line\nother line"),
+            (2, "spam ham spam ham spam ham spam ham"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_scores(docs).collect()}
+    assert rows[0].dup_line_frac == 0.0 and rows[0].rep_ok
+    assert rows[1].n_lines == 4 and rows[1].dup_line_frac == 0.5  # 2 of 4 repeat
+    assert not rows[1].rep_ok
+    # doc 2: grams = [spam ham, ham spam] x alternating; every gram repeats
+    assert rows[2].dup_2gram_char_frac == 1.0 and not rows[2].rep_ok
+    assert rows[3].n_lines == 0 and rows[3].dup_line_frac == 0.0 and rows[3].rep_ok
+
+
+def test_pack_documents_invariants(spark):
+    """Packing invariants: every doc appears exactly once; no pack exceeds
+    the budget unless it is an oversize singleton; pack_tokens is the true
+    pack sum; assignment is deterministic; fill efficiency beats the FFD
+    floor."""
+    from kgforge.operators import packing
+
+    rows = [(i, "w " * ((i % 37) * 8 + 3)) for i in range(300)]
+    rows.append((1000, "x " * 5000))  # oversize: 5000 tokens > 2048
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = packing.pack_documents(docs, budget_tokens=2048, n_bins=4).collect()
+    assert len(out) == 301 and len({r.doc_id for r in out}) == 301
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m.n_tokens for m in members)
+        assert all(m.pack_tokens == total for m in members)
+        if any(m.oversize for m in members):
+            assert len(members) == 1  # oversize docs pack alone
+        else:
+            assert total <= 2048
+    oversize = [r for r in out if r.oversize]
+    assert [r.doc_id for r in oversize] == [1000]
+    # determinism: content-keyed buckets + total order inside
+    again = packing.pack_documents(docs, budget_tokens=2048, n_bins=4).collect()
+    assert {(r.doc_id, r.pack_id) for r in again} == {(r.doc_id, r.pack_id) for r in out}
+    # fill efficiency (excluding the oversize singleton): BFD on this size
+    # mix should fill well past the 50% worst-case floor
+    normal = [r for r in out if not r.oversize]
+    packs = {r.pack_id for r in normal}
+    fill = sum(r.n_tokens for r in normal) / (len(packs) * 2048)
+    assert fill > 0.5, f"fill efficiency {fill}"
+
+
 def test_text_ops_null_safe(spark):
     """NULL text must behave as empty everywhere: deterministic False/und/0
     verdicts, never a silent null keep flag (a null drops out of

@@ -100,6 +100,35 @@ def test_audit_lm_records_scores_without_filtering(spark, docs_path, tmpdir_path
     assert audit.filter(F.col("avg_logprob").isNotNull()).count() >= 4
 
 
+def test_repetition_filter_drops_repetitive_doc(spark, tmpdir_path, capsys):
+    """--max-dup-line-frac drops a planted line-repeating doc; clean docs
+    pass; without the flag the repetition passes never run (monkeypatch-
+    style gate mirrors the LM one) and the audit columns are null."""
+    docs = DOCS + [(9, "copy paste\ncopy paste\ncopy paste\ncopy paste")]
+    p = os.path.join(tmpdir_path, "rdocs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(p)
+    out = os.path.join(tmpdir_path, "f_rep")
+    m = _run(p, out, capsys, "--max-dup-line-frac", "0.3", "--no-rules")
+    assert m["fail_rep"] == 1
+    audit = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "audit")).collect()}
+    assert audit[9].dup_line_frac == 0.75 and not audit[9].keep
+    assert audit[0].keep
+
+
+def test_rules_only_run_never_pays_repetition(spark, docs_path, tmpdir_path, capsys, monkeypatch):
+    from kgforge.operators import text
+
+    def _boom(*a, **k):
+        raise AssertionError("repetition_scores must not run without a threshold")
+
+    monkeypatch.setattr(text, "repetition_scores", _boom)
+    out = os.path.join(tmpdir_path, "f_norep")
+    m = _run(docs_path, out, capsys)
+    assert m["fail_rep"] == 0
+    audit = spark.read.parquet(os.path.join(out, "audit"))
+    assert audit.filter(F.col("dup_line_frac").isNotNull()).count() == 0
+
+
 def test_min_logprob_and_pct_are_exclusive(docs_path, tmpdir_path):
     import filter_corpus
 
