@@ -185,12 +185,17 @@ def run_incremental_dedup(
     checkpoint_dir: str,
     threshold: float = 0.5,
     max_files_per_batch: int = 32,
+    method: str = "minhash",
+    max_hamming: int = 3,
 ) -> None:
     """CONTINUOUS corpus dedup: each micro-batch of new documents pairs
     against the persisted band state (dedup.incremental_dedup_update — one
     equi-join of the batch's band signatures against the state, old text
     read only for candidate docs) and refreshes the full-corpus cluster
     assignment; the corpus dedups as it arrives, no full re-pairing.
+    ``method`` selects the sketch ('minhash' or, round 5, 'simhash' —
+    hamming-verified from signatures carried on the band rows, no old-text
+    reads); it is pinned in the state dir on first use.
 
     Same exactly-once layering as run_incremental_graph: the stream
     checkpoint makes file delivery exactly-once across restarts; the state
@@ -207,7 +212,10 @@ def run_incremental_dedup(
         done = ledger.done()
         if ledger.key(epoch_id) in done:
             return
-        incremental_dedup_update(spark, batch_df, state_dir, threshold)
+        incremental_dedup_update(
+            spark, batch_df, state_dir, threshold,
+            method=method, max_hamming=max_hamming,
+        )
         ledger.mark(done, epoch_id)
 
     ledger.done()  # pre-flight, before the stream starts

@@ -328,6 +328,36 @@ def test_assign_swap_crash_recovery(spark, tmpdir_path):
     assert not os.path.exists(assign_p2 + "__staged")
 
 
+def test_streaming_dedup_simhash_equals_oneshot(spark, tmpdir_path):
+    """run_incremental_dedup with method='simhash' must match a one-shot
+    simhash dedup over the full corpus (round-5 method threading)."""
+    import os
+
+    from kgforge.streaming.incremental import run_incremental_dedup
+
+    src_dir = os.path.join(tmpdir_path, "ssh_src")
+    state = os.path.join(tmpdir_path, "ssh_state")
+    ckpt = os.path.join(tmpdir_path, "ssh_ckpt")
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+    run_incremental_dedup(spark, src_dir, state, ckpt, method="simhash", max_hamming=10)
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+    run_incremental_dedup(spark, src_dir, state, ckpt, method="simhash", max_hamming=10)
+    got = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in spark.read.parquet(os.path.join(state, "assign")).collect()
+    }
+    full = b1.unionByName(b2)
+    want = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(
+            full, pairs=dedup.simhash_near_pairs(full, max_hamming=10)
+        ).collect()
+    }
+    assert got == want
+
+
 def test_tombstones_reelect_canonical(spark):
     """Removing a canonical re-elects the min surviving member AND relabels
     the cluster to it (round 5, ADVICE r4: a label naming a removed doc
