@@ -92,8 +92,15 @@ def ngram_jaccard_pairs(
 
     Plan: shingle -> drop hot shingles (df > max_df) -> self-equi-join on
     shingle -> count common -> join per-doc sizes -> Jaccard filter.
-    The only shuffles are keyed on shingle and on (a, b)."""
-    sh = word_shingles(docs, n, id_col)
+    The only shuffles are keyed on shingle and on (a, b).
+
+    Round 5: docs whose ENTIRE shingle set was guard-dropped (a family
+    duplicated beyond max_df) re-link via content star edges at Jaccard
+    1.0 — the same escape minhash_lsh_pairs had (ADVICE r4), detected on
+    ids only.  The registered DuckDB oracle is unaffected at test scale
+    (no sf0.01 family crosses the default guard); the fallback rows are a
+    strict subset of the true >= threshold pair list."""
+    sh = word_shingles(docs, n, id_col).localCheckpoint(eager=False)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "inner").select(
         id_col, "shingle"
@@ -117,7 +124,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
+    return out.unionByName(
+        _guard_lost_star_edges(docs, sh, id_col).withColumn("jaccard", F.lit(1.0))
+    )
 
 
 def minhash_signatures(
@@ -305,18 +314,21 @@ def minhash_lsh_pairs(
     return _jaccard_verify(cand, docs, n, threshold, id_col)
 
 
-def _guard_lost_star_edges(docs: DataFrame, band: DataFrame, id_col: str) -> DataFrame:
-    """Content star edges for docs that emitted NO band rows despite having
-    text (their entire shingle set crossed the max_df guard).  The lost set
-    is detected on IDS ONLY — anti-joining the full docs relation against
-    the band rows would shuffle the corpus TEXT column just to find an
-    (almost always empty) id set, which measured as a 1.8x slowdown of the
-    whole pair job at sf0.1; the id-only anti join shuffles 8-byte ids, and
-    the semi join back to fetch lost docs' text lets AQE pick a broadcast
+def _guard_lost_star_edges(
+    docs: DataFrame, survivors: DataFrame, id_col: str
+) -> DataFrame:
+    """Content star edges for docs that have text but NO rows in
+    ``survivors`` (band rows or guard-filtered shingles — their entire
+    shingle set crossed the max_df guard).  The lost set is detected on
+    IDS ONLY — anti-joining the full docs relation against the surviving
+    rows would shuffle the corpus TEXT column just to find an (almost
+    always empty) id set, which measured as a 1.8x slowdown of the whole
+    pair job at sf0.1; the id-only anti join shuffles 8-byte ids, and the
+    semi join back to fetch lost docs' text lets AQE pick a broadcast
     probe when the lost set is small (the common case: empty) while
     degrading to a correct shuffle join for adversarial corpora where the
     lost set is genuinely large."""
-    lost_ids = docs.select(id_col).join(band.select(id_col), id_col, "left_anti")
+    lost_ids = docs.select(id_col).join(survivors.select(id_col), id_col, "left_anti")
     lost = docs.join(lost_ids, id_col, "left_semi").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -865,11 +877,45 @@ def _simhash_verify(cand: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+def _sig_star(sig: DataFrame) -> tuple:
+    """Signature-level star compression: (star_edges, reps).  Docs sharing
+    one 64-bit signature form a hamming-0 CLIQUE; per-signature min-id
+    star edges are connectivity-equivalent at O(m) per m-copy group — the
+    same argument as round 5's exact_pairs rewrite.  Returns the (a, b,
+    hamming=0) star edges plus the one-rep-per-signature relation the
+    band join runs over."""
+    hubs = sig.groupBy("simhash").agg(F.min("doc_id").alias("_rep"))
+    star = (
+        sig.join(hubs, "simhash")
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("a"),
+            F.col("doc_id").alias("b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    reps = hubs.select(F.col("_rep").alias("doc_id"), "simhash")
+    return star, reps
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys; any
-    pair within hamming distance 3 shares at least one exact 16-bit band
-    (pigeonhole), so candidates come from 4 equi-joins, not a cross join."""
-    bands = simhash_band_rows(simhash_signatures(docs))
+    """Near-dup pair relation by SimHash: band the 64 bits into 4x16-bit
+    keys; any pair within hamming distance 3 shares at least one exact
+    16-bit band (pigeonhole), so candidates come from 4 equi-joins, not a
+    cross join.
+
+    Round 5: same-SIGNATURE groups are STAR-COMPRESSED before the band
+    join — a corpus with 10^6 identical documents previously emitted
+    ~5*10^11 hamming-0 pairs from one group (every member shares every
+    band key), the exact quadratic blow-up exact_pairs had.  The output is
+    now connectivity-equivalent rather than the literal all-pairs list:
+    per-signature star edges (hamming 0) plus rep-to-rep near pairs.
+    Connected components (dedup_clusters) are identical by construction;
+    only member-level cross pairs between two multi-doc signature groups
+    are represented through their reps.  (Registry note: the rows-only
+    `dedup_simhash` count drops accordingly — deliberate, disclosed.)"""
+    star, reps = _sig_star(simhash_signatures(docs))
+    bands = simhash_band_rows(reps)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
@@ -881,7 +927,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("y.simhash").alias("sb"),
         )
     )
-    return _simhash_verify(cand, max_hamming)
+    return _simhash_verify(cand, max_hamming).unionByName(star)
 
 
 def incremental_simhash_pairs(
@@ -899,13 +945,22 @@ def incremental_simhash_pairs(
     the band rows — old text is NEVER read (the sketch is sufficient),
     which makes this path even cheaper than the minhash one.
 
+    Round 5: the band state holds one representative per distinct batch
+    SIGNATURE (same star compression as simhash_near_pairs) — a batch of
+    identical docs appends 4 band rows, not 4m, and same-signature members
+    link through the batch's star edges.  Cross-batch identical CONTENT
+    additionally links through the method-independent hashes/ table in
+    incremental_dedup_update; the one conservative miss is a same-sig-but-
+    different-content doc arriving after its signature's rep was
+    tombstoned (no band rows left to join) — near-dups that narrow escape
+    until a recluster.
+
     Returns (pairs, new_bands); pairs involve >= 1 new doc; new_bands is
     the state delta to append."""
     if id_col != "doc_id":
         new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
-    new_bands = simhash_band_rows(simhash_signatures(new_docs)).localCheckpoint(
-        eager=False
-    )
+    star, reps = _sig_star(simhash_signatures(new_docs))
+    new_bands = simhash_band_rows(reps).localCheckpoint(eager=False)
     nn = (
         new_bands.alias("x")
         .join(new_bands.alias("y"), ["band", "key"])
@@ -929,7 +984,7 @@ def incremental_simhash_pairs(
             F.when(x_lt, F.col("y.simhash")).otherwise(F.col("x.simhash")).alias("sb"),
         )
     )
-    pairs = _simhash_verify(nn.unionByName(no), max_hamming)
+    pairs = _simhash_verify(nn.unionByName(no), max_hamming).unionByName(star)
     return pairs, new_bands
 
 

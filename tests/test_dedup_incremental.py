@@ -142,25 +142,43 @@ def test_streaming_dedup_equals_oneshot(spark, tmpdir_path):
     assert again == got
 
 
-def test_incremental_simhash_pairs_union_equals_oneshot(spark, frames):
-    """The simhash analogue of the minhash batch-union gate: per-batch pairs
-    (new x new + new x old from the persisted band rows) unioned across
-    batches must equal the one-shot simhash_near_pairs over the full
-    corpus — and verification never touches old text (the band rows carry
-    the signatures)."""
+def test_incremental_simhash_pairs_union_matches_oneshot_clusters(spark, frames):
+    """The simhash analogue of the minhash batch-union gate, at the
+    CONNECTIVITY level (round 5: same-signature groups star-compress, so
+    the literal pair lists differ between batch-union and one-shot while
+    their connected components must be identical) — and verification never
+    touches old text (the band rows carry the signatures)."""
     b1, b2, full = frames
     empty = spark.createDataFrame([], "doc_id long, band int, key long, simhash long")
     p1, bands1 = dedup.incremental_simhash_pairs(b1, empty, max_hamming=10)
     p2, bands2 = dedup.incremental_simhash_pairs(b2, bands1, max_hamming=10)
-    got = {(r.a, r.b, r.hamming) for r in p1.collect()} | {
-        (r.a, r.b, r.hamming) for r in p2.collect()
-    }
-    want = {(r.a, r.b, r.hamming)
-            for r in dedup.simhash_near_pairs(full, max_hamming=10).collect()}
+    union_pairs = p1.select("a", "b").unionByName(p2.select("a", "b"))
+    got = {(r.doc_id, r.cluster_id, r.is_canonical)
+           for r in dedup.dedup_clusters(full, pairs=union_pairs).collect()}
+    want = {(r.doc_id, r.cluster_id, r.is_canonical)
+            for r in dedup.dedup_clusters(
+                full, pairs=dedup.simhash_near_pairs(full, max_hamming=10)).collect()}
     assert got == want
-    assert want  # discriminating
+    assert {r.a for r in p1.collect()} | {r.b for r in p1.collect()}  # discriminating
     assert all(r.a >= 10 or r.b >= 10 for r in p2.collect())
-    assert bands2.count() == 4 * len(BATCH2)
+    # exact cross-batch copy pairs at hamming 0 through the band state
+    assert (0, 10, 0) in {(r.a, r.b, r.hamming) for r in p2.collect()}
+    assert bands2.count() == 4 * len(BATCH2)  # all batch-2 sigs distinct
+
+
+def test_simhash_pairs_linear_in_identical_clique(spark):
+    """A 1,000-copy identical-content group must emit 999 star edges, not
+    ~500k hamming-0 pairs (the exact_pairs round-5 argument applied to the
+    simhash band join — every member shares every band key)."""
+    rows = [(i, "identical document body for the simhash clique test") for i in range(1000)]
+    rows += [(2000, "some completely different other text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    assert pairs.count() == 999
+    assert pairs.filter("hamming = 0").count() == 999
+    assign = {r.doc_id: r.cluster_id
+              for r in dedup.dedup_clusters(docs, pairs=pairs).collect()}
+    assert all(assign[i] == 0 for i in range(1000)) and assign[2000] == 2000
 
 
 def test_incremental_state_simhash_cli_matches_oneshot(spark, tmpdir_path, capsys):

@@ -116,6 +116,19 @@ def test_minhash_guard_fallback_links_hot_exact_family(spark):
     assert all(j == 1.0 for j in got.values())
 
 
+def test_ngram_jaccard_guard_fallback_links_hot_exact_family(spark):
+    """ngram_jaccard_pairs had the same guard escape as minhash (ADVICE
+    r4): a >max_df identical family loses every shingle; the fallback
+    re-links it via star edges at Jaccard 1.0."""
+    rows = [(i, "identical boilerplate body repeated many times over") for i in range(10)]
+    rows += [(100, "some totally unrelated document text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=3).collect()}
+    assert set(got) == {(0, b) for b in range(1, 10)}
+    assert all(j == 1.0 for j in got.values())
+
+
 def test_dedup_clusters_rep_collapse_catches_hot_near_dup_family(spark):
     """The full ADVICE r4 scenario: a >max_df family WITH INTERNAL
     VARIATION.  Raw minhash drops every shingle (both variants exceed the
