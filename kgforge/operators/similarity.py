@@ -226,10 +226,31 @@ def lsh_near_pairs(
     corpus scale that is bands x shuffle bytes of pure vector payload.  The
     vectors now join back exactly once per side, onto the already-distinct
     candidate pair set, for the exact verify — the same shape
-    minhash_lsh_pairs uses for shingles."""
+    minhash_lsh_pairs uses for shingles.
+
+    Round 5: IDENTICAL vectors are star-compressed before banding (the
+    exact_pairs/simhash argument): duplicate documents produce duplicate
+    embeddings, every member shares every bucket, and the bucket join
+    emitted O(m^2) cosine-1.0 pairs per m-copy group.  One groupBy on the
+    vector value elects a min-id rep per distinct vector; members link to
+    their rep at cosine 1.0 (one extra vector-keyed shuffle — the price of
+    killing the quadratic), and banding runs over distinct vectors only.
+    Output is connectivity-equivalent; clusters identical."""
+    hubs = embeddings.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    star = (
+        embeddings.select(id_col, vec_col)
+        .join(hubs, vec_col)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("a"),
+            F.col(id_col).alias("b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    reps = hubs.select(F.col("_rep").alias(id_col), F.col(vec_col))
     planes = hyperplanes(dim, n_planes, seed)
     keys = banded_bucket_cols(vec_col, planes, bands)
-    banded = embeddings.select(
+    banded = reps.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -256,6 +277,7 @@ def lsh_near_pairs(
         cand.withColumn("cosine", F.round(score, 6))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
+        .unionByName(star)
     )
 
 

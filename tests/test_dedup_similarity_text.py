@@ -310,6 +310,24 @@ def test_lsh_near_pairs_plan_has_no_cartesian(planted_embeddings):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_near_pairs_linear_in_identical_vector_clique(spark):
+    """500 identical embeddings must emit 499 star edges at cosine 1.0,
+    not ~125k bucket-clique pairs (round-5 star compression)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(32)
+    v = (v / np.linalg.norm(v)).tolist()
+    w = rng.randn(32)
+    w = (w / np.linalg.norm(w)).tolist()
+    rows = [(i, v, 0) for i in range(500)] + [(900, w, 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = similarity.lsh_near_pairs(emb, threshold=0.9, dim=32)
+    got = [(r.a, r.b, r.cosine) for r in pairs.collect()]
+    assert len(got) == 499
+    assert all(a == 0 and c == 1.0 for a, _, c in got)
+
+
 def test_ivf_full_probe_equals_bruteforce(planted_embeddings):
     """n_probe == n_centroids degenerates to exact search: results must equal
     the brute-force top-k exactly (same ids, same scores)."""
