@@ -1369,6 +1369,17 @@ def pack_documents_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@q("ann_ivf", None)  # seeded k-means centroid assignment -> rows-only + pytest
+def ann_ivf(spark, sf):
+    """IVF approximate top-k (centroid-bucketed inverted lists, partition-
+    prunable at scale); full-probe==bruteforce and planted-near-dup
+    recall are pytest-gated (test_ivf_*).  Registered round 5 so every
+    implemented ANN variant has a queries() entry."""
+    e = T(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_topk(e, [float(x) for x in qvec], k=10)
+
+
 @q("dedup_incremental", None)  # two-batch state flow -> rows-only + pytest
 def dedup_incremental(spark, sf):
     """Incremental dedup demo: split documents by id parity, process as two
@@ -1397,6 +1408,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "ann_lsh",
     "text_repetition",
     "pack_documents",
+    "ann_ivf",
     "dedup_incremental",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
@@ -1408,4 +1420,4 @@ for _k in ("text_unigram_lm", "text_quality_rules", "embed_quantize"):
     # to the extras (disclosed in their docstrings for round-over-round
     # comparability, per ADVICE r4)
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 61, f"registry must hold exactly 61 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 62, f"registry must hold exactly 61 entries, got {len(REGISTRY)}"
