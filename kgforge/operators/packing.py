@@ -33,6 +33,53 @@ PACK_SCHEMA = (
 )
 
 
+def chunk_documents(
+    docs: DataFrame, budget_tokens: int = 2048, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): split every document into
+    order-preserving whitespace-token chunks of at most ``budget_tokens``
+    — the truncation-free companion to ``pack_documents``'s ``oversize``
+    flag (chunk long docs first, then pack the chunks).  Pure JVM
+    expressions: one filtered split + a transform/sequence explode, no
+    shuffle at all (narrow op), so it composes with any downstream
+    packing/tokenization stage at scan speed.
+
+    Tokens are the non-empty whitespace tokens; chunk text re-joins them
+    with single spaces (original inter-token whitespace is normalized —
+    the contract a token-budgeted trainer wants, not byte fidelity).
+    Empty docs yield one empty chunk 0 (no rows silently vanish)."""
+    words = F.filter(_ws_words(), lambda w: F.length(w) > 0)
+    n = F.size(words)
+    b = F.lit(budget_tokens)
+    n_chunks = F.greatest(F.floor((n + b - 1) / b).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(words, i * b + 1, budget_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), n.alias("_n"), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id"),
+            F.greatest(
+                F.least(b, F.col("_n") - F.col("c.chunk_id") * b), F.lit(0)
+            ).cast("int").alias("n_tokens"),
+            F.col("c.chunk_text"),
+        )
+    )
+
+
+def _ws_words() -> "F.Column":
+    from kgforge.operators.text import _words
+
+    return _words()
+
+
 def pack_documents(
     docs: DataFrame,
     budget_tokens: int = 2048,

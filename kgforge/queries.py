@@ -1369,6 +1369,34 @@ def pack_documents_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@q(
+    "text_chunk",
+    """WITH w AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                                     x -> length(x) > 0) AS words
+                  FROM documents),
+         n AS (SELECT doc_id, words, len(words) AS nw,
+                      greatest(CAST(ceil(len(words) / 64.0) AS INT), 1) AS nc
+               FROM w),
+         c AS (SELECT doc_id, nw, words, unnest(range(0, nc)) AS chunk_id FROM n)
+       SELECT doc_id,
+              CAST(chunk_id AS INT) AS chunk_id,
+              CAST(greatest(least(64, nw - chunk_id * 64), 0) AS INT) AS n_tokens,
+              array_to_string(list_slice(words, chunk_id * 64 + 1, chunk_id * 64 + 64), ' ')
+                AS chunk_text
+       FROM c""",
+)
+def text_chunk(spark, sf):
+    """Budget-bounded document chunking (the truncation-free companion to
+    pack_documents): order-preserving 64-token chunks, value-checked —
+    both engines replay the filtered split, ceil-division chunk count and
+    slice-join.  64 tokens (not 2048) so the fixture corpus actually
+    produces multi-chunk documents."""
+    from kgforge.operators import packing
+
+    return packing.chunk_documents(T(spark, sf, "documents"), budget_tokens=64)
+
+
 @q("ann_ivf", None)  # seeded k-means centroid assignment -> rows-only + pytest
 def ann_ivf(spark, sf):
     """IVF approximate top-k (centroid-bucketed inverted lists, partition-
@@ -1408,6 +1436,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "ann_lsh",
     "text_repetition",
     "pack_documents",
+    "text_chunk",
     "ann_ivf",
     "dedup_incremental",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
@@ -1420,4 +1449,4 @@ for _k in ("text_unigram_lm", "text_quality_rules", "embed_quantize"):
     # to the extras (disclosed in their docstrings for round-over-round
     # comparability, per ADVICE r4)
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 62, f"registry must hold exactly 61 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 63, f"registry must hold exactly 61 entries, got {len(REGISTRY)}"

@@ -584,6 +584,51 @@ def test_pack_documents_invariants(spark):
     assert fill > 0.5, f"fill efficiency {fill}"
 
 
+def test_chunk_documents_invariants(spark):
+    """Chunks are order-preserving, budget-bounded, and lossless up to
+    whitespace normalization; empty docs yield one empty chunk."""
+    from kgforge.operators import packing
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(25))),  # 25 tokens -> 3 chunks @ 10
+         (1, "short doc"),
+         (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        packing.chunk_documents(docs, budget_tokens=10).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.n_tokens for r in by_doc[0]] == [10, 10, 5]
+    assert " ".join(r.chunk_text for r in by_doc[0]) == " ".join(
+        f"w{i}" for i in range(25)
+    )
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in by_doc[1]] == [(0, 2, "short doc")]
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [(0, 0, "")]
+
+
+def test_chunk_then_pack_leaves_no_oversize(spark):
+    """The intended composition: chunk long docs to the budget, then pack
+    the chunks — no oversize singletons remain and every pack fits."""
+    from pyspark.sql import functions as F2
+
+    from kgforge.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i * 700 + 10)) for i in range(5)], "doc_id long, text string"
+    )
+    chunks = packing.chunk_documents(docs, budget_tokens=512).select(
+        (F2.col("doc_id") * 1000 + F2.col("chunk_id")).alias("doc_id"),
+        F2.col("chunk_text").alias("text"),
+    )
+    packed = packing.pack_documents(chunks, budget_tokens=512, n_bins=2).collect()
+    assert packed and not any(r.oversize for r in packed)
+    assert all(r.pack_tokens <= 512 for r in packed)
+
+
 def test_text_ops_null_safe(spark):
     """NULL text must behave as empty everywhere: deterministic False/und/0
     verdicts, never a silent null keep flag (a null drops out of
