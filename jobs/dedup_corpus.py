@@ -247,8 +247,13 @@ def _run_remove(spark, args) -> int:
 
     n_docs = all_docs.count()
     n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
+    meta_p = os.path.join(args.state, "_META.json")
+    state_method = "minhash"
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            state_method = json.load(fh).get("method", "minhash")
     metrics = {
-        "method": "minhash",
+        "method": state_method,
         "removed": n_removed,
         "split": not args.no_split,
         "n_docs": n_docs,

@@ -497,7 +497,12 @@ def incremental_dedup_update(
     (mixing band schemas would silently produce zero candidates).
 
     State layout (plain-parquet backend):
-        bands/      band_signatures of every prior doc (append-only)
+        bands/      band_signatures of every prior doc (append-only;
+                    minhash states)
+        sigs/       per-doc (doc_id, simhash) (append-only; simhash states
+                    — rep band rows are DERIVED from the surviving
+                    signatures each batch, so tombstoned reps re-elect
+                    automatically)
         corpus/     accumulated (doc_id, text)        (append-only)
         hashes/     accumulated (doc_id, content md5) (append-only) — closes
                     the guard-escape across batches: a batch holding more
@@ -553,11 +558,15 @@ def incremental_dedup_update(
             return spark.createDataFrame([], schema)
         return spark.read.parquet(path)
 
-    band_schema = (
-        f"{id_col} long, band int, band_sig long"
-        if method == "minhash"
-        else f"{id_col} long, band int, key long, simhash long"
-    )
+    # minhash persists band signatures (the sketch is not recoverable from
+    # anything smaller); simhash persists per-doc SIGNATURES under sigs/ —
+    # 16 bytes/doc — and derives the rep band rows per batch, which makes
+    # tombstone re-election automatic (see incremental_simhash_pairs)
+    if method == "simhash":
+        bands_p = os.path.join(state_dir, "sigs")
+        band_schema = f"{id_col} long, simhash long"
+    else:
+        band_schema = f"{id_col} long, band int, band_sig long"
     old_bands = _read_or_empty(bands_p, band_schema)
     old_docs = _read_or_empty(corpus_p, f"{id_col} long, text string")
     old_hashes = _read_or_empty(hashes_p, f"{id_col} long, md5 string")
@@ -701,6 +710,7 @@ def compact_dedup_state(spark, state_dir: str, id_col: str = "doc_id") -> dict:
     dropped = {}
     tables = {
         "bands": [id_col],
+        "sigs": [id_col],
         "corpus": [id_col],
         "hashes": [id_col],
         "pairs": ["a", "b"],
@@ -932,35 +942,39 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 def incremental_simhash_pairs(
     new_docs: DataFrame,
-    old_bands: DataFrame,
+    old_sigs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
 ) -> tuple:
     """SimHash near-dup pairs for a NEW batch against a growing corpus —
     the simhash analogue of ``incremental_minhash_pairs`` (round 5, VERDICT
-    r4 item 7).  State = the persisted ``simhash_band_rows`` relation of
-    all prior docs; per batch: band the new docs (one Python pass over the
-    BATCH only), candidates from new x new + new x old (band, key)
-    equi-joins, hamming verified directly from the signatures carried on
-    the band rows — old text is NEVER read (the sketch is sufficient),
-    which makes this path even cheaper than the minhash one.
+    r4 item 7).  State = the persisted per-doc SIGNATURE relation
+    ``old_sigs`` (doc_id, simhash — 16 bytes/doc, append-only); per batch:
+    sketch the new docs (one Python pass over the BATCH only), DERIVE the
+    old side's representative band rows from the signatures (one
+    map-combined min agg + pure projections — no Python, no text), and
+    take candidates from new x new + new x old (band, key) equi-joins,
+    hamming verified from the carried signatures.  Old text is NEVER read.
 
-    Round 5: the band state holds one representative per distinct batch
-    SIGNATURE (same star compression as simhash_near_pairs) — a batch of
-    identical docs appends 4 band rows, not 4m, and same-signature members
-    link through the batch's star edges.  Cross-batch identical CONTENT
-    additionally links through the method-independent hashes/ table in
-    incremental_dedup_update; the one conservative miss is a same-sig-but-
-    different-content doc arriving after its signature's rep was
-    tombstoned (no band rows left to join) — near-dups that narrow escape
-    until a recluster.
+    Same-signature groups star-compress on both sides (the
+    simhash_near_pairs argument): the batch links members to a batch rep,
+    and the derived old side holds one rep per distinct SURVIVING
+    signature.  Deriving reps from the signature state each batch — rather
+    than persisting a rep's band rows — is what makes tombstones exact:
+    removing a rep re-elects the min surviving member automatically on the
+    next batch, so no same-sig-but-different-content doc can escape
+    (pytest: remove-rep-then-batch).
 
-    Returns (pairs, new_bands); pairs involve >= 1 new doc; new_bands is
-    the state delta to append."""
+    Returns (pairs, new_sigs); pairs involve >= 1 new doc; new_sigs is
+    the (doc_id, simhash) state delta to append."""
     if id_col != "doc_id":
         new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
-    star, reps = _sig_star(simhash_signatures(new_docs))
-    new_bands = simhash_band_rows(reps).localCheckpoint(eager=False)
+        old_sigs = old_sigs.withColumnRenamed(id_col, "doc_id")
+    new_sigs = simhash_signatures(new_docs).localCheckpoint(eager=False)
+    star, reps = _sig_star(new_sigs)
+    new_bands = simhash_band_rows(reps)
+    old_reps = old_sigs.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    old_bands = simhash_band_rows(old_reps.select("doc_id", "simhash"))
     nn = (
         new_bands.alias("x")
         .join(new_bands.alias("y"), ["band", "key"])
@@ -985,7 +999,7 @@ def incremental_simhash_pairs(
         )
     )
     pairs = _simhash_verify(nn.unionByName(no), max_hamming).unionByName(star)
-    return pairs, new_bands
+    return pairs, new_sigs
 
 
 def _cc_star(

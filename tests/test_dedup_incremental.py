@@ -149,9 +149,9 @@ def test_incremental_simhash_pairs_union_matches_oneshot_clusters(spark, frames)
     their connected components must be identical) — and verification never
     touches old text (the band rows carry the signatures)."""
     b1, b2, full = frames
-    empty = spark.createDataFrame([], "doc_id long, band int, key long, simhash long")
-    p1, bands1 = dedup.incremental_simhash_pairs(b1, empty, max_hamming=10)
-    p2, bands2 = dedup.incremental_simhash_pairs(b2, bands1, max_hamming=10)
+    empty = spark.createDataFrame([], "doc_id long, simhash long")
+    p1, sigs1 = dedup.incremental_simhash_pairs(b1, empty, max_hamming=10)
+    p2, sigs2 = dedup.incremental_simhash_pairs(b2, sigs1, max_hamming=10)
     union_pairs = p1.select("a", "b").unionByName(p2.select("a", "b"))
     got = {(r.doc_id, r.cluster_id, r.is_canonical)
            for r in dedup.dedup_clusters(full, pairs=union_pairs).collect()}
@@ -161,9 +161,38 @@ def test_incremental_simhash_pairs_union_matches_oneshot_clusters(spark, frames)
     assert got == want
     assert {r.a for r in p1.collect()} | {r.b for r in p1.collect()}  # discriminating
     assert all(r.a >= 10 or r.b >= 10 for r in p2.collect())
-    # exact cross-batch copy pairs at hamming 0 through the band state
+    # exact cross-batch copy pairs at hamming 0 through the signature state
     assert (0, 10, 0) in {(r.a, r.b, r.hamming) for r in p2.collect()}
-    assert bands2.count() == 4 * len(BATCH2)  # all batch-2 sigs distinct
+    assert sigs2.count() == len(BATCH2)  # one signature row per batch doc
+
+
+def test_simhash_tombstoned_rep_reelects_in_state(spark, tmpdir_path):
+    """Removing a signature group's representative must NOT orphan the
+    group in the simhash state: rep band rows derive from SURVIVING
+    signatures each batch, so a later same-signature doc still links to
+    the min surviving member (the round-5 conservative miss, closed)."""
+    state = os.path.join(tmpdir_path, "shrm_state")
+    text_a = "identical body shared by the whole signature group"
+    b1 = spark.createDataFrame(
+        [(0, text_a), (1, text_a), (4, "an unrelated document lives here")],
+        "doc_id long, text string",
+    )
+    dedup.incremental_dedup_update(spark, b1, state, method="simhash")
+    removed = spark.createDataFrame([(0,)], "doc_id long")  # the sig rep
+    dedup.incremental_dedup_remove(spark, removed, state)
+    b2 = spark.createDataFrame([(10, text_a)], "doc_id long, text string")
+    assign = {r.doc_id: r.cluster_id
+              for r in dedup.incremental_dedup_update(
+                  spark, b2, state, method="simhash").collect()}
+    assert 0 not in assign
+    assert assign[10] == assign[1] == 1  # re-elected survivor anchors the group
+    assert assign[4] == 4
+    # operator-level isolation (identical content also links via hashes/,
+    # so pin the SIGNATURE path alone): deriving reps from the surviving
+    # sig rows must pair the new doc with doc 1 directly
+    surv = spark.read.parquet(os.path.join(state, "sigs")).filter("doc_id != 0")
+    p, _ = dedup.incremental_simhash_pairs(b2, surv, max_hamming=3)
+    assert (1, 10) in {(r.a, r.b) for r in p.collect()}
 
 
 def test_simhash_pairs_linear_in_identical_clique(spark):
