@@ -1,0 +1,59 @@
+"""pack_corpus CLI (jobs/pack_corpus.py): packs/manifest outputs and the
+one-line JSON metrics, over a corpus with planted long documents."""
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+)
+
+BUDGET = 64
+
+
+@pytest.fixture()
+def docs_path(spark, tmpdir_path):
+    rows = [(i, "tok " * (10 + i * 7)) for i in range(20)]
+    rows.append((100, "long " * 500))  # 500 tokens -> 8 chunks at budget 64
+    p = os.path.join(tmpdir_path, "pdocs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    return p
+
+
+def _run(docs_path, out, capsys, *extra):
+    import pack_corpus
+
+    rc = pack_corpus.main(["--docs", docs_path, "--out", out, *extra])
+    assert rc == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_chunked_packing_invariants(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "p_out")
+    m = _run(docs_path, out, capsys, "--budget", str(BUDGET), "--bins", "2")
+    assert m["n_docs"] == 21 and m["n_oversize"] == 0
+    assert m["n_units"] > 21  # the long doc split into multiple chunks
+    packs = spark.read.parquet(os.path.join(out, "packs"))
+    # every unit exactly once; no pack over budget; long doc spans 8 chunks
+    assert packs.count() == packs.select("unit_id").distinct().count()
+    assert packs.groupBy("pack_id").agg(F.sum("n_tokens").alias("t")).filter(
+        F.col("t") > BUDGET
+    ).count() == 0
+    assert packs.filter("doc_id = 100").count() == 8
+    man = spark.read.parquet(os.path.join(out, "manifest"))
+    assert man.count() == m["n_packs"]
+    assert man.filter(F.col("fill") > 1.0).count() == 0
+    assert 0 < m["fill_mean"] <= 1.0
+
+
+def test_no_chunk_flags_oversize(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "p_noc")
+    m = _run(docs_path, out, capsys, "--budget", str(BUDGET), "--no-chunk")
+    assert m["n_units"] == 21 and m["n_oversize"] >= 1  # the 500-token doc
+    packs = spark.read.parquet(os.path.join(out, "packs"))
+    over = packs.filter("oversize").collect()
+    assert {r.doc_id for r in over} and all(r.n_tokens > BUDGET for r in over)
