@@ -629,6 +629,64 @@ def test_chunk_then_pack_leaves_no_oversize(spark):
     assert all(r.pack_tokens <= 512 for r in packed)
 
 
+# --- property tests: corpus assembly (hypothesis) ---------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_corpus_strategy = st.lists(
+    st.text(alphabet="ab \n\t", min_size=0, max_size=120), min_size=1, max_size=12
+)
+
+
+@given(_corpus_strategy, st.integers(min_value=1, max_value=16))
+@settings(max_examples=25, deadline=None)
+def test_chunk_documents_property(spark, corpus_texts, budget):
+    """For ANY corpus and budget: chunks are contiguous, budget-bounded,
+    and reassemble to the normalized token stream; every doc appears."""
+    from kgforge.operators import packing
+
+    docs = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    rows = sorted(
+        packing.chunk_documents(docs, budget_tokens=budget).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r.n_tokens <= budget
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(corpus_texts)))
+    for i, text_i in enumerate(corpus_texts):
+        want = " ".join(w for w in text_i.split() if w)
+        got = " ".join(r.chunk_text for r in by_doc[i]).strip()
+        assert got == want
+        assert [r.chunk_id for r in by_doc[i]] == list(range(len(by_doc[i])))
+
+
+@given(_corpus_strategy, st.integers(min_value=1, max_value=16))
+@settings(max_examples=15, deadline=None)
+def test_pack_documents_property(spark, corpus_texts, budget):
+    """For ANY corpus and budget: every doc packs exactly once, pack totals
+    are consistent, and only oversize docs exceed the budget (alone)."""
+    from kgforge.operators import packing
+
+    docs = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    out = packing.pack_documents(docs, budget_tokens=budget, n_bins=2).collect()
+    assert len(out) == len(corpus_texts)
+    assert len({r.doc_id for r in out}) == len(corpus_texts)
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for members in by_pack.values():
+        total = sum(m.n_tokens for m in members)
+        assert all(m.pack_tokens == total for m in members)
+        if total > budget:
+            assert len(members) == 1 and members[0].oversize
+
+
 def test_text_ops_null_safe(spark):
     """NULL text must behave as empty everywhere: deterministic False/und/0
     verdicts, never a silent null keep flag (a null drops out of
