@@ -584,6 +584,64 @@ def test_pack_documents_invariants(spark):
     assert fill > 0.5, f"fill efficiency {fill}"
 
 
+def test_pack_documents_many_arrow_batches(spark):
+    """ADVICE r5 (high): one bucket arriving as MULTIPLE Arrow batches must
+    pack as one group — the per-chunk state reset emitted colliding pack_ids
+    whose totals broke the budget invariant exactly on big buckets."""
+    from kgforge.operators import packing
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")  # bucket of 120 docs -> ~18 chunks
+        docs = spark.createDataFrame(
+            [(i, "w " * ((i % 13) * 5 + 3)) for i in range(120)],
+            "doc_id long, text string",
+        )
+        out = packing.pack_documents(docs, budget_tokens=64, n_bins=1).collect()
+        assert len(out) == 120 and len({r.doc_id for r in out}) == 120
+        by_pack = {}
+        for r in out:
+            by_pack.setdefault(r.pack_id, []).append(r)
+        for members in by_pack.values():
+            total = sum(m.n_tokens for m in members)
+            assert all(m.pack_tokens == total for m in members)
+            if any(m.oversize for m in members):
+                assert len(members) == 1
+            else:
+                assert total <= 64, f"budget broken: {total}"
+        # determinism must hold regardless of Arrow batch slicing
+        spark.conf.set(key, "10000")
+        again = packing.pack_documents(docs, budget_tokens=64, n_bins=1).collect()
+        assert {(r.doc_id, r.pack_id) for r in again} == {
+            (r.doc_id, r.pack_id) for r in out
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_pack_documents_scale_aware_bins(spark):
+    """VERDICT r5 item 7: the default n_bins derives from corpus size — a
+    tiny target_docs_per_bucket forces more buckets than 4 x parallelism,
+    bounding per-bucket pandas memory by corpus size, not cluster size."""
+    from kgforge.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 5) for i in range(400)], "doc_id long, text string"
+    )
+    out = packing.pack_documents(
+        docs, budget_tokens=64, target_docs_per_bucket=1
+    ).collect()
+    floor = spark.sparkContext.defaultParallelism * 4
+    n_buckets = len({r.bucket for r in out})
+    # 400 requested bins; hashing 400 ids into 400 bins occupies ~63% of them
+    assert n_buckets > floor, f"{n_buckets} buckets <= 4x parallelism {floor}"
+    assert len(out) == 400 and len({r.doc_id for r in out}) == 400
+
+
 def test_chunk_documents_invariants(spark):
     """Chunks are order-preserving, budget-bounded, and lossless up to
     whitespace normalization; empty docs yield one empty chunk."""
