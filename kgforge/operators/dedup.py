@@ -97,12 +97,18 @@ def ngram_jaccard_pairs(
     Round 5: docs whose ENTIRE shingle set was guard-dropped (a family
     duplicated beyond max_df) re-link via content star edges at Jaccard
     1.0 — the same escape minhash_lsh_pairs had (ADVICE r4), detected on
-    ids only.  The registered DuckDB oracle is unaffected at test scale
-    (no sf0.01 family crosses the default guard); the fallback rows are a
-    strict subset of the true >= threshold pair list."""
-    sh = word_shingles(docs, n, id_col).localCheckpoint(eager=False)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "inner").select(
+    ids only.
+
+    Round 6 (ADVICE r5 medium): the fallback is restricted to docs that
+    HAD shingles before the max_df filter (the pre-guard relation's ids) —
+    never to docs that merely lack shingles — and the registered DuckDB
+    oracle now REPLAYS both the guard and the fallback star edges exactly
+    (see queries.py `dedup_ngram_jaccard`), so Spark == oracle holds at
+    any scale / any fixture, not just when no family crosses the guard
+    (pytest: test_ngram_guard_fallback_matches_duckdb_oracle)."""
+    sh0 = word_shingles(docs, n, id_col).localCheckpoint(eager=False)
+    df_counts = sh0.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh0.join(df_counts.filter(F.col("df") <= max_df), "shingle", "inner").select(
         id_col, "shingle"
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -125,7 +131,9 @@ def ngram_jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out.unionByName(
-        _guard_lost_star_edges(docs, sh, id_col).withColumn("jaccard", F.lit(1.0))
+        _guard_lost_star_edges(docs, sh, id_col, eligible=sh0).withColumn(
+            "jaccard", F.lit(1.0)
+        )
     )
 
 
@@ -315,12 +323,23 @@ def minhash_lsh_pairs(
 
 
 def _guard_lost_star_edges(
-    docs: DataFrame, survivors: DataFrame, id_col: str
+    docs: DataFrame,
+    survivors: DataFrame,
+    id_col: str,
+    eligible: DataFrame | None = None,
 ) -> DataFrame:
     """Content star edges for docs that have text but NO rows in
     ``survivors`` (band rows or guard-filtered shingles — their entire
-    shingle set crossed the max_df guard).  The lost set is detected on
-    IDS ONLY — anti-joining the full docs relation against the surviving
+    shingle set crossed the max_df guard).
+
+    ``eligible`` (optional id-bearing relation, round 6 / ADVICE r5 medium)
+    restricts the lost set to docs that HAD rows BEFORE the guard — the
+    fallback exists to catch guard-dropped docs, and anchoring it to the
+    pre-guard relation makes that invariant structural instead of relying
+    on the current shingle builder emitting >= 1 shingle for every
+    non-empty doc.  When omitted, any doc with non-empty text qualifies
+    (the minhash band path, where pre-guard presence == non-empty text by
+    construction).  The lost set is detected on IDS ONLY — anti-joining the full docs relation against the surviving
     rows would shuffle the corpus TEXT column just to find an (almost
     always empty) id set, which measured as a 1.8x slowdown of the whole
     pair job at sf0.1; the id-only anti join shuffles 8-byte ids, and the
@@ -328,7 +347,12 @@ def _guard_lost_star_edges(
     probe when the lost set is small (the common case: empty) while
     degrading to a correct shuffle join for adversarial corpora where the
     lost set is genuinely large."""
-    lost_ids = docs.select(id_col).join(survivors.select(id_col), id_col, "left_anti")
+    base = (
+        docs.select(id_col)
+        if eligible is None
+        else eligible.select(id_col).distinct()
+    )
+    lost_ids = base.join(survivors.select(id_col), id_col, "left_anti")
     lost = docs.join(lost_ids, id_col, "left_semi").filter(
         F.length(F.trim(F.col("text"))) > 0
     )

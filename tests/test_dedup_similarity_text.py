@@ -584,6 +584,50 @@ def test_pack_documents_invariants(spark):
     assert fill > 0.5, f"fill efficiency {fill}"
 
 
+def test_ngram_guard_fallback_matches_duckdb_oracle(spark, tmpdir_path):
+    """ADVICE r5 (medium): a family duplicated beyond max_df loses every
+    shingle to the hot-shingle guard; the Spark fallback emits content star
+    edges at jaccard 1.0 and the REGISTERED DuckDB oracle must replay both
+    the guard and the fallback, so Spark == oracle holds on fixtures that
+    cross the guard — including duplicated short documents."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from kgforge.queries import REGISTRY
+
+    fam = "alpha beta gamma delta epsilon"  # 3 shingles, each df = 1001 > 1000
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = (
+        [(1, base), (2, base + " z"), (3, "completely different words here now"),
+         (4, "hi there"), (5, "hi there")]  # short dup pair: normal path
+        + [(10_000 + i, fam) for i in range(1001)]
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    docs.write.parquet(os.path.join(tmpdir_path, "documents.parquet"))
+
+    fn, sql = REGISTRY["dedup_ngram_jaccard"]
+    got = sorted(
+        (r.a, r.b, round(r.jaccard, 6)) for r in fn(spark, tmpdir_path).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        (int(a), int(b), round(float(j), 6)) for a, b, j in con.execute(sql).fetchall()
+    )
+    assert got == want
+    # the family re-links via 1000 fallback star edges from its min id
+    stars = [(a, b, j) for a, b, j in got if a == 10_000]
+    assert len(stars) == 1000 and all(j == 1.0 for _, _, j in stars)
+    # the short duplicated pair travels the NORMAL path (its one shingle
+    # survives the guard), not the fallback
+    assert (4, 5, 1.0) in got
+    # the near-dup pair (9 of 10 shingles shared) is found by both engines
+    assert (1, 2, 0.9) in got
+
+
 def test_pack_documents_many_arrow_batches(spark):
     """ADVICE r5 (high): one bucket arriving as MULTIPLE Arrow batches must
     pack as one group — the per-chunk state reset emitted colliding pack_ids
