@@ -247,15 +247,23 @@ def _run_remove(spark, args) -> int:
 
     n_docs = all_docs.count()
     n_keep = spark.read.parquet(os.path.join(args.out, "keep")).count()
-    meta_p = os.path.join(args.state, "_META.json")
-    state_method = "minhash"
-    if os.path.exists(meta_p):
-        with open(meta_p) as fh:
-            state_method = json.load(fh).get("method", "minhash")
+    # meta through the fsio seam (ADVICE r5: builtin open() silently pinned
+    # the marker to the local filesystem); "split" reports what actually ran
+    # — the format gate downgrades to conservative merge on upgraded states
+    from kgforge import fsio
+
+    fs = fsio.get_fs(args.state)
+    meta = dedup.read_state_meta(fs, args.state)
+    state_method = meta.get("method", "minhash")
+    split_effective = (
+        not args.no_split
+        and fs.exists(os.path.join(args.state, "pairs"))
+        and meta.get("format", 1) >= dedup.STATE_FORMAT
+    )
     metrics = {
         "method": state_method,
         "removed": n_removed,
-        "split": not args.no_split,
+        "split": split_effective,
         "n_docs": n_docs,
         "n_clusters": assign_r.select("cluster_id").distinct().count(),
         "n_kept": n_keep,

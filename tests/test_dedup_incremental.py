@@ -506,3 +506,73 @@ def test_remove_cli_reelects_and_next_batch_excludes(spark, tmpdir_path, capsys)
                 for r in spark.read.parquet(f"{out3}/clusters").collect()}
     assert 0 not in clusters
     assert clusters[10] == clusters[1] == 1
+
+
+def _fabricate_state(spark, state_dir, meta: dict, hashes=None):
+    """Hand-built state dir: assign {1,2,3} one cluster, pair history holds
+    only the star edges through hub 1 ((1,2), (1,3))."""
+    from kgforge import fsio
+
+    fs = fsio.get_fs(state_dir)
+    fs.makedirs(state_dir)
+    spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False)],
+        "doc_id long, cluster_id long, is_canonical boolean",
+    ).write.parquet(os.path.join(state_dir, "assign"))
+    spark.createDataFrame([(1, 2), (1, 3)], "a long, b long").write.parquet(
+        os.path.join(state_dir, "pairs")
+    )
+    if hashes is not None:
+        spark.createDataFrame(hashes, "doc_id long, md5 string").write.parquet(
+            os.path.join(state_dir, "hashes")
+        )
+    fs.write_text(os.path.join(state_dir, "_META.json"), json.dumps(meta))
+
+
+def test_upgraded_state_without_format_falls_back_to_merge(spark, tmpdir_path):
+    """ADVICE r5: a state whose _META predates the pairs/ format (no
+    "format" key) may hold a PARTIAL pair history — early-batch edges were
+    never recorded — so --remove must use the conservative relabel instead
+    of splitting on incomplete connectivity."""
+    state = os.path.join(tmpdir_path, "old_state")
+    _fabricate_state(
+        spark, state, {"method": "minhash"},  # pre-format meta (upgraded state)
+        hashes=[(1, "ha"), (2, "hb"), (3, "hc")],
+    )
+    removed = spark.createDataFrame([(1,)], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.incremental_dedup_remove(spark, removed, state).collect()}
+    # conservative merge: 2 and 3 stay ONE cluster relabeled to min survivor
+    assert out[2] == (2, True) and out[3] == (2, False)
+
+
+def test_format2_state_splits_bridged_cluster_on_removal(spark, tmpdir_path):
+    """Same fabricated state but format 2 (complete pair history) and
+    distinct content: removing hub 1 splits {2} / {3}."""
+    state = os.path.join(tmpdir_path, "new_state")
+    _fabricate_state(
+        spark, state, {"method": "minhash", "format": dedup.STATE_FORMAT},
+        hashes=[(1, "ha"), (2, "hb"), (3, "hc")],
+    )
+    removed = spark.createDataFrame([(1,)], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.incremental_dedup_remove(spark, removed, state).collect()}
+    assert out[2] == (2, True) and out[3] == (3, True)
+
+
+def test_hub_removal_cannot_strand_exact_copies(spark, tmpdir_path):
+    """Round 6: the pairs/ history is star-compressed (docs 2 and 3 link
+    only to hub 1, never to each other), so removing the hub used to strand
+    two IDENTICAL docs into two canonical keepers.  The split now re-derives
+    content star edges from hashes/ — {2,3} must stay one cluster."""
+    state = os.path.join(tmpdir_path, "hub_state")
+    _fabricate_state(
+        spark, state, {"method": "minhash", "format": dedup.STATE_FORMAT},
+        hashes=[(1, "same"), (2, "same"), (3, "same")],  # all exact copies
+    )
+    removed = spark.createDataFrame([(1,)], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.incremental_dedup_remove(spark, removed, state).collect()}
+    assert out[2] == (2, True) and out[3] == (2, False), (
+        "identical survivors must share one cluster after hub removal"
+    )

@@ -269,3 +269,23 @@ def test_unigram_lm_hot_words_take_broadcast_join(spark):
     got = {r.doc_id: (r.avg_logprob, r.n_words) for r in df.collect()}
     want = {r.doc_id: (r.avg_logprob, r.n_words) for r in plain.collect()}
     assert got == want
+
+
+def test_dedup_clusters_rep_election_is_text_free(spark):
+    """VERDICT r5 item 2: the exact-content rep collapse elects reps from an
+    (id, md5) projection — no exchange in the election plan may carry the
+    text column, and no any_value(text) aggregate exists anywhere.  Text
+    enters only through the left-semi rep fetch."""
+    from kgforge.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    star, reps = dedup.exact_rep_collapse(docs)
+    plan = physical_plan(star)
+    assert "any_value" not in plan
+    # formatted mode: each "(n) Exchange" has a detail block whose Input
+    # line lists the exchanged columns — all must be text-free
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and ") Exchange" in block.splitlines()[0]:
+            assert "text" not in block, f"text-bearing exchange:\n{block}"
+    # the rep fetch is the one place text flows, via a semi join
+    assert "Join type: LeftSemi" in physical_plan(reps)
