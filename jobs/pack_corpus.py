@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
         help="pack whole documents; docs over the budget become flagged "
         "oversize singleton packs instead of being split",
     )
+    ap.add_argument(
+        "--tokenizer",
+        choices=("ws", "regex"),
+        default="ws",
+        help="budget unit: 'ws' whitespace tokens, or 'regex' BPE-ish tokens "
+        "(words/numbers/single symbols — approximates subword budgets on "
+        "punctuation-dense text); applies to chunking AND packing so the "
+        "no-oversize composition invariant holds under either counter",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -82,7 +91,9 @@ def main(argv: list[str] | None = None) -> int:
             "chunk_id", F.lit(0)
         ).withColumn("unit_id", F.col("doc_id"))
     else:
-        chunks = packing.chunk_documents(docs, budget_tokens=args.budget)
+        chunks = packing.chunk_documents(
+            docs, budget_tokens=args.budget, tokenizer=args.tokenizer
+        )
         over = chunks.filter(F.col("chunk_id") >= MAX_CHUNKS).limit(1).count()
         if over:
             ap.error(f"a document exceeds {MAX_CHUNKS} chunks; raise --budget")
@@ -97,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         units.select(F.col("unit_id").alias("doc_id"), "text"),
         budget_tokens=args.budget,
         n_bins=args.bins,
+        tokenizer=args.tokenizer,
     ).select(
         F.col("doc_id").alias("unit_id"),
         "n_tokens",
@@ -129,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         "fill_mean": row.fill_mean,
         "n_oversize": out_r.filter("oversize").count(),
         "chunked": not args.no_chunk,
+        "tokenizer": args.tokenizer,
     }
     print(json.dumps(metrics))
     return 0

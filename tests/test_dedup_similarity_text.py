@@ -804,3 +804,47 @@ def test_text_ops_null_safe(spark):
     assert lang[1] == ("und", 0) and lang[2] == ("und", 0)
     feats = {r.doc_id: r.n_tokens for r in text.quality_features(docs).collect()}
     assert feats[1] == 1  # split('') yields one empty token (documented)
+
+
+def test_chunk_then_pack_regex_tokenizer(spark):
+    """VERDICT r5 item 3: under the BPE-ish regex counter, chunk-then-pack
+    keeps the no-oversize invariant, and punctuation-dense text budgets by
+    regex tokens (far more than whitespace tokens)."""
+    from pyspark.sql import functions as F2
+
+    from kgforge.operators import packing
+
+    # "a,b,c...": 1 whitespace token but 2k-1 regex tokens per doc
+    docs = spark.createDataFrame(
+        [(i, ",".join(f"w{j}" for j in range(i * 40 + 5))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    chunks = packing.chunk_documents(docs, budget_tokens=32, tokenizer="regex")
+    rows = chunks.collect()
+    assert all(r.n_tokens <= 32 for r in rows)
+    # doc 5: 205 words ("w"+digits = 2 tokens each) + 204 commas = 614
+    # regex tokens -> ceil(614/32) = 20 chunks
+    assert sum(1 for r in rows if r.doc_id == 5) == 20
+    # whitespace counting would see ONE token per doc (no spaces at all)
+    ws = packing.chunk_documents(docs, budget_tokens=32, tokenizer="ws").collect()
+    assert sum(1 for r in ws if r.doc_id == 5) == 1
+    # composition: re-pack the chunks under the SAME counter -> no oversize
+    units = chunks.select(
+        (F2.col("doc_id") * 1000 + F2.col("chunk_id")).alias("doc_id"),
+        F2.col("chunk_text").alias("text"),
+    )
+    packed = packing.pack_documents(
+        units, budget_tokens=32, n_bins=2, tokenizer="regex"
+    ).collect()
+    assert packed and not any(r.oversize for r in packed)
+    assert all(r.pack_tokens <= 32 for r in packed)
+
+
+def test_unknown_tokenizer_raises(spark):
+    from kgforge.operators import packing
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown tokenizer"):
+        packing.chunk_documents(docs, tokenizer="bpe")

@@ -57,3 +57,23 @@ def test_no_chunk_flags_oversize(spark, docs_path, tmpdir_path, capsys):
     packs = spark.read.parquet(os.path.join(out, "packs"))
     over = packs.filter("oversize").collect()
     assert {r.doc_id for r in over} and all(r.n_tokens > BUDGET for r in over)
+
+
+def test_regex_tokenizer_cli(spark, tmpdir_path, capsys):
+    """--tokenizer regex: punctuation-dense docs budget by regex tokens
+    (commas count), chunks and packs share the counter, no pack exceeds
+    the budget under it."""
+    rows = [(i, ",".join("tok" for _ in range(10 + i * 30))) for i in range(8)]
+    p = os.path.join(tmpdir_path, "rdocs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    out = os.path.join(tmpdir_path, "p_re")
+    m = _run(p, out, capsys, "--budget", str(BUDGET), "--bins", "2",
+             "--tokenizer", "regex")
+    assert m["tokenizer"] == "regex" and m["n_oversize"] == 0
+    # doc 7: 220 words + 219 commas = 439 regex tokens -> 7 chunks @ 64;
+    # whitespace would see ONE token (no spaces anywhere)
+    packs = spark.read.parquet(os.path.join(out, "packs"))
+    assert packs.filter("doc_id = 7").count() == 7
+    assert packs.groupBy("pack_id").agg(F.sum("n_tokens").alias("t")).filter(
+        F.col("t") > BUDGET
+    ).count() == 0
