@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--state",
-        help="incremental mode (minhash only): persistent state directory "
+        help="incremental mode (minhash/simhash/embed): persistent state directory "
         "holding bands/ (LSH band signatures of every prior doc), corpus/ "
         "(accumulated documents), assign/ (current cluster assignment).  "
         "Each invocation treats --docs as a NEW BATCH: candidates come from "
@@ -120,8 +120,10 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--docs is required (except with --remove)")
     docs = spark.read.parquet(args.docs)
     if args.state:
-        if args.method not in ("minhash", "simhash"):
-            ap.error("--state (incremental mode) supports --method minhash|simhash")
+        if args.method not in ("minhash", "simhash", "embed"):
+            ap.error("--state (incremental mode) supports --method minhash|simhash|embed")
+        if args.method == "embed" and not args.embeddings:
+            ap.error("--method embed requires --embeddings")
         return _run_incremental(spark, docs, args)
     if args.method == "minhash":
         thr = 0.5 if args.threshold is None else args.threshold
@@ -184,11 +186,21 @@ def _run_incremental(spark, new_docs, args) -> int:
 
     from kgforge.operators import dedup
 
-    thr = 0.5 if args.threshold is None else args.threshold
+    default_thr = 0.8 if args.method == "embed" else 0.5
+    thr = default_thr if args.threshold is None else args.threshold
     n_batch = new_docs.count()
+    emb = None
+    if args.method == "embed":
+        # the embeddings table is keyed vec_id (aligned with doc_id); the
+        # incremental path needs exactly the BATCH's vectors under doc_id
+        emb = (
+            spark.read.parquet(args.embeddings)
+            .withColumnRenamed("vec_id", "doc_id")
+            .join(new_docs.select("doc_id"), "doc_id", "left_semi")
+        )
     assign_r = dedup.incremental_dedup_update(
         spark, new_docs, args.state, thr,
-        method=args.method, max_hamming=args.max_hamming,
+        method=args.method, max_hamming=args.max_hamming, embeddings=emb,
     )
     all_docs = spark.read.parquet(os.path.join(args.state, "corpus"))
     tomb_p = os.path.join(args.state, "tombstones")

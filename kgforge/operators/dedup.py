@@ -531,24 +531,35 @@ def incremental_dedup_update(
     method: str = "minhash",
     max_hamming: int = 3,
     max_df: int | None = 1000,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Apply ONE new-document batch to a persistent dedup state directory
     and return the refreshed full-corpus cluster assignment.
 
     ``method`` selects the near-dup sketch: 'minhash' (band state =
-    band_signatures, Jaccard-verified against candidate text) or 'simhash'
+    band_signatures, Jaccard-verified against candidate text), 'simhash'
     (round 5: band state = simhash_band_rows, hamming-verified from the
-    carried signatures — no old-text reads).  The method is pinned in the
-    state dir's _META.json on the first batch; later batches must match
-    (mixing band schemas would silently produce zero candidates).
+    carried signatures — no old-text reads), or 'embed' (round 6, VERDICT
+    r5 item 4: hyperplane-LSH band rows + int8-quantized vectors,
+    cosine-verified from the quantized state — no old-embedding reads;
+    requires ``embeddings``, one row per batch doc with (id_col,
+    embedding) where ids match ``new_docs``).  The method is pinned in
+    the state dir's _META.json on the first batch; later batches must
+    match (mixing band schemas would silently produce zero candidates).
 
     State layout (plain-parquet backend):
         bands/      band_signatures of every prior doc (append-only;
-                    minhash states)
+                    minhash states), or hyperplane-LSH (id, band, key)
+                    rows of every prior doc (embed states — per-member,
+                    so tombstoned reps re-elect from survivors)
         sigs/       per-doc (doc_id, simhash) (append-only; simhash states
                     — rep band rows are DERIVED from the surviving
                     signatures each batch, so tombstoned reps re-elect
                     automatically)
+        evecs/      per-doc (doc_id, scale, qvec) int8-quantized vectors
+                    (append-only; embed states — rep derivation and
+                    candidate verification both read these, never the
+                    float corpus)
         corpus/     accumulated (doc_id, text)        (append-only)
         hashes/     accumulated (doc_id, content md5) (append-only) — closes
                     the guard-escape across batches: a batch holding more
@@ -581,8 +592,10 @@ def incremental_dedup_update(
 
     from kgforge import fsio
 
-    if method not in ("minhash", "simhash"):
+    if method not in ("minhash", "simhash", "embed"):
         raise ValueError(f"unknown incremental dedup method {method!r}")
+    if method == "embed" and embeddings is None:
+        raise ValueError("method 'embed' requires the batch's embeddings")
     fs = fsio.get_fs(state_dir)
     bands_p = os.path.join(state_dir, "bands")
     corpus_p = os.path.join(state_dir, "corpus")
@@ -607,10 +620,20 @@ def incremental_dedup_update(
     # minhash persists band signatures (the sketch is not recoverable from
     # anything smaller); simhash persists per-doc SIGNATURES under sigs/ —
     # 16 bytes/doc — and derives the rep band rows per batch, which makes
-    # tombstone re-election automatic (see incremental_simhash_pairs)
+    # tombstone re-election automatic (see incremental_simhash_pairs);
+    # embed persists per-member band rows under bands/ plus quantized
+    # vectors under evecs/ (reps re-derived per batch from the survivors,
+    # same re-election property)
+    evecs_p = os.path.join(state_dir, "evecs")
+    old_evecs = None
     if method == "simhash":
         bands_p = os.path.join(state_dir, "sigs")
         band_schema = f"{id_col} long, simhash long"
+    elif method == "embed":
+        band_schema = f"{id_col} long, band int, key long"
+        old_evecs = _read_or_empty(
+            evecs_p, f"{id_col} long, scale double, qvec array<int>"
+        )
     else:
         band_schema = f"{id_col} long, band int, band_sig long"
     old_bands = _read_or_empty(bands_p, band_schema)
@@ -629,11 +652,20 @@ def incremental_dedup_update(
         old_bands = old_bands.join(tombs, id_col, "left_anti")
         old_docs = old_docs.join(tombs, id_col, "left_anti")
         old_hashes = old_hashes.join(tombs, id_col, "left_anti")
+        if old_evecs is not None:
+            old_evecs = old_evecs.join(tombs, id_col, "left_anti")
 
+    new_qvecs = None
     if method == "minhash":
         pairs, new_bands = incremental_minhash_pairs(
             new_docs, old_bands, old_docs, threshold=threshold, id_col=id_col,
             max_df=max_df,
+        )
+    elif method == "embed":
+        from kgforge.operators import similarity
+
+        pairs, new_bands, new_qvecs = similarity.incremental_embed_pairs(
+            embeddings, old_bands, old_evecs, threshold=threshold, id_col=id_col
         )
     else:
         pairs, new_bands = incremental_simhash_pairs(
@@ -665,6 +697,8 @@ def incremental_dedup_update(
     # derived from current state is computed first, then appended
     pairs = pairs.localCheckpoint(eager=True)
     new_bands.write.mode("append").parquet(bands_p)
+    if new_qvecs is not None:
+        new_qvecs.write.mode("append").parquet(evecs_p)
     new_docs.select(id_col, "text").write.mode("append").parquet(corpus_p)
     new_hashes.write.mode("append").parquet(hashes_p)
     # pair history feeds apply_tombstones_split; append-only like bands/
@@ -789,6 +823,7 @@ def compact_dedup_state(spark, state_dir: str, id_col: str = "doc_id") -> dict:
     tables = {
         "bands": [id_col],
         "sigs": [id_col],
+        "evecs": [id_col],
         "corpus": [id_col],
         "hashes": [id_col],
         "pairs": ["a", "b"],

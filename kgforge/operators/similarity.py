@@ -206,6 +206,19 @@ def banded_bucket_cols(vec_col: str, planes: List[List[float]], bands: int) -> L
     return out
 
 
+def _vec_key(vec_col: str) -> List[F.Column]:
+    """128-bit content key for grouping identical vectors: two independent
+    xxhash64 draws over the array (the second seeded by an extra literal
+    column).  One 64-bit draw is NOT enough at the scale this engine
+    claims: ~27k expected collisions at 10^12 distinct vectors; two draws
+    push that to ~n^2/2^129."""
+    v = F.col(vec_col)
+    return [
+        F.xxhash64(v).alias("_vh1"),
+        F.xxhash64(v, F.lit(1)).alias("_vh2"),
+    ]
+
+
 def lsh_near_pairs(
     embeddings: DataFrame, threshold: float = 0.8,
     n_planes: int = 24, bands: int = 6, seed: int = 42,
@@ -231,15 +244,23 @@ def lsh_near_pairs(
     Round 5: IDENTICAL vectors are star-compressed before banding (the
     exact_pairs/simhash argument): duplicate documents produce duplicate
     embeddings, every member shares every bucket, and the bucket join
-    emitted O(m^2) cosine-1.0 pairs per m-copy group.  One groupBy on the
-    vector value elects a min-id rep per distinct vector; members link to
-    their rep at cosine 1.0 (one extra vector-keyed shuffle — the price of
-    killing the quadratic), and banding runs over distinct vectors only.
-    Output is connectivity-equivalent; clusters identical."""
-    hubs = embeddings.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    emitted O(m^2) cosine-1.0 pairs per m-copy group.  Members link to a
+    min-id rep per distinct vector at cosine 1.0, and banding runs over
+    distinct vectors only.  Output is connectivity-equivalent; clusters
+    identical.
+
+    Round 6 (VERDICT r5 item 6): the star-compression groupBy keys on a
+    128-bit CONTENT HASH of the vector (two independent xxhash64 draws —
+    16 bytes) instead of the raw float array (256 B at 64-dim), and rep
+    vectors are fetched back by one left-semi join — the election shuffle
+    carries ids + hashes only.  Collision odds at 128 bits are ~n^2/2^129
+    (negligible at any corpus size); pair-set equivalence and clique
+    linearity stay pytest-pinned."""
+    keyed = embeddings.select(id_col, vec_col, *_vec_key(vec_col))
+    hubs = keyed.groupBy("_vh1", "_vh2").agg(F.min(id_col).alias("_rep"))
     star = (
-        embeddings.select(id_col, vec_col)
-        .join(hubs, vec_col)
+        keyed.drop(vec_col)
+        .join(hubs, ["_vh1", "_vh2"])
         .filter(F.col(id_col) != F.col("_rep"))
         .select(
             F.col("_rep").alias("a"),
@@ -247,7 +268,9 @@ def lsh_near_pairs(
             F.lit(1.0).alias("cosine"),
         )
     )
-    reps = hubs.select(F.col("_rep").alias(id_col), F.col(vec_col))
+    reps = embeddings.select(id_col, vec_col).join(
+        hubs.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
     planes = hyperplanes(dim, n_planes, seed)
     keys = banded_bucket_cols(vec_col, planes, bands)
     banded = reps.select(
@@ -279,6 +302,130 @@ def lsh_near_pairs(
         .select("a", "b", "cosine")
         .unionByName(star)
     )
+
+
+def incremental_embed_pairs(
+    new_vecs: DataFrame,
+    old_bands: DataFrame,
+    old_qvecs: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 24,
+    bands: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple:
+    """Embedding near-dup pairs for a NEW batch against a growing corpus —
+    the third incremental dedup method (round 6, VERDICT r5 item 4),
+    completing minhash (text Jaccard) and simhash (text hamming) with the
+    embedding-cosine sketch.
+
+    State (append-only, both anti-joined against tombstones by the caller):
+      old_bands   (id, band, key) hyperplane-LSH band rows of EVERY prior
+                  vector — kept per-member (not per-rep) so tombstoning a
+                  rep re-elects automatically: the next batch derives fresh
+                  reps from the surviving vectors and semi-joins their band
+                  rows back out of this table;
+      old_qvecs   (id, scale, qvec) int8-quantized vectors — 1 byte/dim
+                  plus one double, 4x smaller than the float corpus; used
+                  for rep derivation (identical-vector grouping) AND
+                  candidate verification, so the incremental path never
+                  re-reads old embeddings.
+
+    Per batch: quantize + band the new vectors (one pass over the BATCH);
+    star-compress identical vectors on a 128-bit content hash of the qvec
+    (batch members link to a batch rep at cosine 1.0); candidates = new x
+    new + new x old (band, key) equi-joins over REPS on both sides — the
+    old side's reps are re-derived per batch as min surviving id per
+    distinct qvec, so an old 10^6-copy family contributes ONE probe row
+    per band, never a quadratic blow-up.  Verification scores the
+    QUANTIZED vectors (cosine is scale-invariant, so the stored int8
+    codes feed the same codegen dot/norm — max per-element error scale/2,
+    identical for identical inputs); the one-shot ``lsh_near_pairs``
+    verifies raw floats, so near-threshold candidates can differ by the
+    quantization error — batch-union == one-shot equivalence is pinned on
+    well-separated fixtures (pytest), mirroring the seeded-sketch caveat
+    of the other methods.
+
+    Returns (pairs, new_bands, new_qvecs): pairs involve >= 1 new doc;
+    the two relations are the state deltas to append."""
+    if dim is None:
+        head = new_vecs.select(vec_col).head()
+        dim = len(head[0]) if head is not None else 64
+    q = quantize_embeddings(new_vecs, id_col, vec_col).localCheckpoint(eager=False)
+    kq = q.select(
+        id_col,
+        F.xxhash64("qvec").alias("_vh1"),
+        F.xxhash64("qvec", F.lit(1)).alias("_vh2"),
+    )
+    hubs = kq.groupBy("_vh1", "_vh2").agg(F.min(id_col).alias("_rep"))
+    star = (
+        kq.join(hubs, ["_vh1", "_vh2"])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("a"),
+            F.col(id_col).alias("b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    planes = hyperplanes(dim, n_planes, seed)
+    keys = banded_bucket_cols(vec_col, planes, bands)
+    new_bands = (
+        new_vecs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"), k.alias("key"))
+                    for b, k in enumerate(keys)
+                ])
+            ).alias("bk"),
+        )
+        .select(id_col, "bk.band", "bk.key")
+        .localCheckpoint(eager=False)
+    )
+    nb_reps = new_bands.join(
+        hubs.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    old_rep_ids = (
+        old_qvecs.select(
+            id_col,
+            F.xxhash64("qvec").alias("_vh1"),
+            F.xxhash64("qvec", F.lit(1)).alias("_vh2"),
+        )
+        .groupBy("_vh1", "_vh2")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    ob_reps = old_bands.join(old_rep_ids, id_col, "left_semi")
+    nn = (
+        nb_reps.alias("x")
+        .join(nb_reps.alias("y"), ["band", "key"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+    )
+    no = (
+        nb_reps.alias("x")
+        .join(ob_reps.alias("y"), ["band", "key"])
+        .select(
+            F.least(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("a"),
+            F.greatest(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    cand = nn.unionByName(no).distinct()
+    allq = q.select(id_col, "qvec").unionByName(old_qvecs.select(id_col, "qvec"))
+    iv = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    cand = cand.join(
+        allq.select(F.col(id_col).alias("a"), F.col("qvec").alias("_qa")), "a"
+    ).join(allq.select(F.col(id_col).alias("b"), F.col("qvec").alias("_qb")), "b")
+    score = _dot(iv("_qa"), iv("_qb")) / (_norm(iv("_qa")) * _norm(iv("_qb")))
+    verified = (
+        cand.withColumn("cosine", F.round(score, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+    return verified.unionByName(star), new_bands, q.select(id_col, "scale", "qvec")
 
 
 def ivf_centroids(

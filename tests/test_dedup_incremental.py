@@ -576,3 +576,126 @@ def test_hub_removal_cannot_strand_exact_copies(spark, tmpdir_path):
     assert out[2] == (2, True) and out[3] == (2, False), (
         "identical survivors must share one cluster after hub removal"
     )
+
+
+# --- incremental embedding-LSH method (round 6, VERDICT r5 item 4) ----------
+
+def _unit_vec(i, eps=0.0, dim=8):
+    import numpy as np
+
+    v = np.zeros(dim)
+    v[i % dim] = 1.0
+    if eps:
+        v[(i + 1) % dim] = eps
+    v = v / np.linalg.norm(v)
+    return [float(round(x, 6)) for x in v]
+
+
+def test_incremental_embed_pairs_union_matches_oneshot_clusters(spark):
+    """Batch-union connectivity == one-shot lsh_near_pairs connectivity on a
+    well-separated fixture (the quantized verify differs from the raw-float
+    one only within the int8 error band, far from these cosines); exact
+    cross-batch copies link through the band+qvec state; identical vectors
+    within a batch star-compress."""
+    from kgforge.operators import similarity
+
+    schema = "doc_id long, embedding array<double>"
+    b1 = [(0, _unit_vec(0)), (1, _unit_vec(0, 0.05)), (2, _unit_vec(1))]
+    b2 = [(10, _unit_vec(0)), (11, _unit_vec(1, 0.05)), (12, _unit_vec(3)),
+          (13, _unit_vec(3))]
+    d1 = spark.createDataFrame(b1, schema)
+    d2 = spark.createDataFrame(b2, schema)
+    full = d1.unionByName(d2)
+    empty_b = spark.createDataFrame([], "doc_id long, band int, key long")
+    empty_q = spark.createDataFrame([], "doc_id long, scale double, qvec array<int>")
+    kw = dict(threshold=0.8, id_col="doc_id", vec_col="embedding", dim=8)
+    p1, nb1, nq1 = similarity.incremental_embed_pairs(d1, empty_b, empty_q, **kw)
+    p2, _, nq2 = similarity.incremental_embed_pairs(d2, nb1, nq1, **kw)
+    union_pairs = p1.select("a", "b").unionByName(p2.select("a", "b"))
+    got = {(r.doc_id, r.cluster_id, r.is_canonical)
+           for r in dedup.dedup_clusters(full, pairs=union_pairs).collect()}
+    oneshot = similarity.lsh_near_pairs(
+        full, threshold=0.8, id_col="doc_id", vec_col="embedding", dim=8
+    )
+    want = {(r.doc_id, r.cluster_id, r.is_canonical)
+            for r in dedup.dedup_clusters(full, pairs=oneshot).collect()}
+    assert got == want
+    p2_rows = {(r.a, r.b): r.cosine for r in p2.collect()}
+    assert all(a >= 10 or b >= 10 for a, b in p2_rows)  # >= 1 new doc each
+    assert p2_rows.get((0, 10)) == 1.0  # exact cross-batch copy via state
+    assert p2_rows.get((12, 13)) == 1.0  # within-batch star compression
+    assert nq2.count() == len(b2)  # one quantized row per batch doc
+
+
+def test_embed_tombstoned_rep_reelects_in_state(spark, tmpdir_path):
+    """Removing an identical-vector group's rep must not orphan the group:
+    reps re-derive from the surviving evecs/ rows each batch, so a later
+    identical vector links to the min surviving member.  Texts are all
+    DISTINCT to isolate the embedding path from the hashes/ exact links."""
+    state = os.path.join(tmpdir_path, "em_state")
+    d1 = spark.createDataFrame(
+        [(0, "text zero"), (1, "text one"), (4, "text four")],
+        "doc_id long, text string",
+    )
+    e1 = spark.createDataFrame(
+        [(0, _unit_vec(0)), (1, _unit_vec(0)), (4, _unit_vec(2))],
+        "doc_id long, embedding array<double>",
+    )
+    dedup.incremental_dedup_update(spark, d1, state, method="embed", embeddings=e1)
+    dedup.incremental_dedup_remove(
+        spark, spark.createDataFrame([(0,)], "doc_id long"), state
+    )
+    d2 = spark.createDataFrame([(10, "text ten")], "doc_id long, text string")
+    e2 = spark.createDataFrame(
+        [(10, _unit_vec(0))], "doc_id long, embedding array<double>"
+    )
+    assign = {r.doc_id: r.cluster_id
+              for r in dedup.incremental_dedup_update(
+                  spark, d2, state, method="embed", embeddings=e2).collect()}
+    assert 0 not in assign
+    assert assign[10] == assign[1] == 1  # re-elected survivor anchors the group
+    assert assign[4] == 4
+
+
+def test_embed_state_requires_embeddings(spark, tmpdir_path):
+    d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="requires the batch's embeddings"):
+        dedup.incremental_dedup_update(
+            spark, d, os.path.join(tmpdir_path, "e_state"), method="embed"
+        )
+
+
+def test_incremental_state_embed_cli_matches_oneshot(spark, tmpdir_path, capsys):
+    """--state with --method embed: two batches must end with the same
+    clusters as a one-shot embed run over the full corpus (64-dim vectors:
+    the CLI's one-shot path uses the default plane dimensionality)."""
+    import dedup_corpus
+
+    docs_rows = [(i, f"document number {i} body") for i in (0, 1, 2, 10, 11)]
+    emb_rows = [
+        (0, _unit_vec(0, dim=64)), (1, _unit_vec(0, 0.05, dim=64)),
+        (2, _unit_vec(1, dim=64)),
+        (10, _unit_vec(0, dim=64)), (11, _unit_vec(5, dim=64)),
+    ]
+    emb_p = os.path.join(tmpdir_path, "em_vecs.parquet")
+    spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>").write.parquet(emb_p)
+    paths = {}
+    for name, ids in (("b1", (0, 1, 2)), ("b2", (10, 11)), ("full", (0, 1, 2, 10, 11))):
+        rows = [r for r in docs_rows if r[0] in ids]
+        p = os.path.join(tmpdir_path, f"em_{name}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+        paths[name] = p
+    state = os.path.join(tmpdir_path, "em_cli_state")
+    out1, out2, out_full = (os.path.join(tmpdir_path, f"em_out{i}") for i in range(3))
+    common = ["--method", "embed", "--embeddings", emb_p]
+    assert dedup_corpus.main(["--docs", paths["b1"], "--out", out1, "--state", state, *common]) == 0
+    assert dedup_corpus.main(["--docs", paths["b2"], "--out", out2, "--state", state, *common]) == 0
+    assert dedup_corpus.main(["--docs", paths["full"], "--out", out_full, *common]) == 0
+    capsys.readouterr()
+    got = {(r.doc_id, r.cluster_id, r.is_canonical)
+           for r in spark.read.parquet(os.path.join(out2, "clusters")).collect()}
+    want = {(r.doc_id, r.cluster_id, r.is_canonical)
+            for r in spark.read.parquet(os.path.join(out_full, "clusters")).collect()}
+    assert got == want
+    by_doc = {d: c for d, c, _ in got}
+    assert by_doc[10] == 0 and by_doc[1] == 0  # exact + near dup joined via state
