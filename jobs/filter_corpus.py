@@ -13,7 +13,10 @@ Writes to <out>:
 
     keep/     documents passing every enabled filter
     audit/    (doc_id, per-rule booleans, avg_logprob, pred_lang, keep)
-              — the full decision record, one row per input document
+              — the full decision record, one row per input document;
+              pred_lang is recorded only when --lang enables the language
+              filter (null otherwise — the per-row marker scans are real
+              CPU, and rules-only runs stay one exchange-free corpus scan)
 and prints ONE JSON metrics line (n_docs, n_kept, drop breakdown per
 filter).  All filters are JVM-side DataFrame ops; the only driver-side
 values are the dict-sized metric counts.
@@ -114,9 +117,16 @@ def main(argv: list[str] | None = None) -> int:
             + [w for marks in text.LANG_MARKERS.values() for w in marks]
         )
     )
-    audit = text.quality_rules(docs, stopwords=stopwords).select(
+    # ONE fused projection for every per-row narrow signal (VERDICT r5 item
+    # 5): rules + langid compute in the same select — a rules-only run is a
+    # single corpus scan with zero exchanges (plan-gated in test_plans).
+    # pred_lang is computed (and recorded in the audit) only when --lang
+    # asks for it; the column is null otherwise, schema unchanged.
+    audit = text.audit_signals(
+        docs, stopwords=stopwords, include_lang=bool(args.lang)
+    ).select(
         "doc_id", "ok_word_count", "ok_word_len", "ok_symbols", "ok_stopword",
-        F.col("keep").alias("ok_rules"),
+        "ok_rules", "pred_lang",
     )
     rules_col = F.lit(True) if args.no_rules else F.col("ok_rules")
 
@@ -175,8 +185,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         rep_col = F.lit(True)
 
-    lang = text.langid(docs).select("doc_id", "pred_lang")
-    audit = audit.join(lang, "doc_id", "left")
     if args.lang:
         allow = [x.strip() for x in args.lang.split(",") if x.strip()]
         lang_col = F.col("pred_lang").isin(allow)

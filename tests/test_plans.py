@@ -289,3 +289,20 @@ def test_dedup_clusters_rep_election_is_text_free(spark):
             assert "text" not in block, f"text-bearing exchange:\n{block}"
     # the rep fetch is the one place text flows, via a semi join
     assert "Join type: LeftSemi" in physical_plan(reps)
+
+
+def test_audit_signals_rules_only_has_no_exchange(spark):
+    """VERDICT r5 item 5: the filter CLI's per-row narrow signals (quality
+    rules + langid) fuse into ONE projection — zero Exchange nodes, so a
+    rules-only corpus filter is a single scan."""
+    from kgforge.operators import text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(text.audit_signals(docs, include_lang=True))
+    assert "Exchange" not in plan, plan
+    # fused values match the standalone operators exactly
+    fused = {r.doc_id: (r.ok_rules, r.pred_lang)
+             for r in text.audit_signals(docs, include_lang=True).collect()}
+    rules = {r.doc_id: r.keep for r in text.quality_rules(docs).collect()}
+    langs = {r.doc_id: r.pred_lang for r in text.langid(docs).collect()}
+    assert fused == {d: (rules[d], langs[d]) for d in rules}
