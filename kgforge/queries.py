@@ -1461,6 +1461,34 @@ def text_chunk_regex(spark, sf):
     )
 
 
+@q(
+    "corpus_mix",
+    """WITH b AS (
+         SELECT doc_id, lang,
+                CAST(concat('0x', substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 AS mix_bucket
+         FROM documents)
+       SELECT doc_id, lang, mix_bucket,
+              CAST(CASE WHEN lang = 'en' THEN 0
+                        WHEN lang = 'fr' THEN 2 ELSE 1 END
+                   + CASE WHEN mix_bucket < CASE WHEN lang = 'en' THEN 250000
+                                                 WHEN lang = 'fr' THEN 500000
+                                                 ELSE 0 END
+                          THEN 1 ELSE 0 END AS INT) AS n_copies
+       FROM b""",
+)
+def corpus_mix(spark, sf):
+    """Deterministic per-domain mixture counts (round 6): en downsampled to
+    0.25, fr upsampled to 2.5, everything else at its natural rate — both
+    engines replay the content-keyed bucket arithmetic and the literal
+    CASE rate map, value-checked end to end."""
+    from kgforge.operators import mixing
+
+    return mixing.mixture_counts(
+        T(spark, sf, "documents"), {"en": 0.25, "fr": 2.5}
+    ).select("doc_id", "lang", "mix_bucket", "n_copies")
+
+
 @q("ann_ivf", None)  # seeded k-means centroid assignment -> rows-only + pytest
 def ann_ivf(spark, sf):
     """IVF approximate top-k (centroid-bucketed inverted lists, partition-
@@ -1502,6 +1530,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "pack_documents",
     "multimodal_features",
     "text_chunk_regex",
+    "corpus_mix",
     "ann_ivf",
     "dedup_incremental",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
@@ -1517,4 +1546,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 64, f"registry must hold exactly 64 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 65, f"registry must hold exactly 65 entries, got {len(REGISTRY)}"

@@ -306,3 +306,16 @@ def test_audit_signals_rules_only_has_no_exchange(spark):
     rules = {r.doc_id: r.keep for r in text.quality_rules(docs).collect()}
     langs = {r.doc_id: r.pred_lang for r in text.langid(docs).collect()}
     assert fused == {d: (rules[d], langs[d]) for d in rules}
+
+
+def test_mixture_is_exchange_free(spark):
+    """Corpus mixing is one narrow projection + explode: the rate map is a
+    literal CASE chain, the decision a content hash — zero Exchange nodes
+    regardless of how many domains are listed."""
+    from kgforge.operators import mixing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(
+        mixing.materialize_mixture(docs, {"en": 0.25, "fr": 2.5, "de": 0.5})
+    )
+    assert "Exchange" not in plan, plan
