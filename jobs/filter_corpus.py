@@ -3,7 +3,8 @@
     spark-submit --py-files kgforge.zip jobs/filter_corpus.py \
         --docs <documents.parquet> --out <dir> \
         [--min-logprob -9.0 | --drop-logprob-pct 5] [--lang en,fr] [--no-rules] \
-        [--max-dup-line-frac 0.3] [--max-dup-2gram-frac 0.2] [--audit-lm]
+        [--max-dup-line-frac 0.3] [--max-dup-2gram-frac 0.2] [--audit-lm] \
+        [--decontaminate <eval.parquet> --decontam-n 8] [--redact-pii]
 
 Composes the text-quality operators into the filter pass a pretraining
 corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
@@ -89,6 +90,28 @@ def main(argv: list[str] | None = None) -> int:
         "enabled (costs the two unigram-LM corpus passes; without this "
         "flag a rules-only run is a single corpus scan and the audit's "
         "avg_logprob column is null)",
+    )
+    ap.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="EVAL_PARQUET",
+        help="drop documents sharing a word n-gram with this evaluation set "
+        "(benchmark decontamination; the eval gram hashes broadcast, so the "
+        "check adds no corpus shuffle); the parquet needs a text column",
+    )
+    ap.add_argument(
+        "--decontam-n",
+        type=int,
+        default=8,
+        help="n-gram length for --decontaminate (published pipelines use "
+        "8..13; default 8)",
+    )
+    ap.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="redact emails / IPv4s / phone numbers in the KEPT corpus text "
+        "(typed placeholders, kgforge.operators.text.pii_redact); keep/ "
+        "gains an n_pii column recording per-doc replacement counts",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -191,14 +214,32 @@ def main(argv: list[str] | None = None) -> int:
     else:
         lang_col = F.lit(True)
 
+    if args.decontaminate:
+        # benchmark decontamination: the eval gram hashes broadcast, the
+        # per-doc verdict joins back like the other aggregating signals
+        eval_docs = spark.read.parquet(args.decontaminate)
+        dec = text.decontaminate(docs, eval_docs, n=args.decontam_n).select(
+            "doc_id", "eval_gram_hits", "is_contaminated"
+        )
+        audit = audit.join(dec, "doc_id", "left")
+        # a doc missing from the verdict relation cannot happen (decontaminate
+        # emits one row per input doc), but stay null-safe like the others
+        dec_col = ~F.coalesce(F.col("is_contaminated"), F.lit(False))
+    else:
+        audit = audit.withColumn("eval_gram_hits", F.lit(None).cast("long"))
+        dec_col = F.lit(True)
+
     audit = (
         audit.withColumn("ok_lm", lm_col)
         .withColumn("ok_lang", lang_col)
         .withColumn("ok_rep", rep_col)
-        .drop("rep_ok")  # superseded by the null-safe ok_rep; no-op when disabled
+        .withColumn("ok_decontam", dec_col)
+        .drop("rep_ok", "is_contaminated")  # superseded by the ok_* booleans
     )
     audit = audit.withColumn(
-        "keep", rules_col & F.col("ok_lm") & F.col("ok_lang") & F.col("ok_rep")
+        "keep",
+        rules_col & F.col("ok_lm") & F.col("ok_lang") & F.col("ok_rep")
+        & F.col("ok_decontam"),
     )
     audit.write.mode("overwrite").parquet(os.path.join(args.out, "audit"))
     audit_r = spark.read.parquet(os.path.join(args.out, "audit"))
@@ -206,6 +247,11 @@ def main(argv: list[str] | None = None) -> int:
     keep = docs.join(
         audit_r.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
+    if args.redact_pii:
+        # redaction is a narrow projection over the kept rows — it rides the
+        # same write, adding zero passes; n_pii ships in keep/ so downstream
+        # stages can audit the scrub without re-running the regexes
+        keep = text.pii_redact(keep)
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep"))
 
     # dict-sized decision summary in one aggregation pass
@@ -216,7 +262,17 @@ def main(argv: list[str] | None = None) -> int:
         F.sum((~F.col("ok_lm")).cast("int")).alias("fail_lm"),
         F.sum((~F.col("ok_lang")).cast("int")).alias("fail_lang"),
         F.sum((~F.col("ok_rep")).cast("int")).alias("fail_rep"),
+        F.sum((~F.col("ok_decontam")).cast("int")).alias("fail_decontam"),
     ).head()
+    n_pii_redacted = None
+    if args.redact_pii:
+        # column-pruned scan of the just-written keep/ parquet
+        n_pii_redacted = (
+            spark.read.parquet(os.path.join(args.out, "keep"))
+            .agg(F.sum("n_pii").alias("s"))
+            .head()
+            .s
+        )
     metrics = {
         "n_docs": row.n_docs,
         "n_kept": row.n_kept,
@@ -225,6 +281,8 @@ def main(argv: list[str] | None = None) -> int:
         "fail_lm": row.fail_lm,
         "fail_lang": row.fail_lang,
         "fail_rep": row.fail_rep,
+        "fail_decontam": row.fail_decontam,
+        "n_pii_redacted": n_pii_redacted,
         "filters": {
             "rules": not args.no_rules,
             "min_logprob": args.min_logprob,
@@ -233,6 +291,9 @@ def main(argv: list[str] | None = None) -> int:
             "lang": args.lang,
             "max_dup_line_frac": args.max_dup_line_frac,
             "max_dup_2gram_frac": args.max_dup_2gram_frac,
+            "decontaminate": args.decontaminate,
+            "decontam_n": args.decontam_n if args.decontaminate else None,
+            "redact_pii": args.redact_pii,
         },
     }
     print(json.dumps(metrics))

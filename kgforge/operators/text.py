@@ -351,6 +351,103 @@ def repetition_scores(
     )
 
 
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """Lowercased whitespace word n-grams as an array<string> — empty array
+    (not a descending sequence) when the doc has fewer than n words.  Pure
+    narrow codegen; the normalization (trim+lower+\\s+ split) is the one the
+    decontamination literature uses so near-identical whitespace/casing
+    variants of a benchmark sentence still collide."""
+    words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word n-gram with the evaluation set (the GPT-3/PaLM-style
+    n-gram-overlap test; n=8..13 in the published pipelines, parameterized
+    here).  Scale shape: the eval set is benchmark-sized (MBs), so its
+    distinct gram hashes BROADCAST; the corpus side is a narrow explode
+    probed against that broadcast — no corpus shuffle at all except the
+    groupBy over the (rare) matched rows.  Gram keys travel as 8-byte
+    xxhash64 longs, never the gram strings.
+
+    Returns (doc_id, eval_gram_hits, is_contaminated) for every input doc.
+    """
+    ev = (
+        eval_docs.select(F.explode(_word_ngrams(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(text_col, n)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    hits = (
+        grams.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("hits", F.lit(0)).alias("eval_gram_hits"),
+        (F.coalesce("hits", F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+# (name, RE2-and-Java-compatible pattern, replacement) — no lookaround or
+# backreferences so the exact same pattern runs in Spark (java.util.regex)
+# and the DuckDB oracle (RE2).  Order matters: emails first (their local
+# part may contain digit runs), then IPs, then phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (email / IPv4 / simple international
+    phone).  Pure whole-stage codegen — one narrow projection, no shuffle,
+    no Python.  The phone pattern is deliberately conservative (explicit
+    +CC and separators): a training-data scrub prefers precision; widen the
+    tuple in PII_PATTERNS for a recall-oriented pass."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return docs.select("doc_id", *cols).withColumn(
+        "has_pii",
+        sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS) > 0,
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII in place: each PII_PATTERNS class replaced by its typed
+    placeholder, applied in declaration order (emails before IPs so an IP
+    inside an already-redacted email can't double-fire).  Keeps every other
+    column; adds n_pii (total replacements) — still one narrow codegen
+    projection."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_pii = sum(
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)) for _, pat, _ in PII_PATTERNS
+    )
+    red = t
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return docs.withColumn("n_pii", n_pii).withColumn(text_col, red)
+
+
 def fingerprints(docs: DataFrame, n: int = 4, k: int = 5) -> DataFrame:
     """Rolling-hash document fingerprint: the k smallest xxhash64 values over
     word n-grams (a k-min sketch — stable under small edits)."""

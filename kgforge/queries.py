@@ -1516,6 +1516,88 @@ def dedup_incremental(spark, sf):
     return dedup.dedup_clusters_incremental(docs, assign1, p2).orderBy("doc_id")
 
 
+@q(
+    "text_decontaminate",
+    r"""WITH d AS (SELECT doc_id,
+                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+                   FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, greatest(len(w) - 3 + 2, 1)),
+                                            i -> array_to_string(w[i:i+2], ' '))) AS g
+               FROM d WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+         hits AS (SELECT g.doc_id, count(*) AS c
+                  FROM g JOIN ev USING (g) WHERE g.doc_id % 41 != 0
+                  GROUP BY g.doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(hits.c, 0) AS BIGINT) AS eval_gram_hits,
+              coalesce(hits.c, 0) > 0 AS is_contaminated
+       FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       WHERE d.doc_id % 41 != 0""",
+)
+def text_decontaminate(spark, sf):
+    """Benchmark decontamination (round 6): docs with doc_id % 41 = 0 play
+    the held-out eval set; every other doc is flagged if it shares a word
+    3-gram with it (n=3 here so the synthetic corpus discriminates — ~60%
+    contaminated at sf0.01; production uses n=8..13).  Both engines replay
+    the lower/trim/\\s+ normalization, the n-gram window and the
+    occurrence-counting join; the Spark side broadcasts 8-byte gram hashes
+    (operators/text.py:decontaminate)."""
+    docs = T(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return text.decontaminate(train, ev, n=3)
+
+
+@q(
+    "pii_scrub",
+    r"""WITH inj AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 555 0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                          || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.7'
+                     ELSE coalesce(text, '') END AS text
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                + CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                + CAST(len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{4}')) AS BIGINT)
+                AS n_pii,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS text
+       FROM inj""",
+)
+def pii_scrub(spark, sf):
+    """PII detect + redact (round 6): the synthetic corpus carries no PII,
+    so the query plants a deterministic email + phone + IPv4 suffix on every
+    7th doc (identically in both engines), then value-checks the full
+    redacted text and total replacement count from
+    operators/text.py:pii_redact — same RE2-and-Java-safe patterns on both
+    sides, replaced in the same order."""
+    docs = T(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 0"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+                F.lit(" at 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".3.7"),
+            ),
+        ).otherwise(F.coalesce("text", F.lit(""))).alias("text"),
+    )
+    return text.pii_redact(injected).select("doc_id", "n_pii", "text")
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -1533,6 +1615,8 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "corpus_mix",
     "ann_ivf",
     "dedup_incremental",
+    "text_decontaminate",
+    "pii_scrub",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
     "round 4: the CC oracle must be driver-recorded (swapped in for tpch_q3)"
@@ -1546,4 +1630,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 65, f"registry must hold exactly 65 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 67, f"registry must hold exactly 67 entries, got {len(REGISTRY)}"

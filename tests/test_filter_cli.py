@@ -137,3 +137,51 @@ def test_min_logprob_and_pct_are_exclusive(docs_path, tmpdir_path):
             "--docs", docs_path, "--out", os.path.join(tmpdir_path, "f_x"),
             "--min-logprob", "-9", "--drop-logprob-pct", "5",
         ])
+
+
+def test_decontaminate_drops_overlapping_doc(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_dec")
+    ev = os.path.join(tmpdir_path, "f_eval.parquet")
+    # eval set shares a 4-gram with doc 0 ("quick brown fox jumps") only
+    spark.createDataFrame(
+        [(99, "the quick brown fox jumps high")], "doc_id long, text string"
+    ).write.parquet(ev)
+    m = _run(docs_path, out, capsys, "--decontaminate", ev, "--decontam-n", "4")
+    kept = {r.doc_id for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert kept == {1, 4}  # doc 0 contaminated; 2,3 fail rules
+    assert m["fail_decontam"] == 1
+    audit = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "audit")).collect()}
+    assert audit[0].eval_gram_hits >= 1 and not audit[0].ok_decontam
+    assert audit[1].eval_gram_hits == 0 and audit[1].ok_decontam
+
+
+def test_redact_pii_scrubs_kept_text(spark, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_pii")
+    p = os.path.join(tmpdir_path, "f_pii_docs.parquet")
+    spark.createDataFrame(
+        [
+            (0, "the quick brown fox email alice@example.com and the end here now"),
+            (1, "le chat et la maison les arbres des fleurs dans le jardin"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    m = _run(p, out, capsys, "--redact-pii")
+    kept = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert "<EMAIL>" in kept[0].text and "alice@example.com" not in kept[0].text
+    assert kept[0].n_pii == 1 and kept[1].n_pii == 0
+    assert m["n_pii_redacted"] == 1
+
+
+def test_rules_only_run_never_pays_decontam_or_pii(
+    spark, docs_path, tmpdir_path, capsys, monkeypatch
+):
+    from kgforge.operators import text as text_ops
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if invoked
+        raise AssertionError("decontaminate/pii must not run without their flags")
+
+    monkeypatch.setattr(text_ops, "decontaminate", boom)
+    monkeypatch.setattr(text_ops, "pii_redact", boom)
+    out = os.path.join(tmpdir_path, "f_nodec")
+    m = _run(docs_path, out, capsys)
+    assert m["fail_decontam"] == 0 and m["n_pii_redacted"] is None
