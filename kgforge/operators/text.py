@@ -4,7 +4,7 @@ no Python in any of these paths."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
 _PUNCT = "[.,;:!?'\"()]"
@@ -351,13 +351,16 @@ def repetition_scores(
     )
 
 
-def _word_ngrams(text_col: str, n: int) -> F.Column:
-    """Lowercased whitespace word n-grams as an array<string> — empty array
-    (not a descending sequence) when the doc has fewer than n words.  Pure
-    narrow codegen; the normalization (trim+lower+\\s+ split) is the one the
+def _norm_words(text_col: str) -> F.Column:
+    """Lowercased whitespace token array — the normalization the
     decontamination literature uses so near-identical whitespace/casing
     variants of a benchmark sentence still collide."""
-    words = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+
+
+def _ngrams_of(words: F.Column, n: int) -> F.Column:
+    """Word n-grams of a token array — empty array (not a descending
+    sequence) when the doc has fewer than n words.  Pure narrow codegen."""
     return F.when(
         F.size(words) >= n,
         F.transform(
@@ -365,6 +368,10 @@ def _word_ngrams(text_col: str, n: int) -> F.Column:
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    return _ngrams_of(_norm_words(text_col), n)
 
 
 def decontaminate(
@@ -401,6 +408,88 @@ def decontaminate(
         "doc_id",
         F.coalesce("hits", F.lit(0)).alias("eval_gram_hits"),
         (F.coalesce("hits", F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+def decontaminate_strip(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination: instead of dropping a contaminated doc
+    (see `decontaminate`), remove ONLY the word spans covered by an
+    eval-set n-gram match and keep the clean remainder — the strategy the
+    published pipelines actually apply at scale, where dropping a whole
+    web page for one quoted benchmark sentence wastes good tokens.
+
+    Pipeline shape (all corpus-side work is narrow or broadcast):
+      1. eval grams -> distinct xxhash64 longs, BROADCAST (benchmark-sized);
+      2. corpus grams exploded WITH their start position, probed against the
+         broadcast — only matched (doc_id, start) rows survive;
+      3. matched spans [s, s+n-1] merged per doc via gaps-and-islands
+         (window ordered by s, running max end, island = running count of
+         gap starts) — this shuffles MATCHED spans only, which are
+         benchmark-sized, never the corpus;
+      4. merged spans collect per doc (collect_list is bounded by
+         words/doc / 1, in practice a handful) and join back to the corpus
+         on doc_id — the span side is small, so AQE broadcasts it and the
+         corpus never shuffles;
+      5. text is rebuilt from the word positions no span covers — a pure
+         higher-order-function projection (filter-with-index + exists).
+
+    Returns every input doc as (doc_id, text, n_stripped) where `text` is
+    the NORMALIZED rendition (lower/trim/single-space — the same
+    normalization the match itself uses, so the output is reproducible
+    from the match semantics) and n_stripped counts removed words.
+    """
+    ev = (
+        eval_docs.select(F.explode(_word_ngrams(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    words = docs.select("doc_id", _norm_words(text_col).alias("w"))
+    # posexplode's 0-based array index p => the gram starts at 1-based
+    # word position p+1 and covers [s, s + n - 1]
+    grams = words.select(
+        "doc_id", F.posexplode(_ngrams_of(F.col("w"), n)).alias("p", "g")
+    ).select("doc_id", (F.col("p") + 1).alias("s"), F.xxhash64("g").alias("gh"))
+    matched = grams.join(F.broadcast(ev), "gh").select(
+        "doc_id", "s", (F.col("s") + F.lit(n - 1)).alias("e")
+    )
+    # gaps-and-islands: a span opens a new island iff it starts past the
+    # running max end of everything before it (strict overlap merge;
+    # adjacent-but-disjoint spans stay separate — kept words identical)
+    w_ord = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        matched.withColumn(
+            "ni", F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+        )
+        .withColumn("isl", F.sum("ni").over(w_ord))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    spans = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_stripped"),
+    )
+    in_span = lambda i: F.exists(  # noqa: E731 — 1-based word position i
+        F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    # spans hold one row per CONTAMINATED doc — bounded by the eval set's
+    # reach, i.e. benchmark-sized, so the join back is an explicit
+    # broadcast: the corpus (and its word arrays) never shuffles
+    return words.join(F.broadcast(spans), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.array_join(F.col("w"), " "))
+        .otherwise(
+            F.array_join(
+                F.filter(F.col("w"), lambda wd, p: ~in_span(p + F.lit(1))), " "
+            )
+        )
+        .alias(text_col),
+        F.coalesce(F.col("n_stripped"), F.lit(0)).cast("long").alias("n_stripped"),
     )
 
 

@@ -1598,6 +1598,60 @@ def pii_scrub(spark, sf):
     return text.pii_redact(injected).select("doc_id", "n_pii", "text")
 
 
+@q(
+    "decontaminate_strip",
+    r"""WITH d AS (SELECT doc_id,
+                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+                   FROM documents),
+         g AS (SELECT doc_id, i AS s, array_to_string(w[i:i+2], ' ') AS g
+               FROM d, unnest(range(1, greatest(len(w) - 2 + 1, 1))) t(i)
+               WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+         m AS (SELECT g.doc_id, s, s + 2 AS e
+               FROM g JOIN ev USING (g) WHERE g.doc_id % 41 != 0),
+         x AS (SELECT doc_id, s, e,
+                      CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS ni
+               FROM m),
+         y AS (SELECT doc_id, s, e,
+                      sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+               FROM x),
+         isl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+                 FROM y GROUP BY doc_id, isl),
+         spans AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans,
+                          sum(e - s + 1) AS nstrip
+                   FROM isl GROUP BY doc_id)
+       SELECT d.doc_id,
+              CASE WHEN spans.doc_id IS NULL THEN array_to_string(w, ' ')
+                   ELSE array_to_string(
+                          list_transform(
+                            list_filter(range(1, len(w) + 1),
+                              i -> NOT list_bool_or(
+                                     list_transform(spans.spans,
+                                       sp -> i BETWEEN sp.s AND sp.e))),
+                            i -> w[i]), ' ')
+              END AS text,
+              CAST(coalesce(spans.nstrip, 0) AS BIGINT) AS n_stripped
+       FROM d LEFT JOIN spans USING (doc_id)
+       WHERE d.doc_id % 41 != 0""",
+)
+def decontaminate_strip(spark, sf):
+    """Span-level decontamination (round 6): same eval split as
+    `text_decontaminate` (doc_id % 41 = 0 plays the benchmark, n=3), but
+    instead of flagging whole docs, the contaminated word spans are merged
+    (gaps-and-islands) and STRIPPED, keeping the clean remainder — the
+    strategy production pipelines use so one quoted benchmark sentence
+    doesn't discard a whole page.  Both engines replay normalization, span
+    merge and positional text rebuild; the value oracle pins the exact
+    surviving text per doc (operators/text.py:decontaminate_strip)."""
+    docs = T(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return text.decontaminate_strip(train, ev, n=3)
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -1617,6 +1671,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_incremental",
     "text_decontaminate",
     "pii_scrub",
+    "decontaminate_strip",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
     "round 4: the CC oracle must be driver-recorded (swapped in for tpch_q3)"
@@ -1630,4 +1685,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 67, f"registry must hold exactly 67 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 68, f"registry must hold exactly 68 entries, got {len(REGISTRY)}"

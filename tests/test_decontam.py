@@ -118,3 +118,60 @@ def test_pii_paths_have_no_exchange(spark):
     docs = _docs(spark, [(1, "x"), (2, "y")])
     for df in (text.pii_signals(docs), text.pii_redact(docs)):
         assert "Exchange" not in physical_plan(df)
+
+
+# ------------------------------------------------------- decontaminate_strip
+
+
+def test_strip_merges_overlapping_spans(spark):
+    ev = _docs(spark, [(100, "c d e"), (101, "d e f")])
+    train = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),  # [3,5] + [4,6] merge -> strip [3,6]
+            (2, "clean text with no overlap here"),
+            (3, "x c d e y z c d e q"),  # two separate islands
+            (4, "short"),  # fewer than n words
+            (5, None),
+            (6, "  C   D  e   tail   "),  # normalization still matches
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_stripped"])
+        for r in text.decontaminate_strip(train, ev, n=3).collect()
+    }
+    assert out[1] == ("a b g h", 4)
+    assert out[2] == ("clean text with no overlap here", 0)
+    assert out[3] == ("x y z q", 6)
+    assert out[4] == ("short", 0)
+    assert out[5] == ("", 0)
+    assert out[6] == ("tail", 3)
+    assert len(out) == 6
+
+
+def test_strip_whole_doc_contaminated(spark):
+    ev = _docs(spark, [(100, "p q r s")])
+    train = _docs(spark, [(1, "p q r s"), (2, "p q r s p q r s")])
+    out = {
+        r["doc_id"]: (r["text"], r["n_stripped"])
+        for r in text.decontaminate_strip(train, ev, n=4).collect()
+    }
+    # doc 2: matches at 1 and 5 overlap via the interior grams? no —
+    # only the exact eval 4-gram matches, at starts 1 and 5: spans
+    # [1,4] and [5,8] are adjacent-but-disjoint, both stripped
+    assert out[1] == ("", 4)
+    assert out[2] == ("", 8)
+
+
+def test_strip_probe_is_broadcast_and_corpus_never_shuffles_text(spark):
+    import re
+
+    ev = _docs(spark, [(9, "alpha beta gamma")])
+    train = _docs(spark, [(1, "alpha beta gamma delta")])
+    plan = physical_plan(text.decontaminate_strip(train, ev, n=3))
+    # gram probe keyed on the 8-byte hash must broadcast the eval side
+    assert re.search(r"\) BroadcastHashJoin\nLeft keys \[1\]: \[gh#\d+", plan)
+    # the only shuffles allowed are over MATCHED spans (doc_id, s, e) —
+    # benchmark-sized; no Exchange may carry the corpus word array
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "w#" not in m.group(1), f"corpus words shuffled: {m.group(1)}"
