@@ -257,20 +257,140 @@ def dedup_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(T(spark, sf, "documents"), n=3, threshold=0.8)
 
 
-@q("dedup_minhash", None)  # xxhash64 sketch not replicable in DuckDB -> rows-only
-def dedup_minhash(spark, sf):
-    """Round 4: repartition to core count before the 50x shingle fan-out —
-    the small documents file yields ~5 input splits, serializing the
-    explode+hash stage at 5-way parallelism on a 32-core session.  At real
-    corpus scale the scan already has >= cores splits and this repartition
-    is a no-op-sized shuffle of (id, text) rows, NOT the shingle relation."""
-    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+@q(
+    "text_decontaminate",
+    r"""WITH d AS (SELECT doc_id,
+                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+                   FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, greatest(len(w) - 3 + 2, 1)),
+                                            i -> array_to_string(w[i:i+2], ' '))) AS g
+               FROM d WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+         hits AS (SELECT g.doc_id, count(*) AS c
+                  FROM g JOIN ev USING (g) WHERE g.doc_id % 41 != 0
+                  GROUP BY g.doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(hits.c, 0) AS BIGINT) AS eval_gram_hits,
+              coalesce(hits.c, 0) > 0 AS is_contaminated
+       FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       WHERE d.doc_id % 41 != 0""",
+)
+def text_decontaminate(spark, sf):
+    """Benchmark decontamination (round 6): docs with doc_id % 41 = 0 play
+    the held-out eval set; every other doc is flagged if it shares a word
+    3-gram with it (n=3 here so the synthetic corpus discriminates — ~60%
+    contaminated at sf0.01; production uses n=8..13).  Both engines replay
+    the lower/trim/\\s+ normalization, the n-gram window and the
+    occurrence-counting join; the Spark side broadcasts 8-byte gram hashes
+    (operators/text.py:decontaminate)."""
+    docs = T(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return text.decontaminate(train, ev, n=3)
 
 
-@q("dedup_simhash", None)  # FNV/numpy sketch -> rows-only + pytest goldens
-def dedup_simhash(spark, sf):
-    return dedup.simhash_near_pairs(T(spark, sf, "documents"), max_hamming=3)
+@q(
+    "pii_scrub",
+    r"""WITH inj AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 555 0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                          || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.7'
+                     ELSE coalesce(text, '') END AS text
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                + CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                + CAST(len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{4}')) AS BIGINT)
+                AS n_pii,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS text
+       FROM inj""",
+)
+def pii_scrub(spark, sf):
+    """PII detect + redact (round 6): the synthetic corpus carries no PII,
+    so the query plants a deterministic email + phone + IPv4 suffix on every
+    7th doc (identically in both engines), then value-checks the full
+    redacted text and total replacement count from
+    operators/text.py:pii_redact — same RE2-and-Java-safe patterns on both
+    sides, replaced in the same order."""
+    docs = T(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555 0"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+                F.lit(" at 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".3.7"),
+            ),
+        ).otherwise(F.coalesce("text", F.lit(""))).alias("text"),
+    )
+    return text.pii_redact(injected).select("doc_id", "n_pii", "text")
+
+
+@q(
+    "decontaminate_strip",
+    r"""WITH d AS (SELECT doc_id,
+                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+                   FROM documents),
+         g AS (SELECT doc_id, i AS s, array_to_string(w[i:i+2], ' ') AS g
+               FROM d, unnest(range(1, greatest(len(w) - 2 + 1, 1))) t(i)
+               WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+         m AS (SELECT g.doc_id, s, s + 2 AS e
+               FROM g JOIN ev USING (g) WHERE g.doc_id % 41 != 0),
+         x AS (SELECT doc_id, s, e,
+                      CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                           THEN 1 ELSE 0 END AS ni
+               FROM m),
+         y AS (SELECT doc_id, s, e,
+                      sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+               FROM x),
+         isl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+                 FROM y GROUP BY doc_id, isl),
+         spans AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans,
+                          sum(e - s + 1) AS nstrip
+                   FROM isl GROUP BY doc_id)
+       SELECT d.doc_id,
+              CASE WHEN spans.doc_id IS NULL THEN array_to_string(w, ' ')
+                   ELSE array_to_string(
+                          list_transform(
+                            list_filter(range(1, len(w) + 1),
+                              i -> NOT list_bool_or(
+                                     list_transform(spans.spans,
+                                       sp -> i BETWEEN sp.s AND sp.e))),
+                            i -> w[i]), ' ')
+              END AS text,
+              CAST(coalesce(spans.nstrip, 0) AS BIGINT) AS n_stripped
+       FROM d LEFT JOIN spans USING (doc_id)
+       WHERE d.doc_id % 41 != 0""",
+)
+def decontaminate_strip(spark, sf):
+    """Span-level decontamination (round 6): same eval split as
+    `text_decontaminate` (doc_id % 41 = 0 plays the benchmark, n=3), but
+    instead of flagging whole docs, the contaminated word spans are merged
+    (gaps-and-islands) and STRIPPED, keeping the clean remainder — the
+    strategy production pipelines use so one quoted benchmark sentence
+    doesn't discard a whole page.  Both engines replay normalization, span
+    merge and positional text rebuild; the value oracle pins the exact
+    surviving text per doc (operators/text.py:decontaminate_strip)."""
+    docs = T(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return text.decontaminate_strip(train, ev, n=3)
 
 
 @q(
@@ -288,14 +408,6 @@ def dedup_embed_cosine(spark, sf):
     the synthetic embeddings (round-1 check was vacuous at 0.8)."""
     e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
     return similarity.cosine_pairs(e, threshold=0.3)
-
-
-@q("dedup_embed_lsh", None)  # seeded hyperplanes -> rows-only + pytest recall gate
-def dedup_embed_lsh(spark, sf):
-    """Bucketed near-pair generation (banded hyperplane LSH + exact verify) —
-    the 100 TB path for pairwise embedding dedup (VERDICT round 1 item 4)."""
-    e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
-    return similarity.lsh_near_pairs(e, threshold=0.3, n_planes=24, bands=6)
 
 
 @q(
@@ -1516,140 +1628,37 @@ def dedup_incremental(spark, sf):
     return dedup.dedup_clusters_incremental(docs, assign1, p2).orderBy("doc_id")
 
 
-@q(
-    "text_decontaminate",
-    r"""WITH d AS (SELECT doc_id,
-                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
-                   FROM documents),
-         g AS (SELECT doc_id,
-                      unnest(list_transform(range(1, greatest(len(w) - 3 + 2, 1)),
-                                            i -> array_to_string(w[i:i+2], ' '))) AS g
-               FROM d WHERE len(w) >= 3),
-         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
-         hits AS (SELECT g.doc_id, count(*) AS c
-                  FROM g JOIN ev USING (g) WHERE g.doc_id % 41 != 0
-                  GROUP BY g.doc_id)
-       SELECT d.doc_id,
-              CAST(coalesce(hits.c, 0) AS BIGINT) AS eval_gram_hits,
-              coalesce(hits.c, 0) > 0 AS is_contaminated
-       FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
-       WHERE d.doc_id % 41 != 0""",
-)
-def text_decontaminate(spark, sf):
-    """Benchmark decontamination (round 6): docs with doc_id % 41 = 0 play
-    the held-out eval set; every other doc is flagged if it shares a word
-    3-gram with it (n=3 here so the synthetic corpus discriminates — ~60%
-    contaminated at sf0.01; production uses n=8..13).  Both engines replay
-    the lower/trim/\\s+ normalization, the n-gram window and the
-    occurrence-counting join; the Spark side broadcasts 8-byte gram hashes
-    (operators/text.py:decontaminate)."""
-    docs = T(spark, sf, "documents")
-    ev = docs.filter(F.col("doc_id") % 41 == 0)
-    train = docs.filter(F.col("doc_id") % 41 != 0)
-    return text.decontaminate(train, ev, n=3)
+@q("dedup_minhash", None)  # xxhash64 sketch not replicable in DuckDB -> rows-only
+def dedup_minhash(spark, sf):
+    """Round 4: repartition to core count before the 50x shingle fan-out —
+    the small documents file yields ~5 input splits, serializing the
+    explode+hash stage at 5-way parallelism on a 32-core session.  At real
+    corpus scale the scan already has >= cores splits and this repartition
+    is a no-op-sized shuffle of (id, text) rows, NOT the shingle relation.
+
+    Round 6: retired to the extras (seeded sketch -> rows-only forever) so
+    an oracle-bearing op could take its driver-recorded slot; still swept
+    by scripts/check_correctness.py + bit-equality/recall pytest gates."""
+    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
-@q(
-    "pii_scrub",
-    r"""WITH inj AS (
-         SELECT doc_id,
-                CASE WHEN doc_id % 7 = 0
-                     THEN coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
-                          || '@example.com or +1 555 0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
-                          || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.7'
-                     ELSE coalesce(text, '') END AS text
-         FROM documents)
-       SELECT doc_id,
-              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-                + CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
-                + CAST(len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{4}')) AS BIGINT)
-                AS n_pii,
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS text
-       FROM inj""",
-)
-def pii_scrub(spark, sf):
-    """PII detect + redact (round 6): the synthetic corpus carries no PII,
-    so the query plants a deterministic email + phone + IPv4 suffix on every
-    7th doc (identically in both engines), then value-checks the full
-    redacted text and total replacement count from
-    operators/text.py:pii_redact — same RE2-and-Java-safe patterns on both
-    sides, replaced in the same order."""
-    docs = T(spark, sf, "documents")
-    injected = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.coalesce("text", F.lit("")),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or +1 555 0"),
-                F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
-                F.lit(" at 10."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".3.7"),
-            ),
-        ).otherwise(F.coalesce("text", F.lit(""))).alias("text"),
-    )
-    return text.pii_redact(injected).select("doc_id", "n_pii", "text")
+@q("dedup_simhash", None)  # FNV/numpy sketch -> rows-only + pytest goldens
+def dedup_simhash(spark, sf):
+    """Round 6: retired to the extras (FNV sketch -> rows-only forever) in
+    favor of an oracle-bearing op; pytest goldens + cluster-equality gates
+    and the local rows-only sweep still cover it."""
+    return dedup.simhash_near_pairs(T(spark, sf, "documents"), max_hamming=3)
 
 
-@q(
-    "decontaminate_strip",
-    r"""WITH d AS (SELECT doc_id,
-                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
-                   FROM documents),
-         g AS (SELECT doc_id, i AS s, array_to_string(w[i:i+2], ' ') AS g
-               FROM d, unnest(range(1, greatest(len(w) - 2 + 1, 1))) t(i)
-               WHERE len(w) >= 3),
-         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
-         m AS (SELECT g.doc_id, s, s + 2 AS e
-               FROM g JOIN ev USING (g) WHERE g.doc_id % 41 != 0),
-         x AS (SELECT doc_id, s, e,
-                      CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                           THEN 1 ELSE 0 END AS ni
-               FROM m),
-         y AS (SELECT doc_id, s, e,
-                      sum(ni) OVER (PARTITION BY doc_id ORDER BY s
-                                    ROWS UNBOUNDED PRECEDING) AS isl
-               FROM x),
-         isl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
-                 FROM y GROUP BY doc_id, isl),
-         spans AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans,
-                          sum(e - s + 1) AS nstrip
-                   FROM isl GROUP BY doc_id)
-       SELECT d.doc_id,
-              CASE WHEN spans.doc_id IS NULL THEN array_to_string(w, ' ')
-                   ELSE array_to_string(
-                          list_transform(
-                            list_filter(range(1, len(w) + 1),
-                              i -> NOT list_bool_or(
-                                     list_transform(spans.spans,
-                                       sp -> i BETWEEN sp.s AND sp.e))),
-                            i -> w[i]), ' ')
-              END AS text,
-              CAST(coalesce(spans.nstrip, 0) AS BIGINT) AS n_stripped
-       FROM d LEFT JOIN spans USING (doc_id)
-       WHERE d.doc_id % 41 != 0""",
-)
-def decontaminate_strip(spark, sf):
-    """Span-level decontamination (round 6): same eval split as
-    `text_decontaminate` (doc_id % 41 = 0 plays the benchmark, n=3), but
-    instead of flagging whole docs, the contaminated word spans are merged
-    (gaps-and-islands) and STRIPPED, keeping the clean remainder — the
-    strategy production pipelines use so one quoted benchmark sentence
-    doesn't discard a whole page.  Both engines replay normalization, span
-    merge and positional text rebuild; the value oracle pins the exact
-    surviving text per doc (operators/text.py:decontaminate_strip)."""
-    docs = T(spark, sf, "documents")
-    ev = docs.filter(F.col("doc_id") % 41 == 0)
-    train = docs.filter(F.col("doc_id") % 41 != 0)
-    return text.decontaminate_strip(train, ev, n=3)
+@q("dedup_embed_lsh", None)  # seeded hyperplanes -> rows-only + pytest recall gate
+def dedup_embed_lsh(spark, sf):
+    """Bucketed near-pair generation (banded hyperplane LSH + exact verify) —
+    the 100 TB path for pairwise embedding dedup (VERDICT round 1 item 4).
+    Round 6: retired to the extras (seeded hyperplanes -> rows-only
+    forever); pair-set-equivalence + recall pytest gates still cover it."""
+    e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return similarity.lsh_near_pairs(e, threshold=0.3, n_planes=24, bands=6)
 
 
 _DRIVER_SNAPSHOT = 50
@@ -1669,10 +1678,20 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "corpus_mix",
     "ann_ivf",
     "dedup_incremental",
-    "text_decontaminate",
-    "pii_scrub",
-    "decontaminate_strip",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embed_lsh",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
+# Round 6 swap (same policy as rounds 4-5, VERDICT r5 item 1): the three
+# seeded-sketch dedup entries can NEVER carry a DuckDB oracle (xxhash64 /
+# FNV / seeded hyperplanes are not replicable there) — they retire to the
+# extras, still locally oracle-swept (rows-only) by
+# scripts/check_correctness.py and pytest-gated (bit-equality, recall,
+# pair-set equivalence).  text_decontaminate / pii_scrub /
+# decontaminate_strip carry full DuckDB VALUE oracles and take their
+# driver-recorded slots: recorded oracles 45 -> 48 of 50.
+for _k in ("text_decontaminate", "pii_scrub", "decontaminate_strip"):
+    assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 assert "dedup_clusters_exact" in list(REGISTRY)[:_DRIVER_SNAPSHOT], (
     "round 4: the CC oracle must be driver-recorded (swapped in for tpch_q3)"
 )
