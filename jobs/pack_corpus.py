@@ -60,12 +60,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--tokenizer",
-        choices=("ws", "regex"),
+        choices=("ws", "regex", "bpe"),
         default="ws",
-        help="budget unit: 'ws' whitespace tokens, or 'regex' BPE-ish tokens "
+        help="budget unit: 'ws' whitespace tokens, 'regex' BPE-ish tokens "
         "(words/numbers/single symbols — approximates subword budgets on "
-        "punctuation-dense text); applies to chunking AND packing so the "
-        "no-oversize composition invariant holds under either counter",
+        "punctuation-dense text), or 'bpe' (train a real BPE model on the "
+        "corpus, save its merges under <out>/bpe_merges, and budget on "
+        "exact subword counts — chunk boundaries then fall on token-"
+        "sequence positions, as post-tokenization sequence prep does); "
+        "applies to chunking AND packing so the no-oversize composition "
+        "invariant holds under every counter",
+    )
+    ap.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=2000,
+        help="merge budget when --tokenizer bpe (training stops early once "
+        "no pair reaches --bpe-min-count)",
+    )
+    ap.add_argument(
+        "--bpe-min-count",
+        type=int,
+        default=2,
+        help="minimum pair frequency a BPE merge must reach",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -85,6 +102,53 @@ def main(argv: list[str] | None = None) -> int:
 
     docs = spark.read.parquet(args.docs)
     n_docs = docs.count()
+
+    if args.tokenizer == "bpe":
+        # train once (histogram shuffle + driver-side merges), persist the
+        # merges beside the output so the encode is reproducible, then
+        # budget on EXACT subword counts end to end.
+        from kgforge.operators import tokenizer as tk
+
+        model = tk.train_bpe(
+            docs, n_merges=args.bpe_merges, min_count=args.bpe_min_count
+        )
+        model.to_df(spark).write.mode("overwrite").parquet(
+            os.path.join(args.out, "bpe_merges")
+        )
+        enc = tk.encode_bpe(docs, model)
+        if args.no_chunk:
+            units = enc.select(
+                "doc_id",
+                F.lit(0).alias("chunk_id"),
+                F.col("doc_id").alias("unit_id"),
+                "n_tokens",
+            )
+        else:
+            ch = tk.chunk_encoded(enc, args.budget)
+            over = ch.filter(F.col("chunk_id") >= MAX_CHUNKS).limit(1).count()
+            if over:
+                ap.error(f"a document exceeds {MAX_CHUNKS} chunks; raise --budget")
+            units = ch.select(
+                "doc_id",
+                "chunk_id",
+                (F.shiftleft(F.col("doc_id"), 20) + F.col("chunk_id")).alias(
+                    "unit_id"
+                ),
+                "n_tokens",
+            )
+        packed = packing.pack_documents(
+            units.select(F.col("unit_id").alias("doc_id"), "n_tokens"),
+            budget_tokens=args.budget,
+            n_bins=args.bins,
+            token_col="n_tokens",
+        ).select(
+            F.col("doc_id").alias("unit_id"),
+            "n_tokens",
+            "pack_id",
+            "pack_tokens",
+            "oversize",
+        )
+        return _finish(spark, args, ap, n_docs, units, packed)
 
     if args.no_chunk:
         units = docs.select("doc_id", "text").withColumn(
@@ -116,6 +180,12 @@ def main(argv: list[str] | None = None) -> int:
         "pack_tokens",
         "oversize",
     )
+    return _finish(spark, args, ap, n_docs, units, packed)
+
+
+def _finish(spark, args, ap, n_docs, units, packed) -> int:
+    from pyspark.sql import functions as F
+
     out_rows = units.select("doc_id", "chunk_id", "unit_id").join(
         packed, "unit_id"
     )

@@ -1413,3 +1413,73 @@ def dedup_clusters_incremental(
         )
         edges = edges.unionByName(star)
     return dedup_clusters(all_docs, id_col=id_col, pairs=edges)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    split_re: str = r"\n{2,}",
+    join_delim: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide paragraph-level deduplication (round 6): every paragraph
+    keeps exactly its FIRST occurrence — the CCNet/C4-style sub-document
+    dedup that removes boilerplate (headers, license blocks, navigation
+    chrome) repeated across pages without discarding the documents
+    themselves.  "First" is the global minimum (doc_id, position), a total
+    order, so the result is deterministic under any partitioning.
+
+    Scale shape — paragraph TEXT never enters a shuffle:
+      1. docs split into paragraphs JVM-side; each non-blank paragraph
+         projects to (doc_id, pos, 16-byte md5 of its trimmed+lowercased
+         rendition) — the only relation that moves corpus-wide;
+      2. keeper election = one hash aggregation (min struct per hash);
+      3. duplicate occurrences = the keyed relation joined back on the
+         hash, minus the keeper row — ids and positions only;
+      4. per-doc removed-position lists group on doc_id (bounded by
+         paragraphs/doc) and join back to the corpus; AQE broadcasts the
+         removal side when duplication is rare, and text is rebuilt by a
+         pure higher-order filter over the original split array.
+    Blank/whitespace split fragments (leading/trailing delimiters) are not
+    content: they never enter dedup and the rebuild drops them — i.e.
+    delimiter runs normalize to one ``join_delim``.
+
+    Returns every input doc: (doc_id, text, n_paras, n_removed) where
+    ``text`` re-joins surviving paragraphs with ``join_delim`` and
+    ``n_paras`` counts the doc's non-blank paragraphs before dedup.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), split_re)).alias(
+            "p", "para"
+        ),
+    )
+    keyed = paras.filter(F.trim("para") != "").select(
+        id_col, "p", F.md5(F.lower(F.trim("para"))).alias("k")
+    )
+    keepers = keyed.groupBy("k").agg(F.min(F.struct(id_col, "p")).alias("m"))
+    removed = (
+        keyed.join(keepers, "k")
+        .filter(
+            (F.col(id_col) != F.col(f"m.{id_col}")) | (F.col("p") != F.col("m.p"))
+        )
+        .select(id_col, "p")
+    )
+    rm = removed.groupBy(id_col).agg(
+        F.collect_list("p").alias("rm"), F.count("*").alias("n_removed")
+    )
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), split_re)
+    keep = F.filter(
+        arr,
+        lambda x, i: F.col("rm").isNull() | ~F.array_contains(F.col("rm"), i),
+    )
+    return docs.join(rm, id_col, "left").select(
+        id_col,
+        F.array_join(
+            F.filter(keep, lambda x: F.trim(x) != F.lit("")), join_delim
+        ).alias(text_col),
+        F.size(F.filter(arr, lambda x: F.trim(x) != F.lit(""))).cast("long").alias(
+            "n_paras"
+        ),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )

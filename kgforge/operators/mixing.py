@@ -103,3 +103,42 @@ def materialize_mixture(
         )
         .drop("n_copies")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "shuf1",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded GLOBAL shuffle + shard assignment (round 6):
+    the last corpus-assembly step before writing training shards, where
+    examples must be well-mixed (no source/domain runs — SGD sees an
+    i.i.d.-looking stream) yet bit-reproducible across re-runs, engines
+    and partitionings.  ``.orderBy(rand())`` gives neither property.
+
+    Every row keys on md5(seed || key): the first 8 hex digits pick the
+    shard, the remaining 24 order rows WITHIN the shard — one content-keyed
+    exchange on the shard id plus a per-shard sort, exactly the shape of a
+    sharded writer (`repartition(shard).sortWithinPartitions(sort_key)`).
+    Size ``n_shards`` so one shard fits a task (the standard shard-writer
+    contract, same sizing rule as partitioned_write); change ``seed`` for
+    an independent epoch order.  md5 arithmetic is ANSI-SQL-replayable, so
+    the full (shard, pos) assignment is value-oracle-checked (registry
+    `corpus_shuffle`).
+
+    Returns (key, shard, pos): pos is the row's 1-based rank within its
+    shard — (shard, pos) is a total order over the corpus.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    keyed = df.select(
+        F.col(key_col),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.substring(key, 9, 24).alias("_sk"),
+    )
+    w = Window.partitionBy("shard").orderBy("_sk", key_col)
+    return keyed.withColumn("pos", F.row_number().over(w)).drop("_sk")

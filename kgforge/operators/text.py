@@ -553,3 +553,77 @@ def fingerprints(docs: DataFrame, n: int = 4, k: int = 5) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+def _md5_bucket(col: F.Column, buckets: int) -> F.Column:
+    """First 8 hex digits of md5 mod ``buckets`` — the same engine-portable
+    bucket arithmetic hash_split uses (ANSI-SQL-replayable, so operators
+    built on it stay value-oracle-checkable)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    buckets: int = 4099,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): each document gets the
+    log importance ratio of a hashed word-n-gram feature model fit on a
+    TARGET corpus (the domain you want more of) against one fit on the
+    source corpus itself.  Rank/resample by this score to tilt a 100 TB
+    web crawl toward a quality domain without training a classifier.
+
+    Scale shape: grams hash into ``buckets`` Laplace-smoothed counts, so
+    both feature models are <= ``buckets`` rows — each is one map-side-
+    combined aggregation, the per-bucket log-ratio table BROADCASTS, and
+    the corpus side is a narrow explode -> broadcast probe -> one
+    doc-keyed sum.  Nothing corpus-sized shuffles except the final
+    (doc_id, partial-sum) aggregation.  The two distribution totals are
+    scalars (dict-sized driver state).  Bucket arithmetic is md5-based
+    (``_md5_bucket``), so DuckDB replays the whole computation — the
+    registry entry `dsir_weights` is a full value oracle.
+
+    Returns every input doc: (doc_id, n_grams, dsir_logratio); docs with
+    fewer than ``n`` words score 0 on 0 grams (no evidence, no tilt).
+    """
+    def gram_buckets(df: DataFrame, with_id: bool) -> DataFrame:
+        g = F.explode(_word_ngrams(text_col, n)).alias("g")
+        cols = [F.col(id_col), g] if with_id else [g]
+        return df.select(*cols).select(
+            *([id_col] if with_id else []), _md5_bucket(F.col("g"), buckets).alias("b")
+        )
+
+    src = gram_buckets(docs, True)
+    tgt_dist = gram_buckets(target, False).groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    src_dist = src.groupBy("b").agg(F.count("*").alias("cs"))
+    n_t = tgt_dist.agg(F.sum("ct")).head()[0] or 0
+    n_s = src_dist.agg(F.sum("cs")).head()[0] or 0
+    ratio = (
+        src_dist.join(tgt_dist, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + alpha) / (n_t + alpha * buckets))
+                - F.log((F.col("cs") + alpha) / (n_s + alpha * buckets))
+            ).alias("lr"),
+        )
+    )
+    scores = (
+        src.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.sum("lr").alias("lrsum"))
+    )
+    return docs.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("lrsum", F.lit(0.0)).alias("dsir_logratio"),
+    )

@@ -1661,6 +1661,143 @@ def dedup_embed_lsh(spark, sf):
     return similarity.lsh_near_pairs(e, threshold=0.3, n_planes=24, bands=6)
 
 
+@q(
+    "dedup_paragraphs",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(coalesce(text, ''), '\s+') AS w
+                   FROM documents),
+         inj AS (SELECT doc_id,
+                        array_to_string(
+                          list_transform(range(0, CAST(ceil(len(w) / 12.0) AS INT)),
+                                         i -> array_to_string(w[i*12+1 : i*12+12], ' ')),
+                          chr(10)) AS text
+                 FROM d),
+         arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM inj),
+         p AS (SELECT doc_id, i - 1 AS p, a[i] AS para
+               FROM arr, unnest(range(1, len(a) + 1)) t(i)),
+         k AS (SELECT doc_id, p, md5(lower(trim(para))) AS k
+               FROM p WHERE trim(para) != ''),
+         r AS (SELECT doc_id, p,
+                      row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn
+               FROM k),
+         rm AS (SELECT doc_id, list(p) AS rm, count(*) AS n_removed
+                FROM r WHERE rn > 1 GROUP BY doc_id)
+       SELECT arr.doc_id,
+              coalesce(array_to_string(
+                list_transform(
+                  list_filter(range(1, len(a) + 1),
+                    i -> trim(a[i]) != ''
+                         AND (rm.rm IS NULL OR NOT list_contains(rm.rm, i - 1))),
+                  i -> a[i]),
+                chr(10)), '') AS text,
+              CAST(len(list_filter(a, x -> trim(x) != '')) AS BIGINT) AS n_paras,
+              CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed
+       FROM arr LEFT JOIN rm USING (doc_id)""",
+)
+def dedup_paragraphs_q(spark, sf):
+    """Paragraph-level first-occurrence dedup (round 6): the synthetic
+    corpus has no newlines, so both engines first rebuild each doc as
+    12-word paragraphs joined by \\n (deterministic injection, the
+    pii_scrub pattern), then replay the full operator — normalized md5
+    paragraph keys, global min-(doc_id, pos) keeper election, positional
+    text rebuild (operators/dedup.py:paragraph_dedup).  Value-oracle-checks
+    the exact surviving text per doc."""
+    docs = T(spark, sf, "documents")
+    w = F.split(F.coalesce("text", F.lit("")), r"\s+")
+    n_chunks = F.ceil(F.size(w) / F.lit(12.0)).cast("int")
+    injected = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(w, i * 12 + 1, 12), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(injected, split_re=r"\n", join_delim="\n")
+
+
+@q(
+    "dsir_weights",
+    r"""WITH d AS (SELECT doc_id,
+                          string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+                   FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, greatest(len(w), 1)),
+                                            i -> array_to_string(w[i:i+1], ' '))) AS g
+               FROM d WHERE len(w) >= 2),
+         b AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4099 AS b
+               FROM g),
+         tgt AS (SELECT b, count(*) AS ct FROM b WHERE doc_id % 41 = 0 GROUP BY b),
+         src AS (SELECT b, count(*) AS cs FROM b WHERE doc_id % 41 != 0 GROUP BY b),
+         nt AS (SELECT coalesce(sum(ct), 0) AS n FROM tgt),
+         ns AS (SELECT coalesce(sum(cs), 0) AS n FROM src),
+         ratio AS (SELECT src.b,
+                          ln((coalesce(ct, 0) + 1.0) / (nt.n + 4099.0))
+                          - ln((cs + 1.0) / (ns.n + 4099.0)) AS lr
+                   FROM src LEFT JOIN tgt USING (b), nt, ns),
+         sc AS (SELECT b.doc_id, count(*) AS n_grams, sum(lr) AS s
+                FROM b JOIN ratio USING (b) WHERE b.doc_id % 41 != 0
+                GROUP BY b.doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+              round(coalesce(s, 0.0), 4) AS dsir_logratio
+       FROM d LEFT JOIN sc USING (doc_id) WHERE d.doc_id % 41 != 0""",
+)
+def dsir_weights(spark, sf):
+    """DSIR importance weights (round 6): docs with doc_id % 41 = 0 play
+    the quality TARGET domain (same split as text_decontaminate); every
+    other doc scores the log ratio of hashed-bigram feature models
+    target-vs-source (operators/text.py:importance_weights).  Bucket
+    arithmetic is the md5 hash_split trick, so DuckDB replays buckets,
+    Laplace smoothing and the log-ratio sum exactly; both sides round to
+    4 decimals (double summation order differs at the last ulp)."""
+    docs = T(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    return text.importance_weights(train, ev, n=2, buckets=4099).select(
+        "doc_id", "n_grams", F.round("dsir_logratio", 4).alias("dsir_logratio")
+    )
+
+
+@q(
+    "corpus_shuffle",
+    r"""SELECT doc_id,
+              CAST(CAST(concat('0x', substr(md5('shuf1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 8 AS INT) AS shard,
+              CAST(row_number() OVER (
+                     PARTITION BY CAST(concat('0x', substr(md5('shuf1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                       AS BIGINT) % 8
+                     ORDER BY substr(md5('shuf1' || CAST(doc_id AS VARCHAR)), 9, 24),
+                              doc_id) AS INT) AS pos
+       FROM documents""",
+)
+def corpus_shuffle(spark, sf):
+    """Deterministic seeded global shuffle into 8 training shards
+    (operators/mixing.py:shuffle_shards) — identical md5 shard/order
+    arithmetic in both engines, so the exact (shard, pos) assignment of
+    every document is value-oracle-checked."""
+    from kgforge.operators import mixing
+
+    return mixing.shuffle_shards(T(spark, sf, "documents"), n_shards=8, seed="shuf1")
+
+
+@q("tokenize_bpe", None)  # iterative merge learning -> no SQL form; pytest goldens
+def tokenize_bpe(spark, sf):
+    """BPE tokenizer surface (round 6): train 100 merges on the corpus
+    (distributed histogram + driver-side learning), encode every doc with
+    the broadcast merge table (operators/tokenizer.py).  Merge learning is
+    inherently iterative, so no DuckDB oracle exists; semantics are pinned
+    by tests/test_tokenizer.py (golden vs an independent naive trainer,
+    roundtrip, partitioning invariance)."""
+    from kgforge.operators import tokenizer as tk
+
+    docs = T(spark, sf, "documents")
+    model = tk.train_bpe(docs, n_merges=100)
+    return tk.encode_bpe(docs, model).select("doc_id", "n_tokens")
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -1681,6 +1818,10 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embed_lsh",
+    "dedup_paragraphs",
+    "dsir_weights",
+    "corpus_shuffle",
+    "tokenize_bpe",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 # Round 6 swap (same policy as rounds 4-5, VERDICT r5 item 1): the three
 # seeded-sketch dedup entries can NEVER carry a DuckDB oracle (xxhash64 /
@@ -1704,4 +1845,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 68, f"registry must hold exactly 68 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 72, f"registry must hold exactly 72 entries, got {len(REGISTRY)}"

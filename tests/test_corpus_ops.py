@@ -1,0 +1,160 @@
+"""Round-6 corpus-assembly operators: paragraph-level dedup, DSIR
+importance weights, seeded deterministic shard shuffle.  Planted-fixture
+semantics + determinism/partitioning invariance + the scale-shape gates
+their docstrings promise."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators import dedup, mixing, text
+from kgforge.plans import physical_plan
+
+
+# ---------------------------------------------------------------- paragraphs
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    rows = [
+        (1, "alpha beta\n\nshared block\n\ngamma"),
+        (2, "shared block\n\ndelta"),
+        (3, "  SHARED BLOCK \n\n\n\nepsilon\n\nalpha beta"),
+        (4, None),
+        (5, "\n\nshared block\n\n"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_first_occurrence_wins(para_docs):
+    out = {
+        r.doc_id: (r.text, r.n_paras, r.n_removed)
+        for r in dedup.paragraph_dedup(para_docs).collect()
+    }
+    # doc 1 is the global first occurrence of every one of its paragraphs
+    assert out[1] == ("alpha beta\n\nshared block\n\ngamma", 3, 0)
+    # later docs lose the shared block (normalized: case/whitespace folded)
+    assert out[2] == ("delta", 2, 1)
+    assert out[3] == ("epsilon", 3, 2)
+    assert out[4] == ("", 0, 0)
+    assert out[5] == ("", 1, 1)
+
+
+def test_paragraph_dedup_partitioning_invariant(para_docs):
+    a = {r.doc_id: r.text for r in dedup.paragraph_dedup(para_docs.repartition(5)).collect()}
+    b = {r.doc_id: r.text for r in dedup.paragraph_dedup(para_docs.coalesce(1)).collect()}
+    assert a == b
+
+
+def test_paragraph_dedup_total_content_preserved(spark):
+    """Every distinct normalized paragraph survives exactly once corpus-wide."""
+    rows = [(i, f"common header\n\nbody {i % 7}\n\nfooter {i % 3}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.paragraph_dedup(docs)
+    kept = out.select(
+        F.explode(F.split("text", r"\n")).alias("p")
+    ).filter(F.trim("p") != "")
+    assert kept.count() == kept.distinct().count() == 1 + 7 + 3
+    assert out.agg(F.sum("n_removed")).head()[0] == 50 * 3 - 11
+
+
+def test_paragraph_dedup_shuffle_carries_hashes_not_text(para_docs):
+    """Scale gate: every Exchange keys on doc_id or the 16-byte md5 — the
+    paragraph text column never appears in a shuffle's partitioning."""
+    plan = physical_plan(dedup.paragraph_dedup(para_docs))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "para" not in line and "text" not in line, line
+
+
+# ---------------------------------------------------------------------- DSIR
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    # target domain: cooking; off-domain: finance; mixed doc in between
+    target = [(100 + i, "butter flour sugar oven bake whisk fold batter") for i in range(4)]
+    rows = [
+        (1, "butter flour sugar oven bake bake whisk batter"),
+        (2, "stock bond yield margin equity ledger audit tax"),
+        (3, "butter flour stock bond oven bake margin equity"),
+        (4, "x"),  # < n words -> zero grams
+    ]
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        spark.createDataFrame(target, "doc_id long, text string"),
+    )
+
+
+def test_importance_weights_rank_by_domain(dsir_docs):
+    docs, target = dsir_docs
+    out = {r.doc_id: r for r in text.importance_weights(docs, target, n=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # in-domain doc scores highest, off-domain lowest, mixed in between
+    assert out[1].dsir_logratio > out[3].dsir_logratio > out[2].dsir_logratio
+    assert out[1].dsir_logratio > 0 > out[2].dsir_logratio
+    assert out[4].n_grams == 0 and out[4].dsir_logratio == 0.0
+    assert out[1].n_grams == 7
+
+
+def test_importance_weights_deterministic(dsir_docs):
+    docs, target = dsir_docs
+    a = sorted(map(tuple, text.importance_weights(docs.repartition(4), target, n=2).collect()))
+    b = sorted(map(tuple, text.importance_weights(docs, target, n=2).collect()))
+    assert [t[:2] for t in a] == [t[:2] for t in b]
+    for x, y in zip(a, b):
+        assert math.isclose(x[2], y[2], rel_tol=0, abs_tol=1e-9)
+
+
+def test_importance_weights_ratio_table_broadcasts(dsir_docs):
+    """Scale gate: the per-bucket log-ratio table reaches the corpus probe
+    as a broadcast — the gram stream never sort-merge-joins."""
+    docs, target = dsir_docs
+    plan = physical_plan(text.importance_weights(docs, target, n=2))
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------------- shuffle
+
+
+def test_shuffle_shards_is_permutation(spark):
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = mixing.shuffle_shards(docs, n_shards=8).collect()
+    assert len(out) == 5000 and len({r.doc_id for r in out}) == 5000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    # pos is a dense 1..n rank within each shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # md5 balances: no shard is pathologically skewed
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes)
+
+
+def test_shuffle_shards_deterministic_and_seed_sensitive(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id): (r.shard, r.pos) for r in mixing.shuffle_shards(docs.repartition(7), 4).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in mixing.shuffle_shards(docs, 4).collect()}
+    assert a == b
+    c = {(r.doc_id): (r.shard, r.pos) for r in mixing.shuffle_shards(docs, 4, seed="epoch2").collect()}
+    assert c != a  # a new seed draws an independent order
+
+
+def test_shuffle_shards_breaks_source_runs(spark):
+    """The point of the op: consecutive input rows scatter — within a
+    shard, adjacent positions rarely come from adjacent doc_ids."""
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    rows = mixing.shuffle_shards(docs, n_shards=2).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, {})[r.pos] = r.doc_id
+    adjacent = total = 0
+    for shard in by_shard.values():
+        for p in range(1, len(shard)):
+            total += 1
+            if abs(shard[p + 1] - shard[p]) == 1:
+                adjacent += 1
+    assert adjacent / total < 0.01

@@ -77,3 +77,30 @@ def test_regex_tokenizer_cli(spark, tmpdir_path, capsys):
     assert packs.groupBy("pack_id").agg(F.sum("n_tokens").alias("t")).filter(
         F.col("t") > BUDGET
     ).count() == 0
+
+
+def test_bpe_tokenizer_cli(spark, docs_path, tmpdir_path, capsys):
+    """--tokenizer bpe: a model trains on the corpus, its merges persist
+    under <out>/bpe_merges, chunking/packing budget on exact subword
+    counts, and no pack exceeds the budget under that counter."""
+    out = os.path.join(tmpdir_path, "p_bpe")
+    m = _run(docs_path, out, capsys, "--budget", str(BUDGET), "--bins", "2",
+             "--tokenizer", "bpe", "--bpe-merges", "100")
+    assert m["tokenizer"] == "bpe" and m["n_oversize"] == 0
+    merges = spark.read.parquet(os.path.join(out, "bpe_merges"))
+    assert {"rank", "left", "right"} <= set(merges.columns)
+    n_merges = merges.count()
+    assert 0 < n_merges <= 100
+    # the merge table is a valid model: re-encoding with it reproduces the
+    # packed token totals ('tok'/'long' merge to single tokens fast)
+    from kgforge.operators import tokenizer as tk
+
+    model = tk.BPEModel.from_df(merges)
+    enc = tk.encode_bpe(spark.read.parquet(docs_path), model)
+    packs = spark.read.parquet(os.path.join(out, "packs"))
+    tot_packed = packs.agg(F.sum("n_tokens")).head()[0]
+    tot_enc = enc.agg(F.sum("n_tokens")).head()[0]
+    assert tot_packed == tot_enc
+    assert packs.groupBy("pack_id").agg(F.sum("n_tokens").alias("t")).filter(
+        F.col("t") > BUDGET
+    ).count() == 0
