@@ -523,3 +523,81 @@ def lsh_topk(
     return cosine_topk(
         bucketed.filter(F.col("bucket") == qbits), query, k, id_col, vec_col
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    sample_size: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with spherical k-means, then prune near-duplicates
+    WITHIN each cluster only — the trick that makes embedding dedup
+    tractable at corpus scale by never comparing vectors across clusters.
+
+    Scale shape: centroids train on a bounded seeded driver sample (the
+    ivf_topk sampling discipline — dict-sized collect, positional-bias-
+    free); assignment is the broadcast-literal argmax (`ivf_assign_col`,
+    pure codegen); the within-cluster candidate join is an equi-join on
+    (cluster) with id-ordered pairs — published SemDeDup sizes n_centroids
+    so clusters stay small (they use ~10^5 clusters for 10^8 docs; size
+    ``n_centroids`` ~ n_docs / 10^3 likewise, making each cluster's
+    pair-join a bounded local problem).  Duplicate GROUPS (not just pairs)
+    resolve through connected components, and the keeper is each group's
+    minimum id — deterministic under any partitioning.
+
+    Returns every input vector: (vec_id, sem_cluster, dup_group, keep)
+    where dup_group is the group minimum (== vec_id for uniques) and
+    ``keep`` marks the one survivor per group.
+    """
+    import numpy as np
+
+    from kgforge.operators.dedup import connected_components
+
+    # content-keyed sample: the sample_size rows with the smallest seeded
+    # id hash — one bounded TakeOrdered, invariant under partitioning (a
+    # `.sample(frac)` draw depends on the physical split and would make
+    # cluster ids — and therefore group splits — non-reproducible)
+    sample_rows = (
+        embeddings.select(
+            F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype="float64")
+    c = ivf_centroids(sample, n_centroids, seed=seed)
+
+    assigned = embeddings.select(
+        F.col(id_col), F.col(vec_col), ivf_assign_col(vec_col, c).alias("sem_cluster")
+    ).localCheckpoint()  # assignment computed once; feeds both join sides
+    left = assigned.select(
+        F.col("sem_cluster"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    right = assigned.select(
+        F.col("sem_cluster"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    score = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    pairs = (
+        left.join(right, "sem_cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(score, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs)
+    return assigned.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        "sem_cluster",
+        F.coalesce("component", F.col(id_col)).alias("dup_group"),
+        (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )

@@ -1798,6 +1798,41 @@ def tokenize_bpe(spark, sf):
     return tk.encode_bpe(docs, model).select("doc_id", "n_tokens")
 
 
+@q("semantic_dedup", None)  # seeded k-means -> no SQL form; pytest group gates
+def semantic_dedup_q(spark, sf):
+    """SemDeDup-style semantic dedup surface (round 6): spherical-k-means
+    clusters + within-cluster cosine pruning + connected-component keeper
+    election (operators/similarity.py:semantic_dedup).  Seeded centroid
+    training has no SQL form; group structure, keeper-per-group and
+    partitioning determinism are pytest-gated
+    (tests/test_classifier_semdedup.py)."""
+    e = T(spark, sf, "embeddings")
+    return similarity.semantic_dedup(
+        e, threshold=0.95, n_centroids=8, sample_size=256
+    ).orderBy("vec_id")
+
+
+@q("quality_classifier", None)  # L-BFGS training -> no SQL form; pytest AUC gates
+def quality_classifier_q(spark, sf):
+    """Hashed-bag-of-words quality classifier surface (round 6): pyspark.ml
+    HashingTF + LogisticRegression trained target-vs-rest on the %41 split
+    (the same target domain dsir_weights tilts toward), then every doc
+    scored JVM-side (operators/classifier.py).  Distributed L-BFGS has no
+    SQL form; separation/AUC/no-Python-in-score gates live in
+    tests/test_classifier_semdedup.py."""
+    from kgforge.operators import classifier
+
+    docs = T(spark, sf, "documents")
+    pos = docs.filter(F.col("doc_id") % 41 == 0)
+    neg = docs.filter(F.col("doc_id") % 41 == 1)
+    model = classifier.train_quality_classifier(
+        pos, neg, n_features=1 << 14, max_iter=20
+    )
+    return classifier.score_quality(docs, model).select(
+        "doc_id", F.round("quality_prob", 3).alias("quality_prob")
+    )
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -1822,6 +1857,8 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dsir_weights",
     "corpus_shuffle",
     "tokenize_bpe",
+    "semantic_dedup",
+    "quality_classifier",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 # Round 6 swap (same policy as rounds 4-5, VERDICT r5 item 1): the three
 # seeded-sketch dedup entries can NEVER carry a DuckDB oracle (xxhash64 /
@@ -1845,4 +1882,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 72, f"registry must hold exactly 72 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 74, f"registry must hold exactly 74 entries, got {len(REGISTRY)}"
