@@ -4,7 +4,8 @@
         --docs <documents.parquet> --out <dir> \
         [--min-logprob -9.0 | --drop-logprob-pct 5] [--lang en,fr] [--no-rules] \
         [--max-dup-line-frac 0.3] [--max-dup-2gram-frac 0.2] [--audit-lm] \
-        [--decontaminate <eval.parquet> --decontam-n 8] [--redact-pii]
+        [--decontaminate <eval.parquet> --decontam-n 8] [--redact-pii] \
+        [--dsir-target <target.parquet> [--min-dsir X | --keep-dsir-pct P]]
 
 Composes the text-quality operators into the filter pass a pretraining
 corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
@@ -105,6 +106,32 @@ def main(argv: list[str] | None = None) -> int:
         default=8,
         help="n-gram length for --decontaminate (published pipelines use "
         "8..13; default 8)",
+    )
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        metavar="TARGET_PARQUET",
+        help="score every document's DSIR log importance ratio against this "
+        "quality-target corpus (hashed-bigram feature models; Xie et al. "
+        "2023) — enables --min-dsir / --keep-dsir-pct; the parquet needs a "
+        "text column",
+    )
+    ap.add_argument(
+        "--min-dsir",
+        type=float,
+        default=None,
+        help="drop documents whose DSIR log-ratio is below this floor; "
+        "requires --dsir-target",
+    )
+    ap.add_argument(
+        "--keep-dsir-pct",
+        type=float,
+        default=None,
+        help="keep only the TOP P percent of documents by DSIR log-ratio "
+        "(floor = approx (100-P)-th percentile, one percentile_approx "
+        "aggregate — the importance-resampling form a corpus-scale tilt "
+        "actually uses); requires --dsir-target, mutually exclusive with "
+        "--min-dsir",
     )
     ap.add_argument(
         "--redact-pii",
@@ -229,17 +256,46 @@ def main(argv: list[str] | None = None) -> int:
         audit = audit.withColumn("eval_gram_hits", F.lit(None).cast("long"))
         dec_col = F.lit(True)
 
+    if args.min_dsir is not None and args.keep_dsir_pct is not None:
+        ap.error("--min-dsir and --keep-dsir-pct are mutually exclusive")
+    if (args.min_dsir is not None or args.keep_dsir_pct is not None) and not args.dsir_target:
+        ap.error("--min-dsir / --keep-dsir-pct require --dsir-target")
+    dsir_floor = args.min_dsir
+    if args.dsir_target:
+        # DSIR tilt: bucketed feature models broadcast, the per-doc score
+        # joins back like the other aggregating signals (two corpus gram
+        # passes — paid only when a target is given)
+        target = spark.read.parquet(args.dsir_target)
+        dsir = text.importance_weights(docs, target).select(
+            "doc_id", "dsir_logratio"
+        )
+        if args.keep_dsir_pct is not None:
+            dsir_floor = dsir.agg(
+                F.percentile_approx(
+                    "dsir_logratio", 1.0 - args.keep_dsir_pct / 100.0, 10_000
+                ).alias("q")
+            ).head().q
+        audit = audit.join(dsir, "doc_id", "left")
+        if dsir_floor is not None:
+            dsir_col = F.coalesce(F.col("dsir_logratio") >= dsir_floor, F.lit(False))
+        else:
+            dsir_col = F.lit(True)  # score-only run: audit records the ratio
+    else:
+        audit = audit.withColumn("dsir_logratio", F.lit(None).cast("double"))
+        dsir_col = F.lit(True)
+
     audit = (
         audit.withColumn("ok_lm", lm_col)
         .withColumn("ok_lang", lang_col)
         .withColumn("ok_rep", rep_col)
         .withColumn("ok_decontam", dec_col)
+        .withColumn("ok_dsir", dsir_col)
         .drop("rep_ok", "is_contaminated")  # superseded by the ok_* booleans
     )
     audit = audit.withColumn(
         "keep",
         rules_col & F.col("ok_lm") & F.col("ok_lang") & F.col("ok_rep")
-        & F.col("ok_decontam"),
+        & F.col("ok_decontam") & F.col("ok_dsir"),
     )
     audit.write.mode("overwrite").parquet(os.path.join(args.out, "audit"))
     audit_r = spark.read.parquet(os.path.join(args.out, "audit"))
@@ -263,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
         F.sum((~F.col("ok_lang")).cast("int")).alias("fail_lang"),
         F.sum((~F.col("ok_rep")).cast("int")).alias("fail_rep"),
         F.sum((~F.col("ok_decontam")).cast("int")).alias("fail_decontam"),
+        F.sum((~F.col("ok_dsir")).cast("int")).alias("fail_dsir"),
     ).head()
     n_pii_redacted = None
     if args.redact_pii:
@@ -282,6 +339,7 @@ def main(argv: list[str] | None = None) -> int:
         "fail_lang": row.fail_lang,
         "fail_rep": row.fail_rep,
         "fail_decontam": row.fail_decontam,
+        "fail_dsir": row.fail_dsir,
         "n_pii_redacted": n_pii_redacted,
         "filters": {
             "rules": not args.no_rules,
@@ -293,6 +351,8 @@ def main(argv: list[str] | None = None) -> int:
             "max_dup_2gram_frac": args.max_dup_2gram_frac,
             "decontaminate": args.decontaminate,
             "decontam_n": args.decontam_n if args.decontaminate else None,
+            "dsir_target": args.dsir_target,
+            "dsir_floor": None if dsir_floor is None else round(dsir_floor, 5),
             "redact_pii": args.redact_pii,
         },
     }

@@ -185,3 +185,61 @@ def test_rules_only_run_never_pays_decontam_or_pii(
     out = os.path.join(tmpdir_path, "f_nodec")
     m = _run(docs_path, out, capsys)
     assert m["fail_decontam"] == 0 and m["n_pii_redacted"] is None
+
+
+def test_dsir_tilt_keeps_target_like_docs(spark, docs_path, tmpdir_path, capsys):
+    """--dsir-target + --keep-dsir-pct: the doc sharing the target's
+    bigrams survives the tilt; off-domain clean docs fall below the floor."""
+    out = os.path.join(tmpdir_path, "f_dsir")
+    tgt = os.path.join(tmpdir_path, "f_target.parquet")
+    # target domain = doc 0's english garden register
+    spark.createDataFrame(
+        [(90, "the quick brown fox jumps over the lazy dog"),
+         (91, "brown fox in the garden over the lazy dog")],
+        "doc_id long, text string",
+    ).write.parquet(tgt)
+    m = _run(docs_path, out, capsys, "--dsir-target", tgt,
+             "--keep-dsir-pct", "25")
+    kept = {r.doc_id for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert kept == {0}
+    assert m["fail_dsir"] >= 2 and m["filters"]["dsir_floor"] is not None
+    audit = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "audit")).collect()}
+    assert audit[0].dsir_logratio > audit[1].dsir_logratio
+    assert audit[0].ok_dsir and not audit[1].ok_dsir
+
+
+def test_dsir_score_only_records_without_filtering(spark, docs_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "f_dsir_audit")
+    tgt = os.path.join(tmpdir_path, "f_target2.parquet")
+    spark.createDataFrame(
+        [(90, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    ).write.parquet(tgt)
+    m = _run(docs_path, out, capsys, "--dsir-target", tgt)
+    assert m["fail_dsir"] == 0  # no floor -> score-only
+    audit = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "audit")).collect()}
+    assert audit[0].dsir_logratio is not None
+
+
+def test_dsir_flags_validated(docs_path, tmpdir_path):
+    import filter_corpus
+
+    with pytest.raises(SystemExit):
+        filter_corpus.main(["--docs", docs_path, "--out", tmpdir_path,
+                            "--min-dsir", "0.0"])  # floor without target
+    with pytest.raises(SystemExit):
+        filter_corpus.main(["--docs", docs_path, "--out", tmpdir_path,
+                            "--dsir-target", docs_path,
+                            "--min-dsir", "0", "--keep-dsir-pct", "10"])
+
+
+def test_rules_only_run_never_pays_dsir(spark, docs_path, tmpdir_path, capsys, monkeypatch):
+    from kgforge.operators import text as text_ops
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if invoked
+        raise AssertionError("importance_weights must not run without --dsir-target")
+
+    monkeypatch.setattr(text_ops, "importance_weights", boom)
+    out = os.path.join(tmpdir_path, "f_nodsir")
+    m = _run(docs_path, out, capsys)
+    assert m["fail_dsir"] == 0
