@@ -51,6 +51,23 @@ HEADLINE = [
     "dedup_clusters_exact",  # round 3: CC cluster assignment (exact-clique pairs)
 ]
 
+# Round-6 corpus-assembly ops, benched OUTSIDE the headline sum (1 rep,
+# "queries_extra") so the headline stays comparable round-over-round while
+# the new operators' sf0.1 walls are still on record.  Disable with
+# KGFORGE_BENCH_EXTRA=0.
+EXTRA = [
+    "dedup_paragraphs",
+    "dsir_weights",
+    "corpus_shuffle",
+    "tokenize_bpe",
+    "text_decontaminate",
+    "decontaminate_strip",
+    "pii_scrub",
+    "semantic_dedup",
+    "quality_classifier",
+    "corpus_mix",
+]
+
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the
 # engine instead of fixed job overhead (60k rows: 3.9k f/s; 480k: ~19k f/s)
 KG_CORPUS_ROWS = int(os.environ.get("KGFORGE_BENCH_ROWS", "480000"))
@@ -94,6 +111,15 @@ def main() -> None:
         q_secs[name] = round(statistics.median(walls), 3)
         q_spread[name] = round(max(walls) - min(walls), 3)
 
+    extra_secs: dict = {}
+    if os.environ.get("KGFORGE_BENCH_EXTRA", "1") != "0":
+        for name in EXTRA:
+            fn, _ = REGISTRY[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            extra_secs[name] = round(time.time() - t0, 3)
+
     src = spark.read.parquet(corpus_path)
     kg_walls = []
     for i in range(reps):
@@ -118,6 +144,7 @@ def main() -> None:
                 "unit": "sec",
                 "wall_all_reps_sec": round(time.time() - t_total, 3),
                 "queries": q_secs,
+                "queries_extra": extra_secs,
                 "spread": q_spread,
                 "reps": reps,
                 "sf": sf,

@@ -601,21 +601,31 @@ def importance_weights(
         )
 
     src = gram_buckets(docs, True)
-    tgt_dist = gram_buckets(target, False).groupBy("b").agg(
-        F.count("*").alias("ct")
+    # both feature models are <= `buckets` rows — dict-sized by design — so
+    # they COLLECT and the finished log-ratio table ships back as one small
+    # broadcast relation.  Deriving the totals from the collected rows
+    # (instead of two scalar `.head()` actions over separate plans) keeps
+    # the whole operator at exactly two corpus-gram passes: one for the
+    # source distribution, one for the scoring probe.
+    tgt_counts = dict(
+        gram_buckets(target, False).groupBy("b").agg(F.count("*").alias("ct")).collect()
     )
-    src_dist = src.groupBy("b").agg(F.count("*").alias("cs"))
-    n_t = tgt_dist.agg(F.sum("ct")).head()[0] or 0
-    n_s = src_dist.agg(F.sum("cs")).head()[0] or 0
-    ratio = (
-        src_dist.join(tgt_dist, "b", "left")
-        .select(
-            "b",
+    src_counts = dict(src.groupBy("b").agg(F.count("*").alias("cs")).collect())
+    n_t = sum(tgt_counts.values())
+    n_s = sum(src_counts.values())
+    import math as _math
+
+    spark = docs.sparkSession
+    ratio = spark.createDataFrame(
+        [
             (
-                F.log((F.coalesce("ct", F.lit(0)) + alpha) / (n_t + alpha * buckets))
-                - F.log((F.col("cs") + alpha) / (n_s + alpha * buckets))
-            ).alias("lr"),
-        )
+                b,
+                _math.log((tgt_counts.get(b, 0) + alpha) / (n_t + alpha * buckets))
+                - _math.log((cs + alpha) / (n_s + alpha * buckets)),
+            )
+            for b, cs in src_counts.items()
+        ],
+        "b long, lr double",
     )
     scores = (
         src.join(F.broadcast(ratio), "b")

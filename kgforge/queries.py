@@ -284,7 +284,10 @@ def text_decontaminate(spark, sf):
     the lower/trim/\\s+ normalization, the n-gram window and the
     occurrence-counting join; the Spark side broadcasts 8-byte gram hashes
     (operators/text.py:decontaminate)."""
-    docs = T(spark, sf, "documents")
+    # 5-split input file serializes the gram fan-out on a 32-core session
+    # (round-4 dedup_minhash precedent): no-op-sized (id, text) shuffle at
+    # real corpus scale, where the scan already has >= cores splits.
+    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     ev = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
     return text.decontaminate(train, ev, n=3)
@@ -387,7 +390,10 @@ def decontaminate_strip(spark, sf):
     doesn't discard a whole page.  Both engines replay normalization, span
     merge and positional text rebuild; the value oracle pins the exact
     surviving text per doc (operators/text.py:decontaminate_strip)."""
-    docs = T(spark, sf, "documents")
+    # 5-split input file serializes the gram fan-out on a 32-core session
+    # (round-4 dedup_minhash precedent): no-op-sized (id, text) shuffle at
+    # real corpus scale, where the scan already has >= cores splits.
+    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     ev = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
     return text.decontaminate_strip(train, ev, n=3)
@@ -1701,7 +1707,10 @@ def dedup_paragraphs_q(spark, sf):
     paragraph keys, global min-(doc_id, pos) keeper election, positional
     text rebuild (operators/dedup.py:paragraph_dedup).  Value-oracle-checks
     the exact surviving text per doc."""
-    docs = T(spark, sf, "documents")
+    # 5-split input file serializes the gram fan-out on a 32-core session
+    # (round-4 dedup_minhash precedent): no-op-sized (id, text) shuffle at
+    # real corpus scale, where the scan already has >= cores splits.
+    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     w = F.split(F.coalesce("text", F.lit("")), r"\s+")
     n_chunks = F.ceil(F.size(w) / F.lit(12.0)).cast("int")
     injected = docs.select(
@@ -1753,7 +1762,10 @@ def dsir_weights(spark, sf):
     arithmetic is the md5 hash_split trick, so DuckDB replays buckets,
     Laplace smoothing and the log-ratio sum exactly; both sides round to
     4 decimals (double summation order differs at the last ulp)."""
-    docs = T(spark, sf, "documents")
+    # 5-split input file serializes the gram fan-out on a 32-core session
+    # (round-4 dedup_minhash precedent): no-op-sized (id, text) shuffle at
+    # real corpus scale, where the scan already has >= cores splits.
+    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     ev = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
     return text.importance_weights(train, ev, n=2, buckets=4099).select(
@@ -1793,7 +1805,10 @@ def tokenize_bpe(spark, sf):
     roundtrip, partitioning invariance)."""
     from kgforge.operators import tokenizer as tk
 
-    docs = T(spark, sf, "documents")
+    # 5-split input file serializes the gram fan-out on a 32-core session
+    # (round-4 dedup_minhash precedent): no-op-sized (id, text) shuffle at
+    # real corpus scale, where the scan already has >= cores splits.
+    docs = T(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     model = tk.train_bpe(docs, n_merges=100)
     return tk.encode_bpe(docs, model).select("doc_id", "n_tokens")
 
