@@ -5,7 +5,8 @@
         [--min-logprob -9.0 | --drop-logprob-pct 5] [--lang en,fr] [--no-rules] \
         [--max-dup-line-frac 0.3] [--max-dup-2gram-frac 0.2] [--audit-lm] \
         [--decontaminate <eval.parquet> --decontam-n 8] [--redact-pii] \
-        [--dsir-target <target.parquet> [--min-dsir X | --keep-dsir-pct P]]
+        [--dsir-target <target.parquet> [--min-dsir X | --keep-dsir-pct P]] \
+        [--dedup-paragraphs [--para-delim REGEX]]
 
 Composes the text-quality operators into the filter pass a pretraining
 corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
@@ -139,6 +140,20 @@ def main(argv: list[str] | None = None) -> int:
         help="redact emails / IPv4s / phone numbers in the KEPT corpus text "
         "(typed placeholders, kgforge.operators.text.pii_redact); keep/ "
         "gains an n_pii column recording per-doc replacement counts",
+    )
+    ap.add_argument(
+        "--dedup-paragraphs",
+        action="store_true",
+        help="rewrite the KEPT corpus with corpus-wide paragraph-level "
+        "dedup (every paragraph keeps its first occurrence — the "
+        "CCNet/C4-style boilerplate strip); keep/ gains an "
+        "n_paras_removed column",
+    )
+    ap.add_argument(
+        "--para-delim",
+        default=r"\n{2,}",
+        help="paragraph split regex for --dedup-paragraphs (rebuilt text "
+        "joins with one blank line)",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -303,6 +318,21 @@ def main(argv: list[str] | None = None) -> int:
     keep = docs.join(
         audit_r.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
+    if args.dedup_paragraphs:
+        # corpus-wide rewrite over the KEPT rows (runs after the drop
+        # filters so dropped docs can't claim first occurrence); only
+        # (id, pos, hash) rows shuffle inside the operator, and the
+        # rewritten text + removal count join back on doc_id
+        from kgforge.operators import dedup as dedup_ops
+
+        pd_out = dedup_ops.paragraph_dedup(keep, split_re=args.para_delim).select(
+            "doc_id",
+            F.col("text").alias("_pd_text"),
+            F.col("n_removed").alias("n_paras_removed"),
+        )
+        keep = keep.drop("text").join(pd_out, "doc_id").withColumnRenamed(
+            "_pd_text", "text"
+        )
     if args.redact_pii:
         # redaction is a narrow projection over the kept rows — it rides the
         # same write, adding zero passes; n_pii ships in keep/ so downstream
@@ -321,6 +351,14 @@ def main(argv: list[str] | None = None) -> int:
         F.sum((~F.col("ok_decontam")).cast("int")).alias("fail_decontam"),
         F.sum((~F.col("ok_dsir")).cast("int")).alias("fail_dsir"),
     ).head()
+    n_paras_removed = None
+    if args.dedup_paragraphs:
+        n_paras_removed = (
+            spark.read.parquet(os.path.join(args.out, "keep"))
+            .agg(F.sum("n_paras_removed").alias("s"))
+            .head()
+            .s
+        )
     n_pii_redacted = None
     if args.redact_pii:
         # column-pruned scan of the just-written keep/ parquet
@@ -340,6 +378,7 @@ def main(argv: list[str] | None = None) -> int:
         "fail_rep": row.fail_rep,
         "fail_decontam": row.fail_decontam,
         "fail_dsir": row.fail_dsir,
+        "n_paras_removed": n_paras_removed,
         "n_pii_redacted": n_pii_redacted,
         "filters": {
             "rules": not args.no_rules,
@@ -353,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
             "decontam_n": args.decontam_n if args.decontaminate else None,
             "dsir_target": args.dsir_target,
             "dsir_floor": None if dsir_floor is None else round(dsir_floor, 5),
+            "dedup_paragraphs": args.dedup_paragraphs,
             "redact_pii": args.redact_pii,
         },
     }

@@ -243,3 +243,39 @@ def test_rules_only_run_never_pays_dsir(spark, docs_path, tmpdir_path, capsys, m
     out = os.path.join(tmpdir_path, "f_nodsir")
     m = _run(docs_path, out, capsys)
     assert m["fail_dsir"] == 0
+
+
+def test_dedup_paragraphs_rewrites_kept_text(spark, tmpdir_path, capsys):
+    """--dedup-paragraphs: a boilerplate block repeated across kept docs
+    survives only in the first; dropped docs never claim first occurrence."""
+    out = os.path.join(tmpdir_path, "f_pd")
+    p = os.path.join(tmpdir_path, "f_pd_docs.parquet")
+    boiler = "the shared legal footer about the site and its terms here"
+    spark.createDataFrame(
+        [
+            (0, f"the quick brown fox jumps over the lazy dog\n\n{boiler}"),
+            (1, f"le chat et la maison les arbres des fleurs ici\n\n{boiler}"),
+            (2, "ok"),  # fails rules -> dropped BEFORE the rewrite
+        ],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    m = _run(p, out, capsys, "--dedup-paragraphs")
+    kept = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert set(kept) == {0, 1}
+    assert boiler in kept[0].text and boiler not in kept[1].text
+    assert kept[0].n_paras_removed == 0 and kept[1].n_paras_removed == 1
+    assert m["n_paras_removed"] == 1
+
+
+def test_rules_only_run_never_pays_paragraph_dedup(
+    spark, docs_path, tmpdir_path, capsys, monkeypatch
+):
+    from kgforge.operators import dedup as dedup_ops
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if invoked
+        raise AssertionError("paragraph_dedup must not run without its flag")
+
+    monkeypatch.setattr(dedup_ops, "paragraph_dedup", boom)
+    out = os.path.join(tmpdir_path, "f_nopd")
+    m = _run(docs_path, out, capsys)
+    assert m["n_paras_removed"] is None

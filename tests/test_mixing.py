@@ -102,3 +102,31 @@ def test_mix_cli_bad_rates(tmpdir_path):
 
     with pytest.raises(SystemExit):
         mix_corpus.main(["--docs", "x", "--out", tmpdir_path, "--rates", "en:0.5"])
+
+
+def test_shard_cli_writes_ordered_shards(spark, tmpdir_path, capsys):
+    """shard_corpus CLI: every doc lands in exactly one shard partition,
+    within-shard order follows the seeded pos, and sizes are balanced."""
+    import json
+    import shard_corpus
+
+    p = os.path.join(tmpdir_path, "s_docs.parquet")
+    spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(400)], "doc_id long, text string"
+    ).write.parquet(p)
+    out = os.path.join(tmpdir_path, "s_out")
+    rc = shard_corpus.main(["--docs", p, "--out", out, "--shards", "4"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_docs"] == 400 and m["n_shards"] == 4
+    assert m["max_shard"] < 2 * m["min_shard"]
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert shards.count() == 400
+    assert shards.select("doc_id").distinct().count() == 400
+    # shard assignment matches the operator exactly (reproducible epoch)
+    from kgforge.operators import mixing as mx
+
+    docs = spark.read.parquet(p)
+    expect = {(r.doc_id): (r.shard, r.pos) for r in mx.shuffle_shards(docs, 4).collect()}
+    got = {(r.doc_id): (r.shard, r.pos) for r in shards.select("doc_id", "shard", "pos").collect()}
+    assert got == expect
