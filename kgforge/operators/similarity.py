@@ -601,3 +601,63 @@ def semantic_dedup(
         F.coalesce("component", F.col(id_col)).alias("dup_group"),
         (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )
+
+
+def embed_decontaminate(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus vector
+    whose max cosine against ANY evaluation vector reaches ``threshold`` —
+    the semantic companion to text.decontaminate, catching PARAPHRASED
+    benchmark leakage that word-n-gram overlap cannot see.
+
+    Scale shape: the eval set is benchmark-sized, so its matrix collects
+    (bounded driver state, the batch_cosine_topk discipline) and ships as
+    a closure constant; the corpus side is ONE narrow mapInPandas pass —
+    each Arrow batch scores with a single BLAS matmul and emits only its
+    per-row max + argmax, so nothing shuffles at all.  Cosines round to 4
+    decimals BEFORE the argmax and ties break toward the smallest eval id
+    (eval rows sorted by id), making (max, nearest) deterministic and
+    engine-portable — the registry entry `embed_decontaminate` value-checks
+    the full verdict against DuckDB.
+
+    Returns every corpus row: (vec_id, max_eval_cosine, nearest_eval_id,
+    is_contaminated)."""
+    import pandas as pd
+
+    ev = eval_vecs.select(id_col, vec_col).orderBy(id_col).collect()
+    eids = np.asarray([r[0] for r in ev], dtype=np.int64)
+    em = np.asarray([r[1] for r in ev], dtype=np.float64)
+    en = np.sqrt((em * em).sum(axis=1))
+    en[en == 0] = 1.0
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt((vm * vm).sum(axis=1))
+            vn[vn == 0] = 1.0
+            cos = np.round((vm @ em.T) / np.outer(vn, en), 4)
+            best = cos.argmax(axis=1)  # first occurrence = smallest eval id
+            mx = cos[np.arange(len(vm)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "max_eval_cosine": mx,
+                    "nearest_eval_id": eids[best],
+                    "is_contaminated": mx >= threshold,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen,
+        schema=(
+            "vec_id long, max_eval_cosine double, nearest_eval_id long, "
+            "is_contaminated boolean"
+        ),
+    )

@@ -1813,6 +1813,41 @@ def tokenize_bpe(spark, sf):
     return tk.encode_bpe(docs, model).select("doc_id", "n_tokens")
 
 
+@q(
+    "embed_decontaminate",
+    r"""WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id % 37 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 37 != 0),
+         s AS (SELECT c.vec_id, ev.eid,
+                      round(list_dot_product(c.v, ev.e)
+                            / (sqrt(list_dot_product(c.v, c.v))
+                               * sqrt(list_dot_product(ev.e, ev.e))), 4) AS cos
+               FROM c, ev),
+         r AS (SELECT vec_id, eid, cos,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, eid) AS rn
+               FROM s)
+       SELECT vec_id, cos AS max_eval_cosine,
+              CAST(eid AS BIGINT) AS nearest_eval_id,
+              cos >= 0.8 AS is_contaminated
+       FROM r WHERE rn = 1""",
+)
+def embed_decontaminate_q(spark, sf):
+    """Embedding-space decontamination (round 6): vectors with vec_id % 37
+    = 0 play the benchmark's embeddings; every other vector is flagged
+    when its max cosine against ANY of them reaches 0.8 — the semantic
+    companion to `text_decontaminate` for paraphrased leakage
+    (operators/similarity.py:embed_decontaminate).  Cosines round to 4
+    decimals before the argmax and ties break toward the smallest eval id
+    on both engines, so the full (max, nearest, verdict) row is
+    value-checked."""
+    e = T(spark, sf, "embeddings")
+    ev = e.filter(F.col("vec_id") % 37 == 0)
+    corpus = e.filter(F.col("vec_id") % 37 != 0)
+    return similarity.embed_decontaminate(corpus, ev, threshold=0.8)
+
+
 @q("semantic_dedup", None)  # seeded k-means -> no SQL form; pytest group gates
 def semantic_dedup_q(spark, sf):
     """SemDeDup-style semantic dedup surface (round 6): spherical-k-means
@@ -1872,6 +1907,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dsir_weights",
     "corpus_shuffle",
     "tokenize_bpe",
+    "embed_decontaminate",
     "semantic_dedup",
     "quality_classifier",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
@@ -1897,4 +1933,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 74, f"registry must hold exactly 74 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 75, f"registry must hold exactly 75 entries, got {len(REGISTRY)}"

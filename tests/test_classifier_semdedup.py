@@ -110,3 +110,35 @@ def test_semantic_dedup_deterministic(clustered_vecs):
         clustered_vecs, threshold=0.999, n_centroids=4, sample_size=128
     ).collect()))
     assert a == b
+
+
+def test_embed_decontaminate_flags_planted_leak(spark):
+    import numpy as np
+
+    def norm(v):
+        v = np.asarray(v, float)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    ev_rows = [(100, norm([1, 0, 0, 0])), (101, norm([0, 1, 0, 0]))]
+    rows = [
+        (1, norm([1, 0.01, 0, 0])),   # ~eval 100 -> contaminated
+        (2, norm([0, 1, 0.02, 0])),   # ~eval 101 -> contaminated
+        (3, norm([0, 0, 0, 1])),      # orthogonal -> clean
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(ev_rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.embed_decontaminate(corpus, ev, 0.95).collect()}
+    assert out[1].is_contaminated and out[1].nearest_eval_id == 100
+    assert out[2].is_contaminated and out[2].nearest_eval_id == 101
+    assert not out[3].is_contaminated
+    assert out[1].max_eval_cosine > 0.99
+
+
+def test_embed_decontaminate_no_shuffle_plan(spark):
+    import numpy as np
+
+    rows = [(i, [float(x) for x in np.eye(4)[i % 4]]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>")
+    plan = physical_plan(similarity.embed_decontaminate(corpus, ev))
+    assert "Exchange" not in plan  # one narrow corpus pass, zero shuffles
