@@ -637,3 +637,87 @@ def importance_weights(
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("lrsum", F.lit(0.0)).alias("dsir_logratio"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    head_size: int = 10_000,
+) -> DataFrame:
+    """Per-document average INTERPOLATED bigram log-probability under the
+    corpus's own LM: p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/T —
+    the next quality rung above `unigram_logprob` (word-salad junk has
+    plausible unigrams but implausible transitions; boilerplate has
+    suspiciously high ones).  Jelinek-Mercer interpolation keeps every
+    bigram scorable (the unigram back-off term is never zero for observed
+    words).
+
+    Scale shape, three relations, none corpus-shaped in the shuffle:
+      1. unigram + bigram count tables (map-side-combined hash aggs —
+         vocab- / bigram-table-sized shuffles);
+      2. the per-bigram log-prob folds INTO the bigram table first
+         (table-keyed joins against the unigram counts — each DISTINCT
+         bigram once, so no corpus-mass skew; corpus total broadcasts as
+         one row);
+      3. the corpus bigram stream joins that finished table with the same
+         Zipf-head defuse as unigram_logprob: the ``head_size`` hottest
+         bigrams broadcast (dict-sized), the residual tail join is
+         skew-free because every hot key is in the head.
+    Docs with fewer than 2 words have no bigrams and no output row (same
+    contract as unigram_logprob's words).  Rounded to 5 decimals so
+    double-summation order cannot flip the oracle hash (registry
+    `text_bigram_lm`)."""
+    w = docs.select(F.col(id_col), _words().alias("w"))
+    pairs = w.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2").filter(
+        (F.length("w1") > 0) & (F.length("w2") > 0)
+    )
+    uni = (
+        docs.select(F.explode(_words()).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    table = (
+        big.join(uni.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(lam) * F.col("c12") / F.col("c1")
+                + F.lit(1.0 - lam) * F.col("c2") / F.col("t")
+            ).alias("lp"),
+            "c12",
+        )
+    )
+    head = F.broadcast(table.orderBy(F.desc("c12"), "w1", "w2").limit(head_size))
+    p_head = pairs.join(head, ["w1", "w2"])
+    p_tail = pairs.join(
+        F.broadcast(head.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    ).join(table, ["w1", "w2"])
+    return (
+        p_head.unionByName(p_tail)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("lp"), 5).alias("avg_bigram_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )

@@ -1814,6 +1814,39 @@ def tokenize_bpe(spark, sf):
 
 
 @q(
+    "text_bigram_lm",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+                   FROM documents),
+         p AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+               FROM d, unnest(range(1, greatest(len(w), 1))) t(i)
+               WHERE len(w) >= 2 AND len(w[i]) > 0 AND len(w[i+1]) > 0),
+         u AS (SELECT word, count(*) AS c
+               FROM (SELECT unnest(w) AS word FROM d)
+               WHERE len(word) > 0 GROUP BY word),
+         tot AS (SELECT sum(c) AS t FROM u),
+         b AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+         tb AS (SELECT b.w1, b.w2,
+                       ln(0.7 * b.c12 / u1.c + (1.0 - 0.7) * u2.c / tot.t) AS lp
+                FROM b JOIN u u1 ON b.w1 = u1.word
+                       JOIN u u2 ON b.w2 = u2.word, tot)
+       SELECT p.doc_id, round(avg(lp), 5) AS avg_bigram_logprob,
+              CAST(count(*) AS BIGINT) AS n_bigrams
+       FROM p JOIN tb USING (w1, w2) GROUP BY p.doc_id""",
+)
+def text_bigram_lm(spark, sf):
+    """Interpolated bigram-LM quality score (round 6): Jelinek-Mercer
+    p(w2|w1) = 0.7 c12/c1 + 0.3 c2/T under the corpus's own counts — the
+    transition-plausibility rung above `text_unigram_lm`
+    (operators/text.py:bigram_logprob, Zipf-head broadcast split on the
+    hottest bigrams).  Both engines replay counts, interpolation and the
+    5-decimal rounded average."""
+    docs = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return text.bigram_logprob(docs)
+
+
+@q(
     "embed_decontaminate",
     r"""WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS e
                    FROM embeddings WHERE vec_id % 37 = 0),
@@ -1907,6 +1940,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dsir_weights",
     "corpus_shuffle",
     "tokenize_bpe",
+    "text_bigram_lm",
     "embed_decontaminate",
     "semantic_dedup",
     "quality_classifier",
@@ -1933,4 +1967,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 75, f"registry must hold exactly 75 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 76, f"registry must hold exactly 76 entries, got {len(REGISTRY)}"

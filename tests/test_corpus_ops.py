@@ -158,3 +158,32 @@ def test_shuffle_shards_breaks_source_runs(spark):
             if abs(shard[p + 1] - shard[p]) == 1:
                 adjacent += 1
     assert adjacent / total < 0.01
+
+
+# ---------------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_prefers_plausible_transitions(spark):
+    """A doc made of the corpus's dominant transitions outscores one that
+    uses the same UNIGRAMS in implausible orders — the exact signal the
+    unigram LM cannot see."""
+    common = [(i, "the quick brown fox jumps over the lazy dog") for i in range(30)]
+    probe = [
+        (100, "the quick brown fox jumps"),   # on-distribution transitions
+        (101, "fox the jumps brown quick"),   # same words, scrambled
+        (102, "x"),                            # < 2 words -> no output row
+    ]
+    docs = spark.createDataFrame(common + probe, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.bigram_logprob(docs).collect()}
+    assert 102 not in out
+    assert out[100].avg_bigram_logprob > out[101].avg_bigram_logprob
+    assert out[100].n_bigrams == 4 and out[101].n_bigrams == 4
+
+
+def test_bigram_lm_head_join_broadcasts(spark):
+    """Scale gate: the Zipf-head split reaches the plan — the hot-bigram
+    probe is a broadcast hash join."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    assert "BroadcastHashJoin" in physical_plan(text.bigram_logprob(docs))
