@@ -109,6 +109,15 @@ def main(argv: list[str] | None = None) -> int:
         "8..13; default 8)",
     )
     ap.add_argument(
+        "--min-bigram-logprob",
+        type=float,
+        default=None,
+        help="drop documents whose corpus-bigram (Jelinek-Mercer) avg "
+        "log-probability is below this floor — the transition-plausibility "
+        "rung above --min-logprob (word salad passes unigram, fails this); "
+        "omit to skip the bigram-LM passes entirely",
+    )
+    ap.add_argument(
         "--dsir-target",
         default=None,
         metavar="TARGET_PARQUET",
@@ -225,6 +234,20 @@ def main(argv: list[str] | None = None) -> int:
         lm_col = F.coalesce(F.col("avg_logprob") >= floor, F.lit(False))
     else:
         lm_col = F.lit(True)
+
+    if args.min_bigram_logprob is not None:
+        # bigram-LM passes (count tables + probe join) — paid only when the
+        # floor is set, same gating as the unigram LM; docs with < 2 words
+        # have no bigram row and fail the floor via the null coalesce
+        blm = text.bigram_logprob(docs).select("doc_id", "avg_bigram_logprob")
+        audit = audit.join(blm, "doc_id", "left")
+        lm_col = lm_col & F.coalesce(
+            F.col("avg_bigram_logprob") >= args.min_bigram_logprob, F.lit(False)
+        )
+    else:
+        audit = audit.withColumn(
+            "avg_bigram_logprob", F.lit(None).cast("double")
+        )
 
     rep_enabled = (
         args.max_dup_line_frac is not None or args.max_dup_2gram_frac is not None
@@ -385,6 +408,7 @@ def main(argv: list[str] | None = None) -> int:
             "min_logprob": args.min_logprob,
             "drop_logprob_pct": args.drop_logprob_pct,
             "lm_floor": None if floor is None else round(floor, 5),
+            "min_bigram_logprob": args.min_bigram_logprob,
             "lang": args.lang,
             "max_dup_line_frac": args.max_dup_line_frac,
             "max_dup_2gram_frac": args.max_dup_2gram_frac,

@@ -279,3 +279,35 @@ def test_rules_only_run_never_pays_paragraph_dedup(
     out = os.path.join(tmpdir_path, "f_nopd")
     m = _run(docs_path, out, capsys)
     assert m["n_paras_removed"] is None
+
+
+def test_bigram_floor_drops_scrambled_doc(spark, tmpdir_path, capsys):
+    """--min-bigram-logprob: word-salad (plausible unigrams, implausible
+    transitions) falls below a floor the on-distribution docs clear."""
+    out = os.path.join(tmpdir_path, "f_blm")
+    p = os.path.join(tmpdir_path, "f_blm_docs.parquet")
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "fox the jumps dog brown lazy quick the over"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    m0 = _run(p, os.path.join(tmpdir_path, "f_blm0"), capsys)  # no floor
+    assert m0["n_kept"] == 21
+    m = _run(p, out, capsys, "--min-bigram-logprob", "-1.5")
+    kept = {r.doc_id for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert 100 not in kept and 0 in kept
+    audit = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "audit")).collect()}
+    assert audit[100].avg_bigram_logprob < -1.5 < audit[0].avg_bigram_logprob
+    assert m["filters"]["min_bigram_logprob"] == -1.5
+
+
+def test_rules_only_run_never_pays_bigram_lm(
+    spark, docs_path, tmpdir_path, capsys, monkeypatch
+):
+    from kgforge.operators import text as text_ops
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if invoked
+        raise AssertionError("bigram_logprob must not run without its floor")
+
+    monkeypatch.setattr(text_ops, "bigram_logprob", boom)
+    out = os.path.join(tmpdir_path, "f_noblm")
+    m = _run(docs_path, out, capsys)
+    assert m["filters"]["min_bigram_logprob"] is None
