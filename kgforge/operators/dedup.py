@@ -1483,3 +1483,77 @@ def paragraph_dedup(
         ),
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", adapted from suffix-array
+    byte ranges to word windows so the semantics are distributable): every
+    k-word window that occurs more than once ANYWHERE in the corpus keeps
+    exactly its globally FIRST occurrence — the minimum (doc_id, start),
+    a total order, so the result is deterministic under any partitioning —
+    and every other occurrence is stripped from its document.  Overlapping
+    duplicate windows merge into maximal spans before stripping, so a
+    sentence quoted verbatim across m documents survives once and costs
+    O(m * sentence_len) window rows, never O(m^2) pairs.
+
+    Scale shape — window TEXT never enters a shuffle:
+      1. each doc projects to (id, start, xxhash64 of the k-gram): a
+         narrow explode of fixed-width rows, the only corpus-wide relation;
+      2. keeper election = ONE hash aggregation per gram hash
+         (min struct + count) — partial aggregation absorbs hot boilerplate
+         grams map-side, so a license line in 10^9 docs is skew-safe;
+      3. only grams with count >= 2 survive as keepers (the overwhelmingly
+         unique tail drops BEFORE the join back), so when duplication is
+         rare AQE broadcasts the keeper side and the occurrence relation
+         never shuffles; a hot gram on the probe side is an AQE skew-join
+         split, not a straggler;
+      4. non-keeper occurrences merge per doc (gaps-and-islands over
+         matched spans only) and the text rebuild is a pure
+         higher-order-function projection — the span join back to the
+         corpus is left to AQE, NOT forced broadcast, because corpus-driven
+         spans can cover most documents in boilerplate-heavy corpora
+         (contrast text.decontaminate_strip, where the span side is
+         benchmark-bounded).
+
+    Hash note: grams are keyed by xxhash64 (8-byte shuffle keys).  Two
+    distinct grams colliding would merge their keeper elections; at 2^64
+    key space that needs ~10^9 distinct grams for a ~3% birthday chance of
+    ONE collision, whose blast radius is one stripped window.
+
+    Returns every input doc as (id, text, n_stripped) where `text` is the
+    normalized rendition (lower/trim/single-space — the normalization the
+    window positions are computed over) and n_stripped counts removed
+    words.
+    """
+    from kgforge.operators.text import (
+        _ngrams_of,
+        _norm_words,
+        merge_word_spans,
+        strip_word_spans,
+    )
+
+    words = docs.select(F.col(id_col), _norm_words(text_col).alias("w"))
+    # posexplode's 0-based array index p => the window starts at 1-based
+    # word position p+1 and covers [s, s + k - 1]
+    occ = words.select(
+        id_col, F.posexplode(_ngrams_of(F.col("w"), k)).alias("p", "g")
+    ).select(id_col, (F.col("p") + 1).alias("s"), F.xxhash64("g").alias("gh"))
+    keepers = (
+        occ.groupBy("gh")
+        .agg(F.min(F.struct(id_col, "s")).alias("m"), F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh", "m")
+    )
+    stripped = (
+        occ.join(keepers, "gh")
+        .filter((F.col(id_col) != F.col(f"m.{id_col}")) | (F.col("s") != F.col("m.s")))
+        .select(id_col, "s", (F.col("s") + F.lit(k - 1)).alias("e"))
+    )
+    spans = merge_word_spans(stripped, id_col=id_col)
+    return strip_word_spans(words, spans, id_col=id_col, text_col=text_col)

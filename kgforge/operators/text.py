@@ -411,6 +411,69 @@ def decontaminate(
     )
 
 
+def merge_word_spans(matched: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Merge overlapping 1-based word spans (id, s, e) per document into
+    islands and collect them: returns one row per AFFECTED doc as
+    (id, spans array<struct<s,e>>, n_stripped total covered width).
+
+    Gaps-and-islands: a span opens a new island iff it starts past the
+    running max end of everything before it (strict overlap merge;
+    adjacent-but-disjoint spans stay separate — kept words identical).
+    Shuffles only the MATCHED spans, never the corpus; collect_list is
+    bounded by words/doc.  Shared by decontaminate_strip (eval-set spans)
+    and dedup.substring_dedup (corpus-duplicate spans)."""
+    w_ord = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        matched.withColumn(
+            "ni", F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+        )
+        .withColumn("isl", F.sum("ni").over(w_ord))
+        .groupBy(id_col, "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    return islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_stripped"),
+    )
+
+
+def strip_word_spans(
+    words: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_spans: bool = False,
+) -> DataFrame:
+    """Rebuild text from the word positions no merged span covers.  `words`
+    is (id, w token array); `spans` is merge_word_spans' output.  The
+    rebuild is a pure higher-order-function projection (filter-with-index +
+    exists).  Pass broadcast_spans=True only when the span side is bounded
+    by something corpus-independent (a benchmark eval set); corpus-driven
+    spans (substring dedup of boilerplate-heavy corpora) can cover most
+    docs, so that path leaves the join strategy to AQE.
+
+    Returns every input doc as (id, text, n_stripped) where `text` is the
+    NORMALIZED rendition (lower/trim/single-space — the same normalization
+    the span positions were computed over, so the output is reproducible
+    from the match semantics)."""
+    in_span = lambda i: F.exists(  # noqa: E731 — 1-based word position i
+        F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    sp = F.broadcast(spans) if broadcast_spans else spans
+    return words.join(sp, id_col, "left").select(
+        id_col,
+        F.when(F.col("spans").isNull(), F.array_join(F.col("w"), " "))
+        .otherwise(
+            F.array_join(
+                F.filter(F.col("w"), lambda wd, p: ~in_span(p + F.lit(1))), " "
+            )
+        )
+        .alias(text_col),
+        F.coalesce(F.col("n_stripped"), F.lit(0)).cast("long").alias("n_stripped"),
+    )
+
+
 def decontaminate_strip(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -457,40 +520,11 @@ def decontaminate_strip(
     matched = grams.join(F.broadcast(ev), "gh").select(
         "doc_id", "s", (F.col("s") + F.lit(n - 1)).alias("e")
     )
-    # gaps-and-islands: a span opens a new island iff it starts past the
-    # running max end of everything before it (strict overlap merge;
-    # adjacent-but-disjoint spans stay separate — kept words identical)
-    w_ord = Window.partitionBy("doc_id").orderBy("s")
-    prev_end = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (
-        matched.withColumn(
-            "ni", F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
-        )
-        .withColumn("isl", F.sum("ni").over(w_ord))
-        .groupBy("doc_id", "isl")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-    )
-    spans = islands.groupBy("doc_id").agg(
-        F.collect_list(F.struct("s", "e")).alias("spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("n_stripped"),
-    )
-    in_span = lambda i: F.exists(  # noqa: E731 — 1-based word position i
-        F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
-    )
+    spans = merge_word_spans(matched)
     # spans hold one row per CONTAMINATED doc — bounded by the eval set's
     # reach, i.e. benchmark-sized, so the join back is an explicit
     # broadcast: the corpus (and its word arrays) never shuffles
-    return words.join(F.broadcast(spans), "doc_id", "left").select(
-        "doc_id",
-        F.when(F.col("spans").isNull(), F.array_join(F.col("w"), " "))
-        .otherwise(
-            F.array_join(
-                F.filter(F.col("w"), lambda wd, p: ~in_span(p + F.lit(1))), " "
-            )
-        )
-        .alias(text_col),
-        F.coalesce(F.col("n_stripped"), F.lit(0)).cast("long").alias("n_stripped"),
-    )
+    return strip_word_spans(words, spans, text_col=text_col, broadcast_spans=True)
 
 
 # (name, RE2-and-Java-compatible pattern, replacement) — no lookaround or

@@ -63,9 +63,16 @@ def test_paragraph_dedup_shuffle_carries_hashes_not_text(para_docs):
     """Scale gate: every Exchange keys on doc_id or the 16-byte md5 — the
     paragraph text column never appears in a shuffle's partitioning."""
     plan = physical_plan(dedup.paragraph_dedup(para_docs))
+    seen = 0
     for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "para" not in line and "text" not in line, line
+        # formatted plans carry partition keys on "Arguments: hashpartitioning(...)"
+        # lines, not on the Exchange node line itself (round-6 fix: the old
+        # "Exchange hashpartitioning" match never fired -> vacuous gate)
+        if "hashpartitioning(" in line:
+            seen += 1
+            assert ("k#" in line) or ("doc_id#" in line), line
+            assert "para" not in line and "text#" not in line, line
+    assert seen >= 1
 
 
 # ---------------------------------------------------------------------- DSIR

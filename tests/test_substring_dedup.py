@@ -1,0 +1,119 @@
+"""Exact substring dedup (Lee et al. 2022 semantics over word windows):
+every duplicated k-word window keeps only its globally first occurrence.
+Planted-fixture semantics, span-merge behavior, determinism under
+partitioning, clique linearity, and the no-text-in-shuffle scale gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators import dedup
+from kgforge.plans import physical_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def sub_docs(spark):
+    return _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "intro words here the quick brown fox jumps tail end"),
+            (3, "completely unrelated content in this document body"),
+            (4, "tiny doc"),  # fewer than k words -> no windows
+            (5, None),
+        ],
+    )
+
+
+def test_first_occurrence_kept_rest_stripped(sub_docs):
+    out = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in dedup.substring_dedup(sub_docs, k=4).collect()
+    }
+    # doc 1 holds the global first occurrence of both duplicated windows
+    assert out[1] == ("the quick brown fox jumps over", 0)
+    # doc 2 loses the merged span "the quick brown fox jumps" (5 words)
+    assert out[2] == ("intro words here tail end", 5)
+    assert out[3] == ("completely unrelated content in this document body", 0)
+    assert out[4] == ("tiny doc", 0)
+    assert out[5] == ("", 0)
+
+
+def test_within_doc_repeat_keeps_first(spark):
+    docs = _docs(spark, [(7, "alpha beta gamma delta X alpha beta gamma delta")])
+    (row,) = dedup.substring_dedup(docs, k=4).collect()
+    # second occurrence of the repeated 4-window is stripped, first kept
+    assert row.text == "alpha beta gamma delta x"  # normalized (lowercased)
+    assert row.n_stripped == 4
+
+
+def test_overlapping_windows_merge_into_one_span(spark):
+    # an 8-word sentence duplicated verbatim: 5 overlapping 4-windows in
+    # doc 2 must merge to ONE 8-word span, not 5 * 4 stripped words
+    s = "one two three four five six seven eight"
+    docs = _docs(spark, [(1, s + " unique1"), (2, "prefix " + s + " suffix")])
+    out = {r.doc_id: r for r in dedup.substring_dedup(docs, k=4).collect()}
+    assert out[2].text == "prefix suffix"
+    assert out[2].n_stripped == 8
+    assert out[1].n_stripped == 0
+
+
+def test_keeper_is_min_doc_then_position(spark):
+    # same window appears at position 3 of doc 1 and position 1 of doc 2:
+    # doc ordering dominates, so doc 1 keeps it even though doc 2's copy
+    # starts earlier in its text
+    docs = _docs(
+        spark,
+        [
+            (2, "alpha beta gamma end"),
+            (1, "pre pad alpha beta gamma"),
+        ],
+    )
+    out = {r.doc_id: r.text for r in dedup.substring_dedup(docs, k=3).collect()}
+    assert out[1] == "pre pad alpha beta gamma"
+    assert out[2] == "end"
+
+
+def test_partitioning_invariant(sub_docs):
+    a = {r.doc_id: r.text for r in dedup.substring_dedup(sub_docs.repartition(7), k=4).collect()}
+    b = {r.doc_id: r.text for r in dedup.substring_dedup(sub_docs.coalesce(1), k=4).collect()}
+    assert a == b
+
+
+def test_normalization_folds_case_and_whitespace(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "Shared   License  Header Text body one"),
+            (2, "shared license header text body two"),
+        ],
+    )
+    out = {r.doc_id: r.text for r in dedup.substring_dedup(docs, k=5).collect()}
+    assert out[1] == "shared license header text body one"
+    assert out[2] == "two"
+
+
+def test_copy_family_linearity(spark):
+    """200 exact copies: keeper survives intact, 199 strip to empty —
+    window-row volume is O(m * windows_per_doc), never O(m^2) pairs."""
+    rows = [(i, "aaa bbb ccc ddd eee") for i in range(200)]
+    out = dedup.substring_dedup(_docs(spark, rows), k=4).collect()
+    by_id = {r.doc_id: (r.text, r.n_stripped) for r in out}
+    assert by_id[0] == ("aaa bbb ccc ddd eee", 0)
+    assert all(by_id[i] == ("", 5) for i in range(1, 200))
+
+
+def test_shuffle_carries_hashes_not_text(sub_docs):
+    """Scale gate: every Exchange keys on the 8-byte gram hash or doc_id —
+    neither the gram strings nor the word arrays enter a shuffle key."""
+    plan = physical_plan(dedup.substring_dedup(sub_docs, k=4))
+    seen = 0
+    for line in plan.splitlines():
+        if "hashpartitioning(" in line:
+            seen += 1
+            assert ("gh#" in line) or ("doc_id#" in line), line
+            assert "w#" not in line and "text#" not in line, line
+    assert seen >= 1
