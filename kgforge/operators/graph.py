@@ -1,0 +1,126 @@
+"""Graph analytics over materialized triple/edge tables — the downstream
+consumers of the KG-construction pipeline's output (VoID-style dataset
+statistics, PageRank).  The constructed graph is only useful if the engine
+can also characterize and rank it at the same scale it was built.
+
+Design rules match the rest of the repo: declarative DataFrame plans,
+aggregations that partial-aggregate map-side, one unavoidable shuffle per
+PageRank iteration (keyed on 8-byte node ids, never on payload), scalar
+all-reduces as broadcast 1-row crossJoins instead of driver round-trips
+inside the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def void_stats(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """VoID-style per-predicate dataset description (W3C VoID: the
+    `void:propertyPartition` statistics — triples, distinctSubjects,
+    distinctObjects per property) over a materialized triple table.
+    BE4DBPedia's benchmark output is exactly this kind of dataset
+    characterization; at 100 TB it is the first query every consumer of a
+    freshly-built graph runs.
+
+    Scale shape: one aggregation.  count+two count(DISTINCT) per group
+    compiles to Spark's expand + two-level partial aggregation — the
+    expanded rows are (pred, subj)/(pred, obj) pairs that partial-
+    aggregate map-side before the exchange, so a hot predicate
+    (the rdf:type analog) ships its DISTINCT key set, not its triple
+    multiplicity.  Output is predicate-sorted and dictionary-sized (one
+    row per predicate)."""
+    return (
+        triples.groupBy(F.col(pred_col).alias("pred"))
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct(subj_col).alias("n_subjects"),
+            F.countDistinct(obj_col).alias("n_objects"),
+        )
+        .orderBy("pred")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank over a distinct directed edge list, the standard
+    power-iteration form with uniform teleport and dangling-mass
+    redistribution:
+
+        r_{t+1}(v) = (1-d)/N + d * (SUM_{u->v} r_t(u)/outdeg(u) + D_t/N)
+
+    where D_t is the total rank of dangling (out-degree-0) nodes.  Node set
+    = every id appearing as src or dst.  Deterministic: the fixpoint does
+    not depend on partitioning, and exported ranks should be rounded by the
+    caller before cross-engine comparison (floating sums differ at the last
+    ulp between engines).
+
+    Scale shape per iteration — the PageRank-inherent single shuffle:
+      * contributions: ranks equi-join edges on src (both sides keyed on
+        the 8-byte node id; the edge relation is the big side and keeps a
+        stable partitioning across iterations, so only the rank side —
+        one double per node — moves), then one groupBy(dst) SUM with
+        map-side partial aggregation absorbing hot-destination skew (the
+        rdf:type hub analog);
+      * dangling mass: a 1-row aggregate crossJoin-broadcast back into the
+        update — never a driver collect inside the loop;
+      * lineage: every `checkpoint_every` iterations the rank relation is
+        localCheckpoint-ed, keeping the plan depth bounded for long runs
+        (same discipline as the connected-components loop in dedup.py).
+
+    Returns (node, rank) with SUM(rank) == 1 up to float error.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    n = nodes.count()  # one scalar, loop-invariant — fine on the driver
+    ranks = nodes.select("id", (F.lit(1.0) / n).alias("r"))
+    for it in range(iters):
+        with_deg = ranks.join(deg, "id", "left")
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull()).select(
+                    F.col("id").alias("src"), (F.col("r") / F.col("deg")).alias("w")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("r"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("id").alias("node"), F.col("r").alias("rank"))

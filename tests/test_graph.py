@@ -1,0 +1,99 @@
+"""Graph analytics (round 6): VoID-style dataset statistics and PageRank.
+PageRank is checked against an independent numpy power iteration (same
+update rule, re-implemented from the docstring spec, no engine code), plus
+mass conservation, dangling handling, determinism under partitioning, and
+a no-Python-in-plan gate."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators import graph
+from kgforge.plans import physical_plan
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def ref_pagerank(pairs, iters=5, d=0.85):
+    edges = set(pairs)
+    nodes = sorted({u for e in edges for u in e})
+    deg = Counter(u for u, _ in edges)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if deg[v] == 0)
+        contrib = {v: 0.0 for v in nodes}
+        for (u, v) in edges:
+            contrib[v] += r[u] / deg[u]
+        r = {v: (1 - d) / n + d * (contrib[v] + dm / n) for v in nodes}
+    return r
+
+
+PAIRS = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3),
+    (1, 2),          # duplicate edge -> must count once
+    (5, 1),          # 6 is reachable-from-nowhere dangling sink below
+    (2, 6),          # 6 has no out-edges: dangling node
+]
+
+
+def test_pagerank_matches_independent_reference(spark):
+    got = {r.node: r.rank for r in graph.pagerank(_edges(spark, PAIRS), iters=5).collect()}
+    want = ref_pagerank(PAIRS, iters=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_mass_conserved(spark):
+    total = (
+        graph.pagerank(_edges(spark, PAIRS), iters=7)
+        .agg(F.sum("rank"))
+        .head()[0]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    e = _edges(spark, PAIRS)
+    a = {r.node: r.rank for r in graph.pagerank(e.repartition(7), iters=4).collect()}
+    b = {r.node: r.rank for r in graph.pagerank(e.coalesce(1), iters=4).collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_pagerank_no_python_in_plan(spark):
+    plan = physical_plan(graph.pagerank(_edges(spark, PAIRS), iters=3))
+    assert "EvalPython" not in plan  # pure JVM: no row-Python, no Arrow UDF
+
+
+def test_pagerank_checkpoint_path_same_result(spark):
+    e = _edges(spark, PAIRS)
+    a = {r.node: r.rank for r in graph.pagerank(e, iters=6, checkpoint_every=2).collect()}
+    b = ref_pagerank(PAIRS, iters=6)
+    for v in b:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+# -------------------------------------------------------------------- VoID
+
+
+def test_void_stats_planted(spark):
+    tri = spark.createDataFrame(
+        [
+            ("a", "type", "T1"),
+            ("b", "type", "T1"),
+            ("a", "type", "T2"),
+            ("a", "knows", "b"),
+            ("b", "knows", "a"),
+            ("b", "knows", "a"),  # triple multiplicity counts, subj/obj distinct
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r.pred: (r.n_triples, r.n_subjects, r.n_objects) for r in graph.void_stats(tri).collect()}
+    assert out == {"type": (3, 2, 2), "knows": (3, 2, 2)}
+    preds = [r.pred for r in graph.void_stats(tri).collect()]
+    assert preds == sorted(preds)
