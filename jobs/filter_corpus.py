@@ -6,7 +6,7 @@
         [--max-dup-line-frac 0.3] [--max-dup-2gram-frac 0.2] [--audit-lm] \
         [--decontaminate <eval.parquet> --decontam-n 8] [--redact-pii] \
         [--dsir-target <target.parquet> [--min-dsir X | --keep-dsir-pct P]] \
-        [--dedup-paragraphs [--para-delim REGEX]]
+        [--dedup-paragraphs [--para-delim REGEX]] [--strip-dup-substrings K]
 
 Composes the text-quality operators into the filter pass a pretraining
 corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
@@ -163,6 +163,17 @@ def main(argv: list[str] | None = None) -> int:
         default=r"\n{2,}",
         help="paragraph split regex for --dedup-paragraphs (rebuilt text "
         "joins with one blank line)",
+    )
+    ap.add_argument(
+        "--strip-dup-substrings",
+        type=int,
+        default=None,
+        metavar="K",
+        help="rewrite the KEPT corpus with exact substring dedup: every "
+        "duplicated K-word window keeps only its globally first occurrence "
+        "(Lee et al. 2022; kgforge.operators.dedup.substring_dedup). "
+        "NOTE: rebuilt text is whitespace/case-normalized. keep/ gains an "
+        "n_words_stripped column",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -356,6 +367,21 @@ def main(argv: list[str] | None = None) -> int:
         keep = keep.drop("text").join(pd_out, "doc_id").withColumnRenamed(
             "_pd_text", "text"
         )
+    if args.strip_dup_substrings:
+        # runs AFTER paragraph dedup (whole-paragraph repeats are cheaper to
+        # remove at paragraph granularity; the window pass then catches
+        # sub-paragraph boilerplate).  Only fixed-width (id, pos, hash) rows
+        # shuffle inside the operator; rebuilt text is normalized.
+        from kgforge.operators import dedup as dedup_ops
+
+        sd_out = dedup_ops.substring_dedup(keep, k=args.strip_dup_substrings).select(
+            "doc_id",
+            F.col("text").alias("_sd_text"),
+            F.col("n_stripped").alias("n_words_stripped"),
+        )
+        keep = keep.drop("text").join(sd_out, "doc_id").withColumnRenamed(
+            "_sd_text", "text"
+        )
     if args.redact_pii:
         # redaction is a narrow projection over the kept rows — it rides the
         # same write, adding zero passes; n_pii ships in keep/ so downstream
@@ -382,6 +408,14 @@ def main(argv: list[str] | None = None) -> int:
             .head()
             .s
         )
+    n_words_stripped = None
+    if args.strip_dup_substrings:
+        n_words_stripped = (
+            spark.read.parquet(os.path.join(args.out, "keep"))
+            .agg(F.sum("n_words_stripped").alias("s"))
+            .head()
+            .s
+        )
     n_pii_redacted = None
     if args.redact_pii:
         # column-pruned scan of the just-written keep/ parquet
@@ -402,6 +436,7 @@ def main(argv: list[str] | None = None) -> int:
         "fail_decontam": row.fail_decontam,
         "fail_dsir": row.fail_dsir,
         "n_paras_removed": n_paras_removed,
+        "n_words_stripped": n_words_stripped,
         "n_pii_redacted": n_pii_redacted,
         "filters": {
             "rules": not args.no_rules,
@@ -417,6 +452,7 @@ def main(argv: list[str] | None = None) -> int:
             "dsir_target": args.dsir_target,
             "dsir_floor": None if dsir_floor is None else round(dsir_floor, 5),
             "dedup_paragraphs": args.dedup_paragraphs,
+            "strip_dup_substrings": args.strip_dup_substrings,
             "redact_pii": args.redact_pii,
         },
     }

@@ -281,6 +281,44 @@ def test_rules_only_run_never_pays_paragraph_dedup(
     assert m["n_paras_removed"] is None
 
 
+def test_strip_dup_substrings_rewrites_kept_text(spark, tmpdir_path, capsys):
+    """--strip-dup-substrings K: a sentence quoted verbatim across kept docs
+    survives only at its globally first occurrence; rebuilt text is
+    normalized (lowercase, single-space)."""
+    out = os.path.join(tmpdir_path, "f_sd")
+    p = os.path.join(tmpdir_path, "f_sd_docs.parquet")
+    quote = "the shared boilerplate sentence that repeats across documents"
+    spark.createDataFrame(
+        [
+            (0, f"the quick brown fox jumps over the lazy dog and {quote}"),
+            (1, f"le chat et la maison les arbres des fleurs {quote} encore"),
+            (2, "ok"),  # fails rules -> dropped BEFORE the rewrite
+        ],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    m = _run(p, out, capsys, "--strip-dup-substrings", "5")
+    kept = {r.doc_id: r for r in spark.read.parquet(os.path.join(out, "keep")).collect()}
+    assert set(kept) == {0, 1}
+    assert quote in kept[0].text and quote not in kept[1].text
+    assert kept[0].n_words_stripped == 0
+    assert kept[1].n_words_stripped == len(quote.split())
+    assert m["n_words_stripped"] == len(quote.split())
+
+
+def test_rules_only_run_never_pays_substring_dedup(
+    spark, docs_path, tmpdir_path, capsys, monkeypatch
+):
+    from kgforge.operators import dedup as dedup_ops
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if invoked
+        raise AssertionError("substring_dedup must not run without its flag")
+
+    monkeypatch.setattr(dedup_ops, "substring_dedup", boom)
+    out = os.path.join(tmpdir_path, "f_nosd")
+    m = _run(docs_path, out, capsys)
+    assert m["n_words_stripped"] is None
+
+
 def test_bigram_floor_drops_scrambled_doc(spark, tmpdir_path, capsys):
     """--min-bigram-logprob: word-salad (plausible unigrams, implausible
     transitions) falls below a floor the on-distribution docs clear."""

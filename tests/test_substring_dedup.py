@@ -117,3 +117,27 @@ def test_shuffle_carries_hashes_not_text(sub_docs):
             assert ("gh#" in line) or ("doc_id#" in line), line
             assert "w#" not in line and "text#" not in line, line
     assert seen >= 1
+
+
+def test_random_corpus_invariants(spark):
+    """Seeded random corpus: for every doc, (1) kept text is a subsequence
+    of the normalized words, (2) n_stripped accounts exactly for the words
+    removed, (3) total kept+stripped equals total input words."""
+    import random
+
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(120)
+    ]
+    out = dedup.substring_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=3
+    ).collect()
+    norm = {i: t.lower().split() for i, t in rows}
+    for r in out:
+        kept = r.text.split() if r.text else []
+        orig = norm[r.doc_id]
+        assert len(kept) + r.n_stripped == len(orig), r.doc_id
+        it = iter(orig)  # subsequence check
+        assert all(any(w == o for o in it) for w in kept), r.doc_id
