@@ -124,3 +124,49 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("id").alias("node"), F.col("r").alias("rank"))
+
+
+def path_compose(
+    triples: DataFrame,
+    preds: list,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL sequence property path (``p1/p2/.../pn``) evaluated over a
+    materialized triple table: the DISTINCT (subj, obj) pairs connected by
+    the predicate chain, returned as triples under the composite predicate
+    name.  This is the graph-side twin of the parser's path handling
+    (kgforge/sparql/parser.py rewrites 'p+'/'p*' into bounded sequence
+    paths) — queries the engine can parse, it can also answer at scale.
+
+    Scale shape:
+      * each step filters ONE predicate before anything joins — the
+        predicate equality pushes into the parquet scan of a
+        predicate-partitioned graph table (partition pruning), so a chain
+        touches only its predicates' partitions;
+      * steps join on the 8-byte entity id (obj of the prefix = subj of
+        the next predicate); a hot hub entity (the rdf:type analog) is an
+        AQE skew-join split;
+      * DISTINCT after every step bounds the frontier by |entities|^2
+        rather than multiplying path multiplicities down the chain —
+        path-counting semantics would explode on hub fan-in, pair
+        semantics cannot.
+    """
+    assert preds, "path needs at least one predicate"
+    p = F.col(pred_col)
+    cur = (
+        triples.filter(p == preds[0])
+        .select(F.col(subj_col).alias("s"), F.col(obj_col).alias("o"))
+        .distinct()
+    )
+    for nxt in preds[1:]:
+        step = triples.filter(p == nxt).select(
+            F.col(subj_col).alias("o"), F.col(obj_col).alias("o2")
+        ).distinct()
+        cur = cur.join(step, "o").select("s", F.col("o2").alias("o")).distinct()
+    return cur.select(
+        F.col("s").alias(subj_col),
+        F.lit("/".join(preds)).alias(pred_col),
+        F.col("o").alias(obj_col),
+    )

@@ -2097,6 +2097,26 @@ def kg_pagerank(spark, sf):
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+@q(
+    "kg_path_2hop",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       a AS (SELECT DISTINCT subj AS s, obj AS o FROM t WHERE pred = 'placed_by'),
+       b AS (SELECT DISTINCT subj AS o, obj AS o2 FROM t WHERE pred = 'in_nation')
+       SELECT DISTINCT a.s AS subj, 'placed_by/in_nation' AS pred, b.o2 AS obj
+       FROM a JOIN b USING (o)""",
+)
+def kg_path_2hop(spark, sf):
+    """SPARQL sequence property path (round 6): ``placed_by/in_nation``
+    evaluated over the direct-mapping triples — which nation each order
+    ultimately belongs to, as distinct (order, nation) pairs under the
+    composite predicate.  The graph-side twin of the parser's path
+    rewrites; full value oracle replays the per-step distinct + chain
+    join (operators/graph.py:path_compose)."""
+    from kgforge.operators import graph
+
+    return graph.path_compose(_dm_triples(spark, sf), ["placed_by", "in_nation"])
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2128,6 +2148,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_substring",
     "kg_void_stats",
     "kg_pagerank",
+    "kg_path_2hop",
 ], "the first 50 keys are the driver-recorded set; extras must stay last"
 # Round 6 swap (same policy as rounds 4-5, VERDICT r5 item 1): the three
 # seeded-sketch dedup entries can NEVER carry a DuckDB oracle (xxhash64 /
@@ -2151,4 +2172,4 @@ for _k in (
     "text_repetition", "text_chunk",
 ):
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
-assert len(REGISTRY) == 79, f"registry must hold exactly 79 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 80, f"registry must hold exactly 80 entries, got {len(REGISTRY)}"

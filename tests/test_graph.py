@@ -97,3 +97,50 @@ def test_void_stats_planted(spark):
     assert out == {"type": (3, 2, 2), "knows": (3, 2, 2)}
     preds = [r.pred for r in graph.void_stats(tri).collect()]
     assert preds == sorted(preds)
+
+
+# -------------------------------------------------------------- path compose
+
+
+def test_path_compose_two_hop(spark):
+    tri = spark.createDataFrame(
+        [
+            ("o1", "placed_by", "c1"),
+            ("o2", "placed_by", "c1"),
+            ("o3", "placed_by", "c2"),
+            ("c1", "in_nation", "n1"),
+            ("c2", "in_nation", "n2"),
+            ("c2", "in_nation", "n3"),  # multi-valued second hop
+            ("x", "other", "y"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        (r.subj, r.obj)
+        for r in graph.path_compose(tri, ["placed_by", "in_nation"]).collect()
+    }
+    assert out == {("o1", "n1"), ("o2", "n1"), ("o3", "n2"), ("o3", "n3")}
+
+
+def test_path_compose_distinct_pairs_not_path_counts(spark):
+    # two parallel routes s -> m1/m2 -> t must yield ONE (s, t) pair
+    tri = spark.createDataFrame(
+        [
+            ("s", "p", "m1"),
+            ("s", "p", "m2"),
+            ("m1", "q", "t"),
+            ("m2", "q", "t"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = graph.path_compose(tri, ["p", "q"]).collect()
+    assert len(rows) == 1 and rows[0].pred == "p/q"
+
+
+def test_path_compose_single_pred_is_distinct_projection(spark):
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "b"), ("a", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    rows = graph.path_compose(tri, ["p"]).collect()
+    assert [(r.subj, r.pred, r.obj) for r in rows] == [("a", "p", "b")]
