@@ -170,3 +170,67 @@ def path_compose(
         F.lit("/".join(preds)).alias(pred_col),
         F.col("o").alias(obj_col),
     )
+
+
+def schema_infer(
+    triples: DataFrame,
+    type_pred: str = "rdf_type",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Predicate schema induction: for every non-type predicate, the most
+    frequent (subject class, object class) signature — the domain/range
+    discovery step that turns a raw triple soup into a usable schema
+    (VoID class partitions joined up with property partitions).  Entities
+    with no ``type_pred`` triple contribute under the '(untyped)' class, so
+    signatures stay total and the output schema is stable.
+
+    Scale shape:
+      * the type map (entity -> class) is one predicate's partition of the
+        graph — usually the HOTTEST predicate (rdf:type), which is exactly
+        why both joins below are plain equi-joins on the 8-byte entity id
+        with AQE skew handling, never a broadcast assumption;
+      * signature counting partial-aggregates map-side on (pred, sclass,
+        oclass) — bounded by |classes|^2 per predicate, dictionary-sized;
+      * the winner per predicate is a max_by over that dictionary-sized
+        aggregate with a deterministic (count desc, sclass, oclass)
+        tie-break.
+
+    Returns (pred, subj_class, obj_class, n_triples) — one row per
+    non-type predicate.
+    """
+    p = F.col(pred_col)
+    types = triples.filter(p == type_pred).select(
+        F.col(subj_col).alias("ent"), F.col(obj_col).alias("cls")
+    ).distinct()
+    rest = triples.filter(p != type_pred).select(
+        F.col(subj_col).alias("s"), p.alias("pred"), F.col(obj_col).alias("o")
+    )
+    untyped = F.lit("(untyped)")
+    sig = (
+        rest.join(types.withColumnRenamed("ent", "s"), "s", "left")
+        .withColumnRenamed("cls", "scls")
+        .join(types.withColumnRenamed("ent", "o"), "o", "left")
+        .withColumnRenamed("cls", "ocls")
+        .groupBy(
+            "pred",
+            F.coalesce("scls", untyped).alias("subj_class"),
+            F.coalesce("ocls", untyped).alias("obj_class"),
+        )
+        .agg(F.count("*").alias("n_triples"))
+    )
+    # deterministic winner: max count, ties broken by the smallest
+    # (subj_class, obj_class) pair — one min_by over (-n, scls, ocls)
+    best = sig.groupBy("pred").agg(
+        F.min_by(
+            F.struct("subj_class", "obj_class", "n_triples"),
+            F.struct(-F.col("n_triples"), F.col("subj_class"), F.col("obj_class")),
+        ).alias("b")
+    )
+    return best.select(
+        "pred",
+        F.col("b.subj_class").alias("subj_class"),
+        F.col("b.obj_class").alias("obj_class"),
+        F.col("b.n_triples").alias("n_triples"),
+    ).orderBy("pred")

@@ -2136,6 +2136,37 @@ def kg_path_2hop(spark, sf):
     return graph.path_compose(_dm_triples(spark, sf), ["placed_by", "in_nation"])
 
 
+@q(
+    "kg_schema_infer",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       ty AS (SELECT DISTINCT subj AS ent, obj AS cls FROM t WHERE pred = 'rdf_type'),
+       rest AS (SELECT subj AS s, pred, obj AS o FROM t WHERE pred != 'rdf_type'),
+       sig AS (SELECT pred,
+                      coalesce(ts.cls, '(untyped)') AS subj_class,
+                      coalesce(tt.cls, '(untyped)') AS obj_class,
+                      count(*) AS n
+               FROM rest
+               LEFT JOIN ty ts ON rest.s = ts.ent
+               LEFT JOIN ty tt ON rest.o = tt.ent
+               GROUP BY 1, 2, 3),
+       r AS (SELECT *, row_number() OVER (PARTITION BY pred
+                          ORDER BY n DESC, subj_class, obj_class) AS rn
+             FROM sig)
+       SELECT pred, subj_class, obj_class, CAST(n AS BIGINT) AS n_triples
+       FROM r WHERE rn = 1 ORDER BY pred""",
+)
+def kg_schema_infer(spark, sf):
+    """Predicate schema induction (round 6): the dominant (subject class,
+    object class) signature per non-type predicate — domain/range
+    discovery over the direct-mapping triples, with '(untyped)' as the
+    total fallback class.  Full value oracle replays the two type joins,
+    the signature count and the deterministic (count desc, classes asc)
+    winner (operators/graph.py:schema_infer)."""
+    from kgforge.operators import graph
+
+    return graph.schema_infer(_dm_triples(spark, sf))
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2168,6 +2199,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_void_stats",
     "kg_pagerank",
     "kg_path_2hop",
+    "kg_schema_infer",
 ], (
     "definition order: extras defined after the first 50 (the FINAL "
     "driver-recorded set is fixed by the round-6 swap reorder below)"
@@ -2221,4 +2253,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 80, f"registry must hold exactly 80 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 81, f"registry must hold exactly 81 entries, got {len(REGISTRY)}"

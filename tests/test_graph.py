@@ -144,3 +144,43 @@ def test_path_compose_single_pred_is_distinct_projection(spark):
     )
     rows = graph.path_compose(tri, ["p"]).collect()
     assert [(r.subj, r.pred, r.obj) for r in rows] == [("a", "p", "b")]
+
+
+# ------------------------------------------------------------- schema infer
+
+
+def test_schema_infer_dominant_signature(spark):
+    tri = spark.createDataFrame(
+        [
+            ("a1", "rdf_type", "Person"),
+            ("a2", "rdf_type", "Person"),
+            ("b1", "rdf_type", "City"),
+            ("a1", "lives_in", "b1"),
+            ("a2", "lives_in", "b1"),
+            ("a1", "lives_in", "x9"),  # untyped object, minority signature
+            ("x9", "nears", "b1"),     # untyped subject
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        r.pred: (r.subj_class, r.obj_class, r.n_triples)
+        for r in graph.schema_infer(tri).collect()
+    }
+    assert out == {
+        "lives_in": ("Person", "City", 2),
+        "nears": ("(untyped)", "City", 1),
+    }
+
+
+def test_schema_infer_tie_breaks_deterministically(spark):
+    tri = spark.createDataFrame(
+        [
+            ("s1", "rdf_type", "B"),
+            ("s2", "rdf_type", "A"),
+            ("s1", "p", "o1"),
+            ("s2", "p", "o2"),  # A vs B signatures tie at 1 -> A wins
+        ],
+        "subj string, pred string, obj string",
+    )
+    (row,) = graph.schema_infer(tri).collect()
+    assert (row.subj_class, row.obj_class) == ("A", "(untyped)")
