@@ -155,16 +155,26 @@ def path_compose(
     """
     assert preds, "path needs at least one predicate"
     p = F.col(pred_col)
-    cur = (
-        triples.filter(p == preds[0])
-        .select(F.col(subj_col).alias("s"), F.col(obj_col).alias("o"))
-        .distinct()
-    )
+
+    def hop(pred: str, a: str, b: str) -> DataFrame:
+        # SPARQL inverse step '^p' traverses p object->subject; the
+        # predicate filter (and thus partition pruning) is identical, only
+        # the endpoint roles swap
+        inv = pred.startswith("^")
+        s_col, o_col = (obj_col, subj_col) if inv else (subj_col, obj_col)
+        return (
+            triples.filter(p == (pred[1:] if inv else pred))
+            .select(F.col(s_col).alias(a), F.col(o_col).alias(b))
+            .distinct()
+        )
+
+    cur = hop(preds[0], "s", "o")
     for nxt in preds[1:]:
-        step = triples.filter(p == nxt).select(
-            F.col(subj_col).alias("o"), F.col(obj_col).alias("o2")
-        ).distinct()
-        cur = cur.join(step, "o").select("s", F.col("o2").alias("o")).distinct()
+        cur = (
+            cur.join(hop(nxt, "o", "o2"), "o")
+            .select("s", F.col("o2").alias("o"))
+            .distinct()
+        )
     return cur.select(
         F.col("s").alias(subj_col),
         F.lit("/".join(preds)).alias(pred_col),

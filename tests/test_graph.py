@@ -184,3 +184,22 @@ def test_schema_infer_tie_breaks_deterministically(spark):
     )
     (row,) = graph.schema_infer(tri).collect()
     assert (row.subj_class, row.obj_class) == ("A", "(untyped)")
+
+
+def test_path_compose_inverse_step(spark):
+    # fan-in query: ^placed_by/placed_by = "orders by the same customer"
+    tri = spark.createDataFrame(
+        [
+            ("o1", "placed_by", "c1"),
+            ("o2", "placed_by", "c1"),
+            ("o3", "placed_by", "c2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        (r.subj, r.obj)
+        for r in graph.path_compose(tri, ["placed_by", "^placed_by"]).collect()
+    }
+    assert out == {("o1", "o1"), ("o1", "o2"), ("o2", "o1"), ("o2", "o2"), ("o3", "o3")}
+    (row,) = graph.path_compose(tri, ["^placed_by"]).filter("obj = 'o3'").collect()
+    assert (row.subj, row.pred) == ("c2", "^placed_by")
