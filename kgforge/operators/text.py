@@ -755,3 +755,57 @@ def bigram_logprob(
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+def vocab_stats(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the k most frequent normalized words with
+    term frequency and document frequency — the sanity dashboard every
+    tokenizer-training and quality-filter run reads first (a vocab head
+    full of markup or one domain's boilerplate is the earliest corpus-bug
+    signal).  Deterministic: ties break on the token string.
+
+    Scale shape: narrow explode -> ONE aggregation keyed on the token
+    (term counts partial-aggregate map-side; doc frequency is a distinct
+    (token, doc) count that expands but also partial-aggregates), then a
+    TakeOrdered top-k — no global sort."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_norm_words(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def length_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact corpus length distribution: word-count percentiles
+    (p25/p50/p75/p95/p99, linear interpolation), mean and max — the
+    length profile that calibrates chunking budgets, packing bin sizes
+    and the Gopher length rules.  One narrow projection plus one global
+    aggregate; percentile is Spark's exact implementation (a single-pass
+    sort-based aggregate), acceptable because the aggregate input is one
+    long per document, not the text."""
+    wc = docs.select(
+        F.size(F.filter(_norm_words(text_col), lambda w: w != F.lit(""))).alias("n")
+    )
+    pct = F.percentile("n", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95, 0.99)]))
+    return wc.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n"), 4).alias("mean_words"),
+        F.max("n").cast("long").alias("max_words"),
+        pct.alias("_p"),
+    ).select(
+        "n_docs",
+        "mean_words",
+        "max_words",
+        F.round(F.col("_p")[0], 4).alias("p25"),
+        F.round(F.col("_p")[1], 4).alias("p50"),
+        F.round(F.col("_p")[2], 4).alias("p75"),
+        F.round(F.col("_p")[3], 4).alias("p95"),
+        F.round(F.col("_p")[4], 4).alias("p99"),
+    )

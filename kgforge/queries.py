@@ -2167,6 +2167,53 @@ def kg_schema_infer(spark, sf):
     return graph.schema_infer(_dm_triples(spark, sf))
 
 
+@q(
+    "text_vocab_topk",
+    r"""WITH w AS (SELECT doc_id,
+                          unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                                    '\s+')) AS tok
+                   FROM documents)
+       SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM w WHERE tok != ''
+       GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""",
+)
+def text_vocab_topk(spark, sf):
+    """Corpus vocabulary head (round 6): top-50 normalized words by term
+    frequency with document frequency, deterministic tie-break on the
+    token — the first dashboard a tokenizer-training or filter run reads.
+    Full value oracle (operators/text.py:vocab_stats)."""
+    docs = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return text.vocab_stats(docs, k=50)
+
+
+@q(
+    "text_length_stats",
+    r"""WITH n AS (SELECT len(list_filter(
+                         string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+                         x -> x != '')) AS n
+                   FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              round(avg(n), 4) AS mean_words,
+              CAST(max(n) AS BIGINT) AS max_words,
+              round(quantile_cont(n, 0.25), 4) AS p25,
+              round(quantile_cont(n, 0.50), 4) AS p50,
+              round(quantile_cont(n, 0.75), 4) AS p75,
+              round(quantile_cont(n, 0.95), 4) AS p95,
+              round(quantile_cont(n, 0.99), 4) AS p99
+       FROM n""",
+)
+def text_length_stats(spark, sf):
+    """Exact corpus length distribution (round 6): word-count percentiles
+    (linear interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    share the (n-1)*p convention), mean and max; calibrates chunking
+    budgets, packing bins and the Gopher length rules.  Full value oracle
+    (operators/text.py:length_stats)."""
+    return text.length_stats(T(spark, sf, "documents"))
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2200,6 +2247,8 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_pagerank",
     "kg_path_2hop",
     "kg_schema_infer",
+    "text_vocab_topk",
+    "text_length_stats",
 ], (
     "definition order: extras defined after the first 50 (the FINAL "
     "driver-recorded set is fixed by the round-6 swap reorder below)"
@@ -2253,4 +2302,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 81, f"registry must hold exactly 81 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 83, f"registry must hold exactly 83 entries, got {len(REGISTRY)}"

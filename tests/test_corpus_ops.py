@@ -194,3 +194,28 @@ def test_bigram_lm_head_join_broadcasts(spark):
         [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
     )
     assert "BroadcastHashJoin" in physical_plan(text.bigram_logprob(docs))
+
+
+# ------------------------------------------------------------- corpus stats
+
+
+def test_vocab_stats_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "A b"), (3, None)], "doc_id long, text string"
+    )
+    rows = text.vocab_stats(docs, k=10).collect()
+    assert [(r.tok, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("a", 3, 2),  # normalization folds 'A' into 'a'
+        ("b", 2, 2),  # tie on df, beats nothing; count desc then token asc
+    ]
+
+
+def test_length_stats_exact_percentiles(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4])],
+        "doc_id long, text string",
+    )
+    (r,) = text.length_stats(docs).collect()
+    assert (r.n_docs, r.mean_words, r.max_words) == (4, 2.5, 4)
+    # linear interpolation at (n-1)*p: p50 of [1,2,3,4] = 2.5
+    assert (r.p25, r.p50, r.p75) == (1.75, 2.5, 3.25)
