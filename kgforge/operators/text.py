@@ -809,3 +809,48 @@ def length_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.col("_p")[3], 4).alias("p95"),
         F.round(F.col("_p")[4], 4).alias("p99"),
     )
+
+
+def postings(
+    docs: DataFrame,
+    k: int = 10,
+    n_salt: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index posting heads: for every normalized word, its document
+    frequency and the k SMALLEST doc_ids containing it — the index-build
+    primitive (retrieval, deduplication lookups, corpus search) expressed
+    as pure aggregation.
+
+    Scale shape — the hot-token problem is the whole design: a naive
+    ``collect_list`` per token buffers EVERY occurrence of 'the' in one
+    aggregation buffer (collect_list merges partials by concatenation, so
+    partial aggregation does not bound it).  Instead the min-k is computed
+    in two capped levels, the same salting discipline as the hot-predicate
+    aggregation in operators/triples.py:
+
+      1. (tok, doc) pairs dedupe once (composite-key shuffle — a hot token
+         still spreads across reducers because doc_id is in the key);
+      2. level 1 groups by (tok, salt=hash(doc) % n_salt) and keeps only
+         the k smallest doc_ids per bucket — buffers are bounded by bucket
+         multiplicity and the OUTPUT is <= k longs per bucket;
+      3. level 2 merges the <= n_salt partial heads per token and re-caps:
+         min-k of bucket-wise min-k equals the global min-k, and the level-2
+         buffer is bounded by n_salt * k longs regardless of token heat.
+
+    Returns (tok, df, top_docs array<long> ascending).
+    """
+    toks = (
+        docs.select(F.col("doc_id"), F.explode(_norm_words(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    salted = toks.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)))
+    part = salted.groupBy("tok", "salt").agg(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, k).alias("d"),
+        F.count("*").alias("c"),
+    )
+    return part.groupBy("tok").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("d"))), 1, k).alias("top_docs"),
+        F.sum("c").alias("df"),
+    ).select("tok", "df", "top_docs")

@@ -2214,6 +2214,38 @@ def text_length_stats(spark, sf):
     return text.length_stats(T(spark, sf, "documents"))
 
 
+@q(
+    "text_postings",
+    r"""WITH w AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                              '\s+')) AS tok
+             FROM documents) WHERE tok != '')
+       SELECT tok, CAST(count(*) AS BIGINT) AS df,
+              array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS top_docs
+       FROM w GROUP BY tok""",
+)
+def text_postings(spark, sf):
+    """Inverted-index posting heads (round 6): per token, document
+    frequency and the 5 smallest doc_ids, computed via the salted
+    two-level capped min-k aggregation (hot tokens bound their buffers at
+    n_salt * k longs — a naive collect_list would buffer every occurrence
+    of a stopword in one reducer).  Posting lists project as CSV strings
+    so the cross-engine value hash is representation-stable
+    (operators/text.py:postings)."""
+    docs = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    p = text.postings(docs, k=5)
+    return p.select(
+        "tok",
+        "df",
+        F.array_join(
+            F.transform("top_docs", lambda x: x.cast("string")), ","
+        ).alias("top_docs"),
+    )
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2249,6 +2281,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_schema_infer",
     "text_vocab_topk",
     "text_length_stats",
+    "text_postings",
 ], (
     "definition order: extras defined after the first 50 (the FINAL "
     "driver-recorded set is fixed by the round-6 swap reorder below)"
@@ -2302,4 +2335,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 83, f"registry must hold exactly 83 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 84, f"registry must hold exactly 84 entries, got {len(REGISTRY)}"

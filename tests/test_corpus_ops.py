@@ -219,3 +219,27 @@ def test_length_stats_exact_percentiles(spark):
     assert (r.n_docs, r.mean_words, r.max_words) == (4, 2.5, 4)
     # linear interpolation at (n-1)*p: p50 of [1,2,3,4] = 2.5
     assert (r.p25, r.p50, r.p75) == (1.75, 2.5, 3.25)
+
+
+def test_postings_min_k_and_df(spark):
+    docs = spark.createDataFrame(
+        [(9, "hot cold"), (3, "hot"), (5, "hot hot warm"), (1, "hot")],
+        "doc_id long, text string",
+    )
+    out = {r.tok: (r.df, list(r.top_docs)) for r in text.postings(docs, k=2).collect()}
+    # df counts DISTINCT docs (doc 5 repeats 'hot'); top_docs = 2 smallest ids
+    assert out["hot"] == (4, [1, 3])
+    assert out["cold"] == (1, [9])
+    assert out["warm"] == (1, [5])
+
+
+def test_postings_salting_invariant(spark):
+    """min-k of bucket-wise min-k == global min-k for any salt width."""
+    docs = spark.createDataFrame(
+        [(i, "tok common" if i % 3 else "tok") for i in range(300)],
+        "doc_id long, text string",
+    )
+    a = {r.tok: (r.df, list(r.top_docs)) for r in text.postings(docs, k=4, n_salt=1).collect()}
+    b = {r.tok: (r.df, list(r.top_docs)) for r in text.postings(docs, k=4, n_salt=32).collect()}
+    assert a == b
+    assert a["tok"] == (300, [0, 1, 2, 3])
