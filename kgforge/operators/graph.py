@@ -93,6 +93,8 @@ def pagerank(
         F.count("*").cast("double").alias("deg")
     )
     n = nodes.count()  # one scalar, loop-invariant — fine on the driver
+    if n == 0:  # empty edge set: an empty (node, rank) frame, not a crash
+        return nodes.select(F.col("id").alias("node"), F.lit(0.0).alias("rank"))
     ranks = nodes.select("id", (F.lit(1.0) / n).alias("r"))
     for it in range(iters):
         with_deg = ranks.join(deg, "id", "left")

@@ -203,3 +203,48 @@ def test_path_compose_inverse_step(spark):
     assert out == {("o1", "o1"), ("o1", "o2"), ("o2", "o1"), ("o2", "o2"), ("o3", "o3")}
     (row,) = graph.path_compose(tri, ["^placed_by"]).filter("obj = 'o3'").collect()
     assert (row.subj, row.pred) == ("c2", "^placed_by")
+
+
+# --------------------------------------------------------------- stats CLI
+
+
+def test_graph_stats_cli(spark, tmpdir_path, capsys):
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"
+        ),
+    )
+    import graph_stats
+
+    tri_p = os.path.join(tmpdir_path, "gs_triples.parquet")
+    spark.createDataFrame(
+        [
+            ("a1", "rdf_type", "Person"),
+            ("b1", "rdf_type", "City"),
+            ("a1", "lives_in", "b1"),
+            ("a2", "lives_in", "b1"),
+            ("b1", "near", "b2"),
+        ],
+        "subj string, pred string, obj string",
+    ).write.parquet(tri_p)
+    out = os.path.join(tmpdir_path, "gs_out")
+    rc = graph_stats.main(
+        [
+            "--triples", tri_p, "--out", out,
+            "--pagerank-pred", "lives_in",
+            "--path", "lives_in,near",
+        ]
+    )
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_triples"] == 5 and m["n_predicates"] == 3
+    assert m["n_schema_rows"] == 2  # lives_in + near (rdf_type excluded)
+    assert m["n_ranked"] == 3  # a1, a2, b1
+    assert m["n_path_pairs"] == 2  # (a1, b2), (a2, b2)
+    void = {r.pred for r in spark.read.parquet(os.path.join(out, "void")).collect()}
+    assert void == {"rdf_type", "lives_in", "near"}
