@@ -1557,3 +1557,134 @@ def substring_dedup(
     )
     spans = merge_word_spans(stripped, id_col=id_col)
     return strip_word_spans(words, spans, id_col=id_col, text_col=text_col)
+
+
+def incremental_substring_dedup(
+    spark,
+    new_docs: DataFrame,
+    state_dir: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ONE new-document batch of exact substring dedup
+    (``substring_dedup`` semantics) against a persistent first-occurrence
+    registry, and return the batch's rewritten (id, text, n_stripped) rows.
+
+    Exact substring dedup is incremental ONLY for append-only corpora with
+    MONOTONE doc ids: the keeper of a window is its globally smallest
+    (doc_id, start), and already-emitted documents must never be rewritten.
+    When every new id exceeds every prior id, a new occurrence can never
+    out-rank a registered keeper, so batch-by-batch output equals the
+    one-shot run over the union (pytest-pinned).  The guard is enforced:
+    a batch whose min id does not exceed the state's recorded max raises
+    before any state mutation.
+
+    State layout (plain parquet through the fsio seam, same discipline as
+    incremental_dedup_update):
+        keepers/    (gh, doc_id, s) — the first occurrence of every gram
+                    hash ever seen (append-only; one fixed-width row per
+                    DISTINCT gram, the suffix-array-equivalent index cost)
+        _META.json  method='substring' + k pin (a k mismatch silently
+                    changes window identity, so it refuses) + max_doc_id,
+                    written LAST: a crash after the append re-appends the
+                    same deterministic keeper rows on retry, which the
+                    span merge tolerates (duplicate spans land in the same
+                    island), so the batch is idempotent.
+
+    Scale: the batch's occurrence relation joins the keeper registry on the
+    8-byte gram hash; only grams PRESENT IN THE BATCH matter, so the state
+    side is semi-join-pruned before the strip join.  Never reads old text.
+    """
+    import json
+    import os
+
+    from kgforge import fsio
+    from kgforge.operators.text import (
+        _ngrams_of,
+        _norm_words,
+        merge_word_spans,
+        strip_word_spans,
+    )
+
+    fs = fsio.get_fs(state_dir)
+    keepers_p = os.path.join(state_dir, "keepers")
+    meta = read_state_meta(fs, state_dir)
+    if meta:
+        if meta.get("method") != "substring":
+            raise ValueError(
+                f"state at {state_dir!r} was built with method "
+                f"{meta.get('method')!r}; cannot apply a substring batch"
+            )
+        if meta.get("k") != k:
+            raise ValueError(
+                f"state at {state_dir!r} was built with k={meta.get('k')}; "
+                f"a k={k} batch would change window identity"
+            )
+    lo = new_docs.agg(F.min(id_col), F.max(id_col)).head()
+    batch_min, batch_max = lo[0], lo[1]
+    if batch_min is None:  # empty batch: a no-op, not a state mutation
+        return new_docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, {text_col} string, n_stripped long"
+        )
+    prev_max = meta.get("max_doc_id")
+    if prev_max is not None and batch_min <= prev_max:
+        raise ValueError(
+            f"substring dedup state requires MONOTONE doc ids (append-only "
+            f"corpus): batch min {batch_min} does not exceed recorded max "
+            f"{prev_max}"
+        )
+
+    words = new_docs.select(F.col(id_col), _norm_words(text_col).alias("w"))
+    occ = words.select(
+        id_col, F.posexplode(_ngrams_of(F.col("w"), k)).alias("p", "g")
+    ).select(id_col, (F.col("p") + 1).alias("s"), F.xxhash64("g").alias("gh"))
+    batch_first = occ.groupBy("gh").agg(
+        F.min(F.struct(id_col, "s")).alias("m"), F.count("*").alias("c")
+    )
+    if fs.exists(keepers_p):
+        old = spark.read.parquet(keepers_p)
+    else:
+        old = spark.createDataFrame([], f"gh long, {id_col} long, s int")
+    # prune the registry to grams the batch actually contains
+    old_hit = old.join(batch_first.select("gh"), "gh", "left_semi").select(
+        "gh", F.col(id_col).alias("kid"), F.col("s").alias("ks")
+    )
+    # grams first seen in this batch: their batch minimum becomes the keeper
+    new_keepers = batch_first.join(old_hit.select("gh"), "gh", "left_anti").select(
+        "gh",
+        F.col(f"m.{id_col}").alias(id_col),
+        F.col("m.s").cast("int").alias("s"),
+        "c",
+    )
+    strip_keepers = old_hit.unionByName(
+        # batch-unique grams with one occurrence strip nothing — drop them
+        # from the strip join (the overwhelming majority), keep for state
+        new_keepers.filter(F.col("c") >= 2).select(
+            "gh", F.col(id_col).alias("kid"), F.col("s").alias("ks")
+        )
+    )
+    stripped = (
+        occ.join(strip_keepers, "gh")
+        .filter((F.col(id_col) != F.col("kid")) | (F.col("s") != F.col("ks")))
+        .select(id_col, "s", (F.col("s") + F.lit(k - 1)).alias("e"))
+    )
+    spans = merge_word_spans(stripped, id_col=id_col)
+    out = strip_word_spans(words, spans, id_col=id_col, text_col=text_col)
+    out = out.localCheckpoint(eager=True)  # materialize BEFORE the state grows
+
+    new_keepers.drop("c").write.mode("append").parquet(keepers_p)
+    fs.makedirs(state_dir)
+    fs.write_text(
+        os.path.join(state_dir, "_META.json"),
+        json.dumps(
+            {
+                "method": "substring",
+                "format": STATE_FORMAT,
+                "k": k,
+                "max_doc_id": int(batch_max) if batch_max is not None
+                else meta.get("max_doc_id"),
+            }
+        ),
+    )
+    return out

@@ -287,3 +287,54 @@ def dedup_within_watermark(events_stream: DataFrame, watermark: str = "1 hour") 
     return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def run_incremental_substring(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    k: int = 8,
+    max_files_per_batch: int = 32,
+) -> None:
+    """CONTINUOUS exact substring dedup: each micro-batch of new documents
+    is rewritten against the persisted first-occurrence gram registry
+    (dedup.incremental_substring_dedup) and the scrubbed rows append to
+    ``out_dir`` — boilerplate is stripped AS THE CORPUS ARRIVES, and
+    already-emitted text is never touched (the operator enforces its
+    monotone-doc-id contract, which file-arrival-ordered ingestion with
+    monotone ids satisfies).
+
+    The state append itself is idempotent (re-appending a batch rewrites
+    the same deterministic keeper rows), but the out_dir append is not, so
+    redelivered micro-batches are skipped via the shared epoch ledger —
+    the same exactly-once layering as run_incremental_dedup."""
+    from kgforge.operators.dedup import incremental_substring_dedup
+
+    ledger = _EpochLedger(
+        state_dir.rstrip("/") + "_substring_epochs.txt", checkpoint_dir
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = ledger.done()
+        if ledger.key(epoch_id) in done:
+            return
+        out = incremental_substring_dedup(spark, batch_df, state_dir, k=k)
+        out.write.mode("append").parquet(out_dir)
+        ledger.mark(done, epoch_id)
+
+    ledger.done()  # pre-flight, before the stream starts
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

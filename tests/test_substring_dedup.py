@@ -141,3 +141,116 @@ def test_random_corpus_invariants(spark):
         assert len(kept) + r.n_stripped == len(orig), r.doc_id
         it = iter(orig)  # subsequence check
         assert all(any(w == o for o in it) for w in kept), r.doc_id
+
+
+# -------------------------------------------------------------- incremental
+
+
+def test_incremental_matches_one_shot(spark, tmpdir_path):
+    import os
+
+    state = os.path.join(tmpdir_path, "sub_state")
+    b1 = _docs(spark, [
+        (1, "the quick brown fox jumps over"),
+        (2, "totally fresh words in here now"),
+    ])
+    b2 = _docs(spark, [
+        (10, "prefix the quick brown fox jumps suffix"),
+        (11, "totally fresh words in here now again"),
+    ])
+    inc1 = dedup.incremental_substring_dedup(spark, b1, state, k=4).collect()
+    inc2 = dedup.incremental_substring_dedup(spark, b2, state, k=4).collect()
+    inc = {r.doc_id: (r.text, r.n_stripped) for r in [*inc1, *inc2]}
+    union = b1.unionByName(b2)
+    one = {r.doc_id: (r.text, r.n_stripped)
+           for r in dedup.substring_dedup(union, k=4).collect()}
+    assert inc == one
+    # and the cross-batch strip actually happened
+    assert inc[10] == ("prefix suffix", 5)
+    assert inc[11] == ("again", 6)
+
+
+def test_incremental_guards(spark, tmpdir_path):
+    import os
+
+    import pytest as _pt
+
+    state = os.path.join(tmpdir_path, "sub_state_g")
+    dedup.incremental_substring_dedup(
+        spark, _docs(spark, [(5, "a b c d e")]), state, k=4
+    ).collect()
+    with _pt.raises(ValueError, match="MONOTONE"):
+        dedup.incremental_substring_dedup(
+            spark, _docs(spark, [(5, "x y z w v")]), state, k=4
+        )
+    with _pt.raises(ValueError, match="k="):
+        dedup.incremental_substring_dedup(
+            spark, _docs(spark, [(9, "x y z w v")]), state, k=3
+        )
+    # empty batch is a no-op
+    out = dedup.incremental_substring_dedup(
+        spark, _docs(spark, []), state, k=4
+    )
+    assert out.count() == 0
+
+
+def test_incremental_within_batch_dedup_still_applies(spark, tmpdir_path):
+    import os
+
+    state = os.path.join(tmpdir_path, "sub_state_w")
+    out = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in dedup.incremental_substring_dedup(
+            spark,
+            _docs(spark, [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]),
+            state,
+            k=4,
+        ).collect()
+    }
+    assert out[1] == ("alpha beta gamma delta", 0)
+    assert out[2] == ("", 4)
+
+
+def test_streaming_substring_matches_one_shot(spark, tmpdir_path):
+    """run_incremental_substring over file-arriving batches: the union of
+    scrubbed outputs equals one-shot substring_dedup over all files, and a
+    restart on the same checkpoint re-emits nothing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgforge.streaming.incremental import run_incremental_substring
+
+    def write_chunk(dirpath, name, rows):
+        os.makedirs(dirpath, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": i, "text": t} for i, t in rows]
+            ),
+            os.path.join(dirpath, name),
+        )
+
+    src = os.path.join(tmpdir_path, "ss_src")
+    state = os.path.join(tmpdir_path, "ss_state")
+    ckpt = os.path.join(tmpdir_path, "ss_ckpt")
+    out = os.path.join(tmpdir_path, "ss_out")
+    rows1 = [(1, "the quick brown fox jumps over"), (2, "other fresh words here today")]
+    rows2 = [(10, "pre the quick brown fox jumps post")]
+    write_chunk(src, "a.parquet", rows1)
+    run_incremental_substring(spark, src, state, ckpt, out, k=4)
+    assert spark.read.parquet(out).count() == 2
+
+    write_chunk(src, "b.parquet", rows2)
+    run_incremental_substring(spark, src, state, ckpt, out, k=4)
+    got = {r.doc_id: (r.text, r.n_stripped) for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in dedup.substring_dedup(_docs(spark, rows1 + rows2), k=4).collect()
+    }
+    assert got == want
+    assert got[10] == ("pre post", 5)
+
+    # restart with no new files: nothing re-emits
+    run_incremental_substring(spark, src, state, ckpt, out, k=4)
+    assert spark.read.parquet(out).count() == 3
