@@ -854,3 +854,63 @@ def postings(
         F.slice(F.array_sort(F.flatten(F.collect_list("d"))), 1, k).alias("top_docs"),
         F.sum("c").alias("df"),
     ).select("tok", "df", "top_docs")
+
+
+def keywords_tfidf(
+    docs: DataFrame,
+    top: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction by smoothed TF-IDF: the classic
+    corpus-relative salience score —
+
+        tfidf(t, d) = tf * ln((N + 1) / (df + 1))
+
+    with tf the in-document term count.  Ships as (doc_id, keywords CSV,
+    top score) so downstream joins carry three narrow columns, not maps.
+    Deterministic: ties break on (score desc, token asc).
+
+    Scale shape:
+      * document frequency is one map-side-combining aggregation over
+        distinct (token, doc) pairs — vocabulary-sized output;
+      * N joins in as a broadcast 1-row aggregate (crossJoin), never a
+        global window;
+      * the tf relation joins df on the token — a Zipf-hot key, but hot
+        tokens have MAXIMAL df and thus MINIMAL idf: they rarely survive
+        the top-k, yet they still must join, so the df side (vocab-sized
+        by construction) broadcasts;
+      * per-document top-k is a window partitioned by doc_id — bounded by
+        words/doc, no cross-document skew.
+    """
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_norm_words(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1))).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("tok"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= top
+    )
+    # collect under (rn, tok) and sort: collect_list order is not a contract
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "tok"))),
+                lambda x: x["tok"],
+            ),
+            ",",
+        ).alias("keywords"),
+        F.round(F.max("s"), 5).alias("top_score"),
+    )

@@ -2246,6 +2246,40 @@ def text_postings(spark, sf):
     )
 
 
+@q(
+    "text_keywords",
+    r"""WITH toks AS (SELECT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                              '\s+')) AS tok
+             FROM documents) WHERE tok != ''),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfr AS (SELECT tok, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+       nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       scored AS (SELECT doc_id, tok,
+                         tf * ln((nn.n + 1) / (dfr.df + 1)) AS s
+                  FROM tf JOIN dfr USING (tok), nn),
+       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY s DESC, tok) AS rn
+             FROM scored)
+       SELECT doc_id,
+              string_agg(tok, ',' ORDER BY rn) AS keywords,
+              round(max(s), 5) AS top_score
+       FROM r WHERE rn <= 3 GROUP BY doc_id""",
+)
+def text_keywords(spark, sf):
+    """Per-document TF-IDF keywords (round 6): top-3 corpus-salient terms
+    per doc under the smoothed idf ln((N+1)/(df+1)), deterministic
+    (score desc, token asc) tie-break, joined as a CSV column.  Full value
+    oracle replays tf, df, the broadcast corpus count and the windowed
+    top-k (operators/text.py:keywords_tfidf)."""
+    docs = T(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return text.keywords_tfidf(docs, top=3)
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2282,6 +2316,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "text_vocab_topk",
     "text_length_stats",
     "text_postings",
+    "text_keywords",
 ], (
     "definition order: extras defined after the first 50 (the FINAL "
     "driver-recorded set is fixed by the round-6 swap reorder below)"
@@ -2335,4 +2370,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 84, f"registry must hold exactly 84 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 85, f"registry must hold exactly 85 entries, got {len(REGISTRY)}"

@@ -243,3 +243,32 @@ def test_postings_salting_invariant(spark):
     b = {r.tok: (r.df, list(r.top_docs)) for r in text.postings(docs, k=4, n_salt=32).collect()}
     assert a == b
     assert a["tok"] == (300, [0, 1, 2, 3])
+
+
+def test_keywords_tfidf_salience(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common words appear everywhere common"),
+            (3, "common quartz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.keywords.split(",") for r in text.keywords_tfidf(docs, top=2).collect()}
+    # 'common' appears in every doc -> idf ln(4/4)=0 -> always outranked by
+    # any doc-specific term (it can still fill a trailing slot)
+    assert out[1] == ["zebra", "common"]
+    assert out[3][0] == "quartz"
+    # doc 2's positive-idf terms outrank the zero-idf stopword-like term
+    assert out[2][0] != "common"
+
+
+def test_keywords_tfidf_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i} gamma") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: (r.keywords, r.top_score) for r in text.keywords_tfidf(docs.repartition(9), top=3).collect()}
+    b = {r.doc_id: (r.keywords, r.top_score) for r in text.keywords_tfidf(docs, top=3).collect()}
+    assert a == b
+    assert all(v[0].split(",")[0] == f"w{i}" for i, v in a.items())
