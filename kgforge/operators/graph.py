@@ -246,3 +246,82 @@ def schema_infer(
         F.col("b.obj_class").alias("obj_class"),
         F.col("b.n_triples").alias("n_triples"),
     ).orderBy("pred")
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 2,
+    salt: str = "neg1",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training (TransE /
+    DistMult-style corrupt-object negatives): every triple yields up to k
+    corrupted copies whose object is a pseudo-random OTHER entity, with
+    accidental true triples filtered out (the standard "filtered setting").
+    Content-keyed corruption — replacement index = md5(subj|pred|obj|salt|i)
+    mod |entities| — so the sample is bit-reproducible across runs, engines
+    and partitionings, and a new ``salt`` draws an independent epoch
+    (same discipline as text.hash_split).
+
+    Scale shape:
+      * the entity dictionary (distinct subjects + objects) gets a dense
+        index ONCE via row_number over a global sort — the only global
+        sort, on the dim-sized entity table, amortized across epochs;
+      * corruption is a narrow k-way explode over the fact table; the
+        replacement lookup is an equi-join on the dense index (dim-sized
+        build side — broadcastable);
+      * the filtered-setting check is one left anti-join on the triple key
+        back against the fact table.
+
+    Returns (subj, pred, obj original, neg_obj, neg_i).  Rows whose drawn
+    replacement equals the true object are dropped (not re-drawn): the
+    training loop sees <= k negatives per fact, which keeps the sample a
+    pure function of (triple, salt, i).
+    """
+    from pyspark.sql import Window as W
+
+    ents = (
+        triples.select(F.col(subj_col).alias("e"))
+        .union(triples.select(F.col(obj_col).alias("e")))
+        .distinct()
+    )
+    idx = ents.select(
+        "e", (F.row_number().over(W.orderBy("e")) - 1).alias("i")
+    )
+    n = ents.count()
+    drawn = triples.select(subj_col, pred_col, obj_col).withColumn(
+        "neg_i", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)]))
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col(subj_col),
+                        F.col(pred_col),
+                        F.col(obj_col),
+                        F.lit(salt),
+                        F.col("neg_i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    cand = drawn.withColumn("i", pick).join(F.broadcast(idx), "i").withColumn(
+        "neg_obj", F.col("e")
+    ).drop("i", "e")
+    cand = cand.filter(F.col("neg_obj") != F.col(obj_col))
+    # filtered setting: a drawn negative that happens to be a TRUE fact for
+    # (subj, pred) is excluded — one anti-join on the triple key
+    truths = triples.select(
+        F.col(subj_col), F.col(pred_col), F.col(obj_col).alias("neg_obj")
+    )
+    return cand.join(truths, [subj_col, pred_col, "neg_obj"], "left_anti")

@@ -2280,6 +2280,44 @@ def text_keywords(spark, sf):
     return text.keywords_tfidf(docs, top=3)
 
 
+@q(
+    "kg_negative_samples",
+    f"""WITH dm AS ({_DM_TRIPLES_SQL}),
+       t AS (SELECT * FROM dm WHERE pred IN ('placed_by', 'in_nation')),
+       ents AS (SELECT DISTINCT e FROM
+                  (SELECT subj AS e FROM t UNION SELECT obj FROM t)),
+       idx AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS i FROM ents),
+       nn AS (SELECT count(*) AS n FROM ents),
+       drawn AS (SELECT subj, pred, obj, neg_i
+                 FROM t, unnest([1, 2]) u(neg_i)),
+       cand AS (SELECT d.subj, d.pred, d.obj, d.neg_i, idx.e AS neg_obj
+                FROM drawn d
+                JOIN idx ON idx.i =
+                  CAST(concat('0x', substr(md5(d.subj || '|' || d.pred || '|'
+                         || d.obj || '|' || 'neg1' || '|'
+                         || CAST(d.neg_i AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % (SELECT n FROM nn))
+       SELECT c.subj, c.pred, c.obj, c.neg_obj, c.neg_i
+       FROM cand c
+       LEFT JOIN t ON t.subj = c.subj AND t.pred = c.pred AND t.obj = c.neg_obj
+       WHERE c.neg_obj != c.obj AND t.subj IS NULL""",
+)
+def kg_negative_samples(spark, sf):
+    """Deterministic KG negative sampling (round 6, filtered setting) over
+    the customer-order slice of the direct-mapping triples: 2
+    corrupt-object negatives per fact, replacement drawn content-keyed
+    (md5 mod |entities| — the hash_split idiom, reproducible across
+    engines), accidental true facts anti-joined away.  Full value oracle
+    replays the dense entity index, the draw arithmetic and both filters
+    (operators/graph.py:negative_samples)."""
+    from kgforge.operators import graph
+
+    t = _dm_triples(spark, sf).filter(
+        F.col("pred").isin("placed_by", "in_nation")
+    )
+    return graph.negative_samples(t, k=2, salt="neg1")
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2317,6 +2355,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "text_length_stats",
     "text_postings",
     "text_keywords",
+    "kg_negative_samples",
 ], (
     "definition order: extras defined after the first 50 (the FINAL "
     "driver-recorded set is fixed by the round-6 swap reorder below)"
@@ -2370,4 +2409,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 85, f"registry must hold exactly 85 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 86, f"registry must hold exactly 86 entries, got {len(REGISTRY)}"

@@ -248,3 +248,43 @@ def test_graph_stats_cli(spark, tmpdir_path, capsys):
     assert m["n_path_pairs"] == 2  # (a1, b2), (a2, b2)
     void = {r.pred for r in spark.read.parquet(os.path.join(out, "void")).collect()}
     assert void == {"rdf_type", "lives_in", "near"}
+
+
+# --------------------------------------------------------- negative samples
+
+
+def test_negative_samples_filtered_setting(spark):
+    tri = spark.createDataFrame(
+        [
+            ("s1", "p", "o1"),
+            ("s1", "p", "o2"),
+            ("s2", "p", "o1"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = graph.negative_samples(tri, k=3).collect()
+    true_set = {("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1")}
+    ents = {"s1", "s2", "o1", "o2"}
+    for r in out:
+        assert r.neg_obj in ents
+        assert r.neg_obj != r.obj
+        assert (r.subj, r.pred, r.neg_obj) not in true_set  # filtered setting
+        assert 1 <= r.neg_i <= 3
+    # per-fact cap: at most k negatives each
+    from collections import Counter
+
+    per_fact = Counter((r.subj, r.pred, r.obj) for r in out)
+    assert all(v <= 3 for v in per_fact.values())
+
+
+def test_negative_samples_deterministic_and_salt_sensitive(spark):
+    tri = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i % 7}") for i in range(60)],
+        "subj string, pred string, obj string",
+    )
+    key = lambda r: (r.subj, r.pred, r.obj, r.neg_i, r.neg_obj)  # noqa: E731
+    a = sorted(map(key, graph.negative_samples(tri.repartition(6), k=2).collect()))
+    b = sorted(map(key, graph.negative_samples(tri, k=2).collect()))
+    assert a == b and len(a) > 0
+    c = sorted(map(key, graph.negative_samples(tri, k=2, salt="neg2").collect()))
+    assert c != a  # an independent epoch draws differently
