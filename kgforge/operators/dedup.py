@@ -1688,3 +1688,33 @@ def incremental_substring_dedup(
         ),
     )
     return out
+
+
+def compact_substring_state(spark, state_dir: str) -> dict:
+    """Physically rewrite the substring keeper registry: per-batch appends
+    accumulate one small parquet file set per micro-batch, and a
+    long-running stream degrades its own strip-join scan speed.  The
+    rewrite dedupes identical keeper rows (a crash-retried batch appends
+    byte-identical rows — tolerated by the join, reclaimed here) and swaps
+    atomically through the same staged-rename protocol as the cluster
+    state (_swap_assign: stage inside the dir, rename-old -> rename-new ->
+    delete-old, both crash windows recoverable)."""
+    import os
+
+    from kgforge import fsio
+
+    fs = fsio.get_fs(state_dir)
+    meta = read_state_meta(fs, state_dir)
+    if meta.get("method") != "substring":
+        raise ValueError(
+            f"state at {state_dir!r} is not a substring state "
+            f"(method={meta.get('method')!r})"
+        )
+    keepers_p = os.path.join(state_dir, "keepers")
+    _recover_assign_swap(fs, keepers_p)
+    before = spark.read.parquet(keepers_p)
+    n_before = before.count()
+    compacted = before.distinct().localCheckpoint(eager=True)
+    n_after = compacted.count()
+    _swap_assign(fs, compacted, keepers_p)
+    return {"keeper_rows_before": n_before, "keeper_rows_after": n_after}

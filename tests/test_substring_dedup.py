@@ -254,3 +254,32 @@ def test_streaming_substring_matches_one_shot(spark, tmpdir_path):
     # restart with no new files: nothing re-emits
     run_incremental_substring(spark, src, state, ckpt, out, k=4)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_compact_substring_state(spark, tmpdir_path):
+    import os
+
+    state = os.path.join(tmpdir_path, "sub_state_c")
+    dedup.incremental_substring_dedup(
+        spark, _docs(spark, [(1, "a b c d e"), (2, "f g h i j")]), state, k=4
+    ).collect()
+    dedup.incremental_substring_dedup(
+        spark, _docs(spark, [(10, "k l m n o")]), state, k=4
+    ).collect()
+    m = dedup.compact_substring_state(spark, state)
+    assert m["keeper_rows_after"] == m["keeper_rows_before"] > 0
+    # behavior is unchanged after compaction: old grams still strip
+    out = {
+        r.doc_id: (r.text, r.n_stripped)
+        for r in dedup.incremental_substring_dedup(
+            spark, _docs(spark, [(20, "x a b c d e y")]), state, k=4
+        ).collect()
+    }
+    assert out[20] == ("x y", 5)
+    # wrong-method guard
+    import pytest as _pt
+
+    other = os.path.join(tmpdir_path, "not_sub")
+    os.makedirs(other)
+    with _pt.raises(ValueError, match="not a substring state"):
+        dedup.compact_substring_state(spark, other)
