@@ -184,3 +184,46 @@ def link_terms(
         )
     )
     return out.drop("s_surface_k", "s_etype_k", "o_surface_k", "o_etype_k")
+
+
+def link_by_embedding(
+    mentions: DataFrame,
+    entity_dict: DataFrame,
+    threshold: float = 0.0,
+    id_col: str = "mention_id",
+    vec_col: str = "embedding",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Embedding-space entity linking: each mention links to its
+    best-cosine entity in a BROADCAST dictionary — the dense-retrieval
+    complement to the surface-form linking above (same scale law: the
+    dictionary is dim-sized by design; the mention side never shuffles).
+    Below ``threshold`` a mention stays unlinked (null entity, NIL in
+    entity-linking terms) rather than taking a bad neighbor.
+
+    The crossJoin is explicit and broadcast: |mentions| x |dict| dot
+    products in whole-stage codegen, the right shape for dictionaries up
+    to ~10^5 vectors.  For larger dictionaries use the bucketed paths in
+    operators/similarity.py (ivf_topk / lsh_topk) and join the winner
+    back.  Deterministic: ties break on entity_id ascending via one
+    min_by over (-cosine, entity) on the dim side of the group.
+    """
+    from kgforge.operators.similarity import _dot, _norm
+
+    m = mentions.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("mv")
+    )
+    d = entity_dict.select(
+        F.col(entity_col).alias("_ent"),
+        F.col(vec_col).cast("array<double>").alias("ev"),
+    )
+    cos = (_dot(F.col("mv"), F.col("ev")) / (_norm(F.col("mv")) * _norm(F.col("ev")))).alias("cos")
+    scored = m.crossJoin(F.broadcast(d)).select(id_col, "_ent", cos)
+    best = scored.groupBy(id_col).agg(
+        F.min_by(F.struct("_ent", "cos"), F.struct(-F.col("cos"), F.col("_ent"))).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.when(F.col("b.cos") >= threshold, F.col("b._ent")).alias(entity_col),
+        F.col("b.cos").alias("cosine"),
+    )

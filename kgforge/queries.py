@@ -2318,6 +2318,44 @@ def kg_negative_samples(spark, sf):
     return graph.negative_samples(t, k=2, salt="neg1")
 
 
+@q(
+    "kg_link_embed",
+    """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS mv
+                  FROM embeddings WHERE vec_id < 200),
+       d AS (SELECT vec_id AS ent, embedding::DOUBLE[] AS ev
+             FROM embeddings WHERE vec_id % 5 = 0 AND vec_id >= 200),
+       scored AS (SELECT m.vec_id, d.ent,
+                         list_cosine_similarity(m.mv, d.ev) AS cos
+                  FROM m, d),
+       r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, ent) AS rn
+             FROM scored)
+       SELECT vec_id AS mention_id,
+              CASE WHEN cos >= 0.2 THEN ent END AS entity_id,
+              round(cos, 6) AS cosine
+       FROM r WHERE rn = 1""",
+)
+def kg_link_embed(spark, sf):
+    """Embedding-space entity linking (round 6): every mention vector
+    links to its best-cosine entity in a broadcast dictionary, NIL (null)
+    below threshold 0.2 — the dense-retrieval complement to the
+    surface-form linking plan, same dim-side-argmax scale law.  Full
+    value oracle replays the cross product, the deterministic
+    (cosine desc, entity asc) winner and the NIL cut
+    (operators/linking.py:link_by_embedding)."""
+    from kgforge.operators import linking
+
+    e = T(spark, sf, "embeddings")
+    mentions = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("mention_id"), "embedding"
+    )
+    ents = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 200)).select(
+        F.col("vec_id").alias("entity_id"), "embedding"
+    )
+    out = linking.link_by_embedding(mentions, ents, threshold=0.2)
+    return out.select("mention_id", "entity_id", F.round("cosine", 6).alias("cosine"))
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2356,6 +2394,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "text_postings",
     "text_keywords",
     "kg_negative_samples",
+    "kg_link_embed",
 ], (
     "definition order: extras defined after the first 50 (the FINAL "
     "driver-recorded set is fixed by the round-6 swap reorder below)"
@@ -2409,4 +2448,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 86, f"registry must hold exactly 86 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 87, f"registry must hold exactly 87 entries, got {len(REGISTRY)}"

@@ -93,3 +93,43 @@ def test_link_terms_default_unchanged_and_plan_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     # untyped berlin slot still links (single candidate, context or not)
     assert {r.subj for r in linked.filter(F.col("s_surface") == "berlin").collect()} == {"<dbr:Berlin>"}
+
+
+# ---------------------------------------------------------- embedding link
+
+
+def test_link_by_embedding_picks_nearest_and_nils(spark):
+    from kgforge.operators import linking
+
+    mentions = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),  # best cosine is negative -> NIL at 0.5
+        ],
+        "mention_id long, embedding array<double>",
+    )
+    ents = spark.createDataFrame(
+        [(100, [0.9, 0.1]), (200, [0.1, 0.9])],
+        "entity_id long, embedding array<double>",
+    )
+    out = {
+        r.mention_id: (r.entity_id, r.cosine)
+        for r in linking.link_by_embedding(mentions, ents, threshold=0.5).collect()
+    }
+    assert out[1][0] == 100 and out[2][0] == 200
+    assert out[3][0] is None  # NIL below threshold, row still present
+
+
+def test_link_by_embedding_tie_breaks_on_entity_id(spark):
+    from kgforge.operators import linking
+
+    mentions = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "mention_id long, embedding array<double>"
+    )
+    ents = spark.createDataFrame(
+        [(7, [2.0, 2.0]), (3, [5.0, 5.0])],  # identical cosines -> min id
+        "entity_id long, embedding array<double>",
+    )
+    (row,) = linking.link_by_embedding(mentions, ents).collect()
+    assert row.entity_id == 3
