@@ -20,6 +20,9 @@ graph" in one pass per product:
     path/      optional: distinct (subj, obj) pairs of a sequence property
                path (--path, comma-separated steps, '^' prefix = inverse;
                graph.path_compose)
+    negatives/ optional: K deterministic corrupt-object negatives per
+               triple for KG-embedding training (--negatives K
+               [--neg-salt EPOCH]; graph.negative_samples)
 
 and prints ONE JSON metrics line (n_triples, n_predicates, plus the row
 counts of each requested product).
@@ -58,6 +61,15 @@ def main(argv: list[str] | None = None) -> int:
         "inverts a step; commas, unlike SPARQL's '/', cannot collide with "
         "the slashes inside IRI predicates)",
     )
+    ap.add_argument(
+        "--negatives",
+        type=int,
+        default=None,
+        metavar="K",
+        help="emit K deterministic corrupt-object negatives per triple "
+        "(filtered setting; graph.negative_samples) to negatives/",
+    )
+    ap.add_argument("--neg-salt", default="neg1", help="negative-sampling epoch salt")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -90,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
         ranks.write.mode("overwrite").parquet(os.path.join(args.out, "ranks"))
         n_ranked = spark.read.parquet(os.path.join(args.out, "ranks")).count()
 
+    n_negatives = None
+    if args.negatives:
+        negs = graph.negative_samples(triples, k=args.negatives, salt=args.neg_salt)
+        negs.write.mode("overwrite").parquet(os.path.join(args.out, "negatives"))
+        n_negatives = spark.read.parquet(os.path.join(args.out, "negatives")).count()
+
     n_path_pairs = None
     if args.path:
         pairs = graph.path_compose(triples, args.path.split(","))
@@ -107,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         "n_schema_rows": spark.read.parquet(os.path.join(args.out, "schema")).count(),
         "n_ranked": n_ranked,
         "n_path_pairs": n_path_pairs,
+        "n_negatives": n_negatives,
         "pagerank_pred": args.pagerank_pred,
         "path": args.path,
     }

@@ -238,6 +238,7 @@ def test_graph_stats_cli(spark, tmpdir_path, capsys):
             "--triples", tri_p, "--out", out,
             "--pagerank-pred", "lives_in",
             "--path", "lives_in,near",
+            "--negatives", "2",
         ]
     )
     assert rc == 0
@@ -246,6 +247,13 @@ def test_graph_stats_cli(spark, tmpdir_path, capsys):
     assert m["n_schema_rows"] == 2  # lives_in + near (rdf_type excluded)
     assert m["n_ranked"] == 3  # a1, a2, b1
     assert m["n_path_pairs"] == 2  # (a1, b2), (a2, b2)
+    negs = spark.read.parquet(os.path.join(out, "negatives")).collect()
+    assert m["n_negatives"] == len(negs)
+    true_set = {("a1", "rdf_type", "Person"), ("b1", "rdf_type", "City"),
+                ("a1", "lives_in", "b1"), ("a2", "lives_in", "b1"),
+                ("b1", "near", "b2")}
+    assert all((r.subj, r.pred, r.neg_obj) not in true_set and r.neg_obj != r.obj
+               for r in negs)
     void = {r.pred for r in spark.read.parquet(os.path.join(out, "void")).collect()}
     assert void == {"rdf_type", "lives_in", "near"}
 
