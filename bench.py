@@ -66,6 +66,18 @@ EXTRA = [
     "semantic_dedup",
     "quality_classifier",
     "corpus_mix",
+    # round-6 third session: substring dedup, graph analytics, corpus stats
+    "dedup_substring",
+    "kg_void_stats",
+    "kg_pagerank",
+    "kg_path_2hop",
+    "kg_schema_infer",
+    "kg_negative_samples",
+    "kg_link_embed",
+    "text_vocab_topk",
+    "text_length_stats",
+    "text_postings",
+    "text_keywords",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

@@ -81,16 +81,27 @@ def pagerank(
 
     Returns (node, rank) with SUM(rank) == 1 up to float error.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # The loop-invariant relations (edges, nodes, degrees) are referenced
+    # 2-3x PER ITERATION by the unrolled lineage; without materialization
+    # Spark recomputes the edge derivation (often a multi-way join upstream)
+    # ~3 * iters times.  localCheckpoint materializes each once and
+    # truncates lineage — the standard iterative-graph discipline (GraphX
+    # does the same); the cost is one persisted copy of the edge list.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").cast("double").alias("deg")
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one scalar, loop-invariant — fine on the driver
     if n == 0:  # empty edge set: an empty (node, rank) frame, not a crash
