@@ -298,10 +298,43 @@ def negative_samples(
         .union(triples.select(F.col(obj_col).alias("e")))
         .distinct()
     )
-    idx = ents.select(
-        "e", (F.row_number().over(W.orderBy("e")) - 1).alias("i")
+    # Dense global index WITHOUT a single-partition window (row_number over
+    # an unpartitioned ORDER BY moves the whole dictionary to one task):
+    # range-partition on the entity, rank WITHIN each partition, then add
+    # per-partition offsets — the partition-count table is dict-sized and
+    # the mapping e -> i equals the global rank by e regardless of where
+    # the range boundaries land.
+    parts = max(ents.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = ents.repartitionByRange(parts, "e").withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)  # pin partition ids for both uses below
+    sizes = {r._pid: r.c for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    # flat map-literal lookup, not a nested CASE chain (partition counts can
+    # reach 10^4 on a large cluster; expression depth must stay O(1))
+    off_expr = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
     )
-    n = ents.count()
+    idx = ranged.select(
+        "e",
+        (
+            F.row_number().over(W.partitionBy("_pid").orderBy("e")) - 1 + off_expr
+        ).alias("i"),
+    )
+    n = acc
     drawn = triples.select(subj_col, pred_col, obj_col).withColumn(
         "neg_i", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)]))
     )
