@@ -860,6 +860,7 @@ def keywords_tfidf(
     docs: DataFrame,
     top: int = 3,
     text_col: str = "text",
+    head_size: int = 10_000,
 ) -> DataFrame:
     """Per-document keyword extraction by smoothed TF-IDF: the classic
     corpus-relative salience score —
@@ -875,10 +876,12 @@ def keywords_tfidf(
         distinct (token, doc) pairs — vocabulary-sized output;
       * N joins in as a broadcast 1-row aggregate (crossJoin), never a
         global window;
-      * the tf relation joins df on the token — a Zipf-hot key, but hot
-        tokens have MAXIMAL df and thus MINIMAL idf: they rarely survive
-        the top-k, yet they still must join, so the df side (vocab-sized
-        by construction) broadcasts;
+      * the tf relation joins df on the token — a Zipf-hot key, and at web
+        scale the full vocabulary is NOT broadcastable, so the join splits
+        on the df HEAD (top ``head_size`` tokens by df — dict-sized by
+        construction, broadcast; every hot key lives there) and the
+        residual tail join is skew-free — the same explicit-defuse
+        discipline as unigram_logprob above;
       * per-document top-k is a window partitioned by doc_id — bounded by
         words/doc, no cross-document skew.
     """
@@ -890,8 +893,13 @@ def keywords_tfidf(
         F.count("*").alias("df")
     )
     n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    head = F.broadcast(df_t.orderBy(F.desc("df"), "tok").limit(head_size))
+    tf_head = tf.join(head, "tok")
+    tf_tail = tf.join(F.broadcast(head.select("tok")), "tok", "left_anti").join(
+        df_t, "tok"
+    )
     scored = (
-        tf.join(F.broadcast(df_t), "tok")
+        tf_head.unionByName(tf_tail)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
