@@ -6,7 +6,8 @@
         [--max-dup-line-frac 0.3] [--max-dup-2gram-frac 0.2] [--audit-lm] \
         [--decontaminate <eval.parquet> --decontam-n 8] [--redact-pii] \
         [--dsir-target <target.parquet> [--min-dsir X | --keep-dsir-pct P]] \
-        [--dedup-paragraphs [--para-delim REGEX]] [--strip-dup-substrings K]
+        [--dedup-paragraphs [--para-delim REGEX]] \
+        [--strip-dup-substrings K [--substring-state DIR]]
 
 Composes the text-quality operators into the filter pass a pretraining
 corpus ships: Gopher-style hard rules (kgforge.operators.text.quality_rules)
@@ -174,6 +175,16 @@ def main(argv: list[str] | None = None) -> int:
         "(Lee et al. 2022; kgforge.operators.dedup.substring_dedup). "
         "NOTE: rebuilt text is whitespace/case-normalized. keep/ gains an "
         "n_words_stripped column",
+    )
+    ap.add_argument(
+        "--substring-state",
+        default=None,
+        metavar="DIR",
+        help="with --strip-dup-substrings: treat this run as ONE batch of a "
+        "rolling corpus — strip against (and extend) the persistent "
+        "first-occurrence registry at DIR "
+        "(dedup.incremental_substring_dedup; doc ids must be monotone "
+        "across runs)",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -374,7 +385,13 @@ def main(argv: list[str] | None = None) -> int:
         # shuffle inside the operator; rebuilt text is normalized.
         from kgforge.operators import dedup as dedup_ops
 
-        sd_out = dedup_ops.substring_dedup(keep, k=args.strip_dup_substrings).select(
+        if args.substring_state:
+            sd = dedup_ops.incremental_substring_dedup(
+                spark, keep, args.substring_state, k=args.strip_dup_substrings
+            )
+        else:
+            sd = dedup_ops.substring_dedup(keep, k=args.strip_dup_substrings)
+        sd_out = sd.select(
             "doc_id",
             F.col("text").alias("_sd_text"),
             F.col("n_stripped").alias("n_words_stripped"),
@@ -453,6 +470,7 @@ def main(argv: list[str] | None = None) -> int:
             "dsir_floor": None if dsir_floor is None else round(dsir_floor, 5),
             "dedup_paragraphs": args.dedup_paragraphs,
             "strip_dup_substrings": args.strip_dup_substrings,
+            "substring_state": args.substring_state,
             "redact_pii": args.redact_pii,
         },
     }

@@ -305,6 +305,33 @@ def test_strip_dup_substrings_rewrites_kept_text(spark, tmpdir_path, capsys):
     assert m["n_words_stripped"] == len(quote.split())
 
 
+def test_substring_state_strips_across_runs(spark, tmpdir_path, capsys):
+    """--substring-state: a second CLI run over NEW docs strips text whose
+    first occurrence lives in the FIRST run's batch."""
+    quote = "the shared boilerplate sentence that repeats across documents"
+    state = os.path.join(tmpdir_path, "f_ss_state")
+    p1 = os.path.join(tmpdir_path, "f_ss1.parquet")
+    p2 = os.path.join(tmpdir_path, "f_ss2.parquet")
+    spark.createDataFrame(
+        [(0, f"the quick brown fox jumps over a dog and {quote}")],
+        "doc_id long, text string",
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        [(10, f"le chat et la maison les arbres des fleurs {quote}")],
+        "doc_id long, text string",
+    ).write.parquet(p2)
+    m1 = _run(p1, os.path.join(tmpdir_path, "f_ss_o1"), capsys,
+              "--strip-dup-substrings", "5", "--substring-state", state)
+    assert m1["n_words_stripped"] == 0
+    m2 = _run(p2, os.path.join(tmpdir_path, "f_ss_o2"), capsys,
+              "--strip-dup-substrings", "5", "--substring-state", state)
+    assert m2["n_words_stripped"] == len(quote.split())
+    (r,) = spark.read.parquet(
+        os.path.join(tmpdir_path, "f_ss_o2", "keep")
+    ).collect()
+    assert quote not in r.text and r.text.startswith("le chat")
+
+
 def test_rules_only_run_never_pays_substring_dedup(
     spark, docs_path, tmpdir_path, capsys, monkeypatch
 ):
