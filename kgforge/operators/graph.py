@@ -369,3 +369,29 @@ def negative_samples(
         F.col(subj_col), F.col(pred_col), F.col(obj_col).alias("neg_obj")
     )
     return cand.join(truths, [subj_col, pred_col, "neg_obj"], "left_anti")
+
+
+def void_stats_approx(
+    triples: DataFrame,
+    rsd: float = 0.02,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Sketch-based VoID statistics: distinct subjects/objects per predicate
+    via HyperLogLog (approx_count_distinct).  Unlike the exact variant
+    above, HLL sketches are MERGEABLE — partial sketches combine across
+    partitions, batches or days without re-reading triples, so this is the
+    shape a streaming/incremental dataset description uses (exact
+    count-DISTINCT cannot merge without re-aggregating the key sets).
+    One aggregation, no expand: the sketch updates map-side and only the
+    fixed-size registers shuffle."""
+    return (
+        triples.groupBy(F.col(pred_col).alias("pred"))
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.approx_count_distinct(subj_col, rsd).alias("n_subjects_approx"),
+            F.approx_count_distinct(obj_col, rsd).alias("n_objects_approx"),
+        )
+        .orderBy("pred")
+    )

@@ -2356,6 +2356,47 @@ def kg_link_embed(spark, sf):
     return out.select("mention_id", "entity_id", F.round("cosine", 6).alias("cosine"))
 
 
+@q(
+    "kg_void_approx",
+    f"""WITH t AS ({_DM_TRIPLES_SQL})
+       SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+              CAST(abs(approx_count_distinct(subj) - count(DISTINCT subj))
+                   <= 0.1 * count(DISTINCT subj) AS BOOLEAN) AS subj_ok,
+              CAST(abs(approx_count_distinct(obj) - count(DISTINCT obj))
+                   <= 0.1 * count(DISTINCT obj) AS BOOLEAN) AS obj_ok
+       FROM t GROUP BY pred ORDER BY pred""",
+)
+def kg_void_approx(spark, sf):
+    """Sketch-based VoID statistics (round 6): HyperLogLog distinct counts
+    per predicate — the MERGEABLE variant a streaming/incremental dataset
+    description needs (partial sketches combine across batches; exact
+    count-DISTINCT cannot).  Each engine runs its OWN sketch and asserts
+    <=10% relative error as booleans — the comparable contract an
+    approximate aggregate makes (same pattern as agg_distinct_approx)
+    (operators/graph.py:void_stats_approx)."""
+    from kgforge.operators import graph
+
+    t = _dm_triples(spark, sf)
+    approx = graph.void_stats_approx(t, rsd=0.02)
+    exact = graph.void_stats(t)
+    return (
+        approx.join(exact, ["pred", "n_triples"])
+        .select(
+            "pred",
+            "n_triples",
+            (
+                F.abs(F.col("n_subjects_approx") - F.col("n_subjects"))
+                <= 0.1 * F.col("n_subjects")
+            ).alias("subj_ok"),
+            (
+                F.abs(F.col("n_objects_approx") - F.col("n_objects"))
+                <= 0.1 * F.col("n_objects")
+            ).alias("obj_ok"),
+        )
+        .orderBy("pred")
+    )
+
+
 _DRIVER_SNAPSHOT = 50
 assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "dedup_clusters",
@@ -2395,6 +2436,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "text_keywords",
     "kg_negative_samples",
     "kg_link_embed",
+    "kg_void_approx",
 ], (
     "definition order: extras defined after the first 50 (the FINAL "
     "driver-recorded set is fixed by the round-6 swap reorder below)"
@@ -2448,4 +2490,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 87, f"registry must hold exactly 87 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 88, f"registry must hold exactly 88 entries, got {len(REGISTRY)}"

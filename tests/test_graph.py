@@ -296,3 +296,18 @@ def test_negative_samples_deterministic_and_salt_sensitive(spark):
     assert a == b and len(a) > 0
     c = sorted(map(key, graph.negative_samples(tri, k=2, salt="neg2").collect()))
     assert c != a  # an independent epoch draws differently
+
+
+def test_void_stats_approx_mergeable_contract(spark):
+    import random
+
+    rng = random.Random(3)
+    tri = spark.createDataFrame(
+        [(f"s{rng.randint(0, 400)}", "p", f"o{rng.randint(0, 300)}") for _ in range(3000)],
+        "subj string, pred string, obj string",
+    )
+    (ap,) = graph.void_stats_approx(tri, rsd=0.02).collect()
+    (ex,) = graph.void_stats(tri).collect()
+    assert ap.n_triples == ex.n_triples == 3000
+    assert abs(ap.n_subjects_approx - ex.n_subjects) <= 0.1 * ex.n_subjects
+    assert abs(ap.n_objects_approx - ex.n_objects) <= 0.1 * ex.n_objects
