@@ -195,6 +195,76 @@ def path_compose(
     )
 
 
+def path_closure(
+    triples: DataFrame,
+    pred: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    include_zero: bool = False,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """SPARQL transitive property paths ``p+`` / ``p*`` evaluated EXACTLY
+    over a materialized triple table (round 6) — the closure the parser
+    can only approximate (parser.py bounds quantified paths at
+    MAX_PATH_DEPTH=3 sequence arms; this operator answers the real thing).
+    Returns the DISTINCT (subj, obj) pairs connected by a path of >= 1
+    ``pred`` edges (>= 0 with ``include_zero``, which adds the identity
+    pair for EVERY term of the graph — SPARQL 1.1 section 9.3 evaluates
+    zero-length paths over all graph terms, not just ``pred``'s nodes),
+    under the composite predicate name 'pred+' / 'pred*'.  A leading '^'
+    traverses inverse edges, as in path_compose.
+
+    Scale shape — ITERATIVE DOUBLING, not naive expansion: with R_1 = E
+    and R_{2k} = R_k UNION R_k JOIN R_k, round i covers every path length
+    <= 2^i, so a diameter-d graph converges in ceil(log2 d) joins instead
+    of d semi-naive steps — the same O(log d) round discipline as the
+    connected-components loop (dedup.py), and the difference between 11
+    rounds and 2000 on a depth-2000 chain.  Each round is one
+    self-equi-join on the 8-byte node id + DISTINCT (pair semantics: the
+    frontier is bounded by reachable PAIRS, never path multiplicities —
+    cycles terminate at the fixpoint instead of looping), localCheckpoint
+    to keep lineage constant-depth, and ONE count action for the
+    convergence test.  ``max_rounds`` bounds the loop at paths of length
+    2^max_rounds (default: a million-hop diameter) as a runaway guard.
+    """
+    inv = pred.startswith("^")
+    base_pred = pred[1:] if inv else pred
+    s_col, o_col = (obj_col, subj_col) if inv else (subj_col, obj_col)
+    reach = (
+        triples.filter(F.col(pred_col) == base_pred)
+        .select(F.col(s_col).alias("s"), F.col(o_col).alias("o"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = reach.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        step = (
+            reach.join(reach.select(F.col("s").alias("o"), F.col("o").alias("o2")), "o")
+            .select("s", F.col("o2").alias("o"))
+        )
+        grown = reach.union(step).distinct().localCheckpoint(eager=True)
+        n2 = grown.count()
+        reach = grown
+        if n2 == n:  # fixpoint: no new pair at double the path length
+            break
+        n = n2
+    if include_zero:
+        terms = (
+            triples.select(F.col(subj_col).alias("t"))
+            .union(triples.select(F.col(obj_col).alias("t")))
+            .distinct()
+        )
+        reach = reach.union(terms.select(F.col("t").alias("s"), F.col("t").alias("o"))).distinct()
+    return reach.select(
+        F.col("s").alias(subj_col),
+        F.lit(pred + ("*" if include_zero else "+")).alias(pred_col),
+        F.col("o").alias(obj_col),
+    )
+
+
 def schema_infer(
     triples: DataFrame,
     type_pred: str = "rdf_type",

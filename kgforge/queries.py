@@ -2168,6 +2168,153 @@ def kg_schema_infer(spark, sf):
 
 
 @q(
+    "kg_bgp_eval",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       a AS (SELECT subj AS ord, obj AS cust FROM t WHERE pred = 'placed_by'),
+       b AS (SELECT subj AS cust FROM t WHERE pred = 'in_nation' AND obj = 'n5'),
+       c AS (SELECT subj AS cust, obj AS seg FROM t WHERE pred = 'rdf_type')
+       SELECT a.ord, a.cust, c.seg FROM a JOIN b USING (cust) JOIN c USING (cust)""",
+)
+def kg_bgp_eval(spark, sf):
+    """SPARQL answered END TO END (round 6): the query goes in as TEXT,
+    through the from-scratch parser (sparql/parser.py) and the BGP
+    compiler (sparql/eval.py:answer_sparql), and comes out as a Catalyst
+    plan over the direct-mapping triples — a 3-pattern star+chain BGP
+    (orders placed by nation-n5 customers, with their segment class).
+    Constant positions prune before any join; join order is selectivity-
+    greedy; bag semantics match the SQL join replay exactly.  Full value
+    oracle: the same BGP as three filtered self-joins of the triple
+    rendition."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """SELECT ?ord ?cust ?seg WHERE {
+             ?ord <placed_by> ?cust .
+             ?cust <in_nation> <n5> .
+             ?cust <rdf_type> ?seg .
+           }""",
+    )
+
+
+@q(
+    "kg_bgp_optional",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       b AS (SELECT subj AS ent, obj AS nat FROM t WHERE pred = 'in_nation'),
+       o AS (SELECT subj AS ent, obj AS seg FROM t WHERE pred = 'rdf_type')
+       SELECT b.ent, b.nat, o.seg FROM b LEFT JOIN o USING (ent)""",
+)
+def kg_bgp_optional(spark, sf):
+    """SPARQL OPTIONAL (round 6): every entity with a nation, optionally
+    extended by its rdf_type class — customers bind ?seg, suppliers stay
+    NULL (SPARQL unbound).  BGP solutions bind every var, so the LeftJoin
+    compatibility test compiles to a plain left outer join on the shared
+    vars (sparql/eval.py:eval_optional).  Full value oracle: LEFT JOIN
+    replay."""
+    from kgforge.sparql.eval import eval_optional
+
+    return eval_optional(
+        _dm_triples(spark, sf),
+        [("?ent", "in_nation", "?nat")],
+        [("?ent", "rdf_type", "?seg")],
+    )
+
+
+@q(
+    "kg_bgp_union",
+    f"""WITH t AS ({_DM_TRIPLES_SQL})
+       SELECT subj AS ent, CAST(NULL AS VARCHAR) AS cls FROM t
+       WHERE pred = 'in_nation' AND obj = 'n3'
+       UNION ALL
+       SELECT subj AS ent, obj AS cls FROM t WHERE pred = 'rdf_type'""",
+)
+def kg_bgp_union(spark, sf):
+    """SPARQL UNION (round 6) with heterogeneous branch variables:
+    entities in nation n3 (binds ?ent only) unioned with all typed
+    entities (binds ?ent and ?cls) — branch solutions align on the union
+    of the variables, absent vars NULL-padded, bag semantics preserved
+    (sparql/eval.py:eval_union).  Full value oracle: NULL-padded UNION
+    ALL."""
+    from kgforge.sparql.eval import eval_union
+
+    return eval_union(
+        _dm_triples(spark, sf),
+        [[("?ent", "in_nation", "n3")], [("?ent", "rdf_type", "?cls")]],
+    )
+
+
+@q(
+    "kg_bgp_minus",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       m AS (SELECT DISTINCT subj AS cust FROM t
+             WHERE pred = 'rdf_type' AND obj = 'seg_BUILDING')
+       SELECT subj AS cust, obj AS nat FROM t
+       WHERE pred = 'in_nation'
+         AND subj NOT IN (SELECT cust FROM m)""",
+)
+def kg_bgp_minus(spark, sf):
+    """SPARQL MINUS (round 6): nation memberships minus the BUILDING-
+    segment customers.  BGP solutions bind every var, so MINUS
+    compatibility is equality on the shared vars -> LEFT ANTI join on a
+    DISTINCT'd minus side (sparql/eval.py:eval_minus; no shared vars
+    would pass base through unchanged per SPARQL 1.1 section 8.3).  Full
+    value oracle: NOT IN replay."""
+    from kgforge.sparql.eval import eval_minus
+
+    return eval_minus(
+        _dm_triples(spark, sf),
+        [("?cust", "in_nation", "?nat")],
+        [("?cust", "rdf_type", "seg_BUILDING")],
+    )
+
+
+# Synthetic part-containment hierarchy for transitive closure: every part
+# k >= 1 is a sub-part of part floor(k/2) — a binary tree rooted at part 0,
+# depth ~log2(|part|), the recursive shape (category trees, org charts,
+# rdfs:subClassOf) a KG engine answers 'p+' over.
+_HIER_TRIPLES_SQL = """
+  SELECT 'p' || CAST(p_partkey AS VARCHAR) AS subj, 'sub_part' AS pred,
+         'p' || CAST(CAST(floor(p_partkey / 2) AS BIGINT) AS VARCHAR) AS obj
+  FROM part WHERE p_partkey >= 1
+"""
+
+
+def _hier_triples(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.filter(F.col("p_partkey") >= 1).select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit("sub_part").alias("pred"),
+        F.concat(
+            F.lit("p"), F.floor(F.col("p_partkey") / 2).cast("long").cast("string")
+        ).alias("obj"),
+    )
+
+
+@q(
+    "kg_path_closure",
+    f"""WITH RECURSIVE e AS ({_HIER_TRIPLES_SQL}),
+       r AS (SELECT subj AS s, obj AS o FROM e
+             UNION
+             SELECT r.s, e.obj AS o FROM r JOIN e ON r.o = e.subj)
+       SELECT s AS subj, 'sub_part+' AS pred, o AS obj FROM r""",
+)
+def kg_path_closure(spark, sf):
+    """SPARQL transitive path 'sub_part+' (round 6): the EXACT closure of
+    the part-containment tree — every (part, ancestor) pair at any depth.
+    The parser bounds quantified paths at 3 sequence arms; this operator
+    answers the unbounded semantics by ITERATIVE DOUBLING (operators/
+    graph.py:path_closure): O(log diameter) self-joins + DISTINCT, one
+    count action per round, localCheckpoint-bounded lineage — 11 levels
+    deep at sf0.01 converges in 4 doubling rounds where semi-naive
+    iteration needs 11.  Full value oracle: DuckDB WITH RECURSIVE over
+    the same edge rendition (UNION-deduped, so cycles terminate both
+    sides)."""
+    from kgforge.operators import graph
+
+    return graph.path_closure(_hier_triples(spark, sf), "sub_part")
+
+
+@q(
     "text_vocab_topk",
     r"""WITH w AS (SELECT doc_id,
                           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
@@ -2430,6 +2577,11 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_pagerank",
     "kg_path_2hop",
     "kg_schema_infer",
+    "kg_bgp_eval",
+    "kg_bgp_optional",
+    "kg_bgp_union",
+    "kg_bgp_minus",
+    "kg_path_closure",
     "text_vocab_topk",
     "text_length_stats",
     "text_postings",
@@ -2474,10 +2626,19 @@ for _k in (
 # Implemented as an explicit reorder (not a code move) so the promotion is
 # auditable in one place.
 _PROMOTE = {
-    "kg_bgp_ranking": ["kg_void_stats", "kg_pagerank", "kg_path_2hop"],
+    # Swap #4 (round 6, this session): kg_bgp_eval is the end-to-end
+    # SPARQL-answering surface (text -> parser -> BGP compiler -> Catalyst
+    # plan) and kg_path_closure the exact 'p+' transitive closure — the
+    # two flagship KG-query operators, both with full DuckDB value oracles
+    # (the closure one via WITH RECURSIVE).  They displace the two set/
+    # string scalar showcases below, which keep their local value sweep.
+    "kg_bgp_ranking": [
+        "kg_void_stats", "kg_pagerank", "kg_path_2hop",
+        "kg_bgp_eval", "kg_path_closure",
+    ],
     "dedup_ngram_jaccard": ["dedup_substring"],
 }
-_DEMOTE = ["fn_date", "fn_math", "fn_json", "fn_map"]
+_DEMOTE = ["fn_date", "fn_math", "fn_json", "fn_map", "set_ops", "fn_string_array"]
 _promoted = [k for ks in _PROMOTE.values() for k in ks]
 _keys = [k for k in REGISTRY if k not in set(_promoted) | set(_DEMOTE)]
 for _anchor, _ks in _PROMOTE.items():
@@ -2490,4 +2651,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 88, f"registry must hold exactly 88 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 93, f"registry must hold exactly 93 entries, got {len(REGISTRY)}"

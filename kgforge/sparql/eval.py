@@ -1,0 +1,327 @@
+"""BGP evaluation: compile SPARQL basic graph patterns into DataFrame plans
+over a materialized (subj, pred, obj) triple table.
+
+The missing half of the SPARQL surface until round 6: the engine could
+PARSE queries (parser.py), canonicalize them (canonical.py), and answer
+sequence property paths (operators/graph.py:path_compose) — this module
+makes it ANSWER them.  A BGP of n triple patterns compiles to n filtered
+scans of the triple table joined on their shared variables; everything is
+declarative DataFrame API, so Catalyst owns the physical strategy:
+
+  * constant positions become equality filters BEFORE any join — on a
+    predicate-partitioned graph table the pred filter is a partition prune,
+    and subj/obj constants reach the parquet scan as PushedFilters
+    (plan-gated in tests/test_bgp_eval.py);
+  * join order is chosen greedily by selectivity (most constant positions
+    first) and connectivity (never a cartesian product while a connected
+    pattern remains) — the classic heuristic for star/chain BGPs.  AQE
+    re-plans the actual join strategies at runtime (a 2-constant pattern
+    usually collapses to a broadcast side);
+  * bag semantics: an RDF graph is a SET of triples, so inner joins on
+    shared variables reproduce SPARQL's solution multiplicities exactly,
+    provided the input table is duplicate-free (the engine's own
+    `agg_dedup` / build_graph outputs are; we deliberately do NOT pay a
+    defensive distinct shuffle here).
+
+Scale: the only shuffles are the pattern joins themselves, each keyed on a
+bound variable column.  No driver-side data, no UDFs, no collect — a
+100-pattern query is 100 scans of partition-pruned slices joined by
+Catalyst, the same plan shape a SQL engine gives 100 dimension joins.
+
+Term matching: triple tables in this engine store PLAIN strings (IRIs
+without ``<>``, literal lexical forms — see queries.py:_dm_triples and
+operators/triples.py), so constants match on ``Term.value``.  Pass
+``term_str`` to override (e.g. N-Triples rendering via terms.render_term
+when the table stores full RDF terms).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Optional, Sequence, Set, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from kgforge.sparql.parser import parse_query
+from kgforge.sparql.terms import BNODE, VAR, Term, TriplePattern
+
+
+def _default_term_str(t: Term) -> str:
+    return t.value
+
+
+_BN_SAFE = re.compile(r"[^A-Za-z_0-9]")
+
+
+def _coerce_tp(tp) -> TriplePattern:
+    """Accept TriplePattern as-is, or a plain ('?s', 'p', '?o') string
+    3-tuple for programmatic callers (strings starting with '?' are vars,
+    everything else a constant matched verbatim)."""
+    if isinstance(tp, TriplePattern):
+        return tp
+
+    def term(x) -> Term:
+        if isinstance(x, Term):
+            return x
+        s = str(x)
+        if s.startswith("?"):
+            return Term(VAR, s[1:])
+        return Term("iri", s)
+
+    s, p, o = tp
+    return TriplePattern(term(s), term(p), term(o))
+
+
+def _var_name(t: Term) -> Optional[str]:
+    """Variable column name for a term, or None for constants.  Blank nodes
+    in a BGP are existential variables (SPARQL 1.1 section 5.1.1) that can
+    never be projected — they get a reserved '__bn_' prefix."""
+    if t.kind == VAR:
+        return t.value
+    if t.kind == BNODE:
+        return "__bn_" + _BN_SAFE.sub("_", t.value)
+    return None
+
+
+def _internal(v: str) -> bool:
+    """Vars invisible to 'SELECT *': bnode existentials and the parser's
+    fresh sequence-path intermediates (?_pathN)."""
+    return v.startswith("__bn_") or v.startswith("_path")
+
+
+def _tp_scan(
+    triples: DataFrame,
+    tp: TriplePattern,
+    cols: Tuple[str, str, str],
+    term_str: Callable[[Term], str],
+) -> Tuple[DataFrame, Set[str], int]:
+    """One pattern -> (scan DataFrame selecting exactly its var columns,
+    var set, constant count).  Fully-ground patterns (no vars) return a
+    single marker column; the join loop treats them as existence gates."""
+    pos = list(zip((tp.s, tp.p, tp.o), cols))
+    df = triples
+    n_consts = 0
+    var_cols: dict = {}
+    for term, col in pos:
+        v = _var_name(term)
+        if v is None:
+            df = df.filter(F.col(col) == term_str(term))
+            n_consts += 1
+        else:
+            var_cols.setdefault(v, []).append(col)
+    # same var twice in one pattern (?x p ?x): intra-pattern equality
+    for v, cs in var_cols.items():
+        for extra in cs[1:]:
+            df = df.filter(F.col(cs[0]) == F.col(extra))
+    if not var_cols:
+        return df.select(F.lit(1).alias("__ground")).limit(1), set(), n_consts
+    sel = [F.col(cs[0]).alias(v) for v, cs in var_cols.items()]
+    return df.select(*sel), set(var_cols), n_consts
+
+
+def eval_bgp(
+    triples: DataFrame,
+    tps: Sequence,
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    term_str: Callable[[Term], str] = _default_term_str,
+) -> DataFrame:
+    """Evaluate a conjunctive BGP; returns one column per variable.
+
+    ``select``: project these vars in this order (a var bound nowhere in
+    the BGP projects as NULL, per SPARQL's unbound semantics); None = all
+    non-internal vars in first-appearance order.  ``distinct`` applies
+    SELECT DISTINCT set semantics; default is SPARQL's bag semantics.
+    """
+    assert tps, "empty BGP"
+    cols = (subj_col, pred_col, obj_col)
+    patterns = [_coerce_tp(tp) for tp in tps]
+    scans = [_tp_scan(triples, tp, cols, term_str) for tp in patterns]
+
+    # var order for SELECT *: first appearance in pattern-position order
+    order: List[str] = []
+    for tp in patterns:
+        for term in (tp.s, tp.p, tp.o):
+            v = _var_name(term)
+            if v is not None and v not in order:
+                order.append(v)
+
+    # greedy join order: seed with the most-constant pattern, then always
+    # extend through a shared variable (equi-join); a cartesian step is
+    # taken only when no remaining pattern connects (disjoint BGP — legal
+    # SPARQL, so supported, but never chosen while joins remain)
+    remaining = list(range(len(scans)))
+    seed = max(remaining, key=lambda i: (scans[i][2], -i))
+    remaining.remove(seed)
+    out, bound = scans[seed][0], set(scans[seed][1])
+    while remaining:
+        connected = [i for i in remaining if scans[i][1] & bound]
+        if connected:
+            nxt = max(connected, key=lambda i: (len(scans[i][1] & bound), scans[i][2], -i))
+            shared = sorted(scans[nxt][1] & bound)
+            out = out.join(scans[nxt][0], on=shared)
+        else:
+            nxt = max(remaining, key=lambda i: (scans[i][2], -i))
+            out = out.crossJoin(scans[nxt][0])
+        remaining.remove(nxt)
+        bound |= scans[nxt][1]
+    if "__ground" in out.columns:
+        out = out.drop("__ground")
+
+    if select is not None:
+        proj = [
+            (F.col(v) if v in bound else F.lit(None).cast("string")).alias(v)
+            for v in select
+        ]
+    else:
+        proj = [F.col(v) for v in order if not _internal(v)]
+        if not proj:  # all vars internal (e.g. pure-bnode ASK pattern)
+            proj = [F.col(v) for v in order]
+    out = out.select(*proj) if proj else out
+    return out.distinct() if distinct else out
+
+
+def _bgp_vars(tps: Sequence) -> List[str]:
+    out: List[str] = []
+    for tp in (_coerce_tp(t) for t in tps):
+        for term in (tp.s, tp.p, tp.o):
+            v = _var_name(term)
+            if v is not None and v not in out and not _internal(v):
+                out.append(v)
+    return out
+
+
+def eval_optional(
+    triples: DataFrame,
+    base_tps: Sequence,
+    optional_tps: Sequence,
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    **kw,
+) -> DataFrame:
+    """Base BGP extended by an OPTIONAL group: SPARQL's LeftJoin.  BGP
+    solutions always bind every mentioned var, so compatibility reduces to
+    equality on the shared vars — a plain left outer join; with no shared
+    vars the spec degenerates to base x optional (cross), keeping base rows
+    when the optional side is empty (the dummy-key left join covers both)."""
+    base = eval_bgp(triples, base_tps, **kw)
+    opt = eval_bgp(triples, optional_tps, **kw)
+    shared = sorted(set(base.columns) & set(opt.columns))
+    if shared:
+        out = base.join(opt, on=shared, how="left")
+    else:
+        k = "__optk"
+        out = (
+            base.withColumn(k, F.lit(1))
+            .join(opt.withColumn(k, F.lit(1)), on=k, how="left")
+            .drop(k)
+        )
+    if select is not None:
+        out = out.select(
+            *[
+                (F.col(v) if v in out.columns else F.lit(None).cast("string")).alias(v)
+                for v in select
+            ]
+        )
+    return out.distinct() if distinct else out
+
+
+def eval_union(
+    triples: DataFrame,
+    groups: Sequence[Sequence],
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    **kw,
+) -> DataFrame:
+    """UNION of BGP groups (bag semantics).  Branch solution sets are
+    aligned on the union of their variables — a var absent from a branch
+    is NULL there (SPARQL unbound), exactly SQL UNION ALL with NULL
+    padding."""
+    assert groups, "empty UNION"
+    if select is not None:
+        allvars = list(select)
+    else:
+        allvars = []
+        for g in groups:
+            for v in _bgp_vars(g):
+                if v not in allvars:
+                    allvars.append(v)
+    parts = []
+    for g in groups:
+        df = eval_bgp(triples, g, **kw)
+        parts.append(
+            df.select(
+                *[
+                    (F.col(v) if v in df.columns else F.lit(None).cast("string")).alias(v)
+                    for v in allvars
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct() if distinct else out
+
+
+def eval_minus(
+    triples: DataFrame,
+    base_tps: Sequence,
+    minus_tps: Sequence,
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    **kw,
+) -> DataFrame:
+    """SPARQL MINUS: drop base solutions compatible with some minus-group
+    solution ON AT LEAST ONE shared var.  With BGP solutions (every var
+    bound) compatibility is equality on the shared vars -> LEFT ANTI join;
+    with NO shared vars the spec keeps every base solution (disjoint
+    domains are never 'compatible'), so base passes through unchanged."""
+    base = eval_bgp(triples, base_tps, **kw)
+    minus = eval_bgp(triples, minus_tps, **kw)
+    shared = sorted(set(base.columns) & set(minus.columns))
+    out = base.join(minus.select(*shared).distinct(), on=shared, how="left_anti") if shared else base
+    if select is not None:
+        out = out.select(*select)
+    return out.distinct() if distinct else out
+
+
+def answer_sparql(
+    triples: DataFrame,
+    query_text: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    term_str: Callable[[Term], str] = _default_term_str,
+) -> DataFrame:
+    """Parse a SPARQL query string and answer it over the triple table —
+    the end-to-end surface (parser -> evaluator) for the conjunctive
+    subset: SELECT [DISTINCT] over a BGP, including prefixes, 'a',
+    predicate-object/object lists, bnodes, collections, and single-arm
+    sequence '/' / inverse '^' property paths (the parser's fresh-var
+    decomposition makes those plain conjunctive TPs).  ASK returns a
+    single-row (ask: boolean) frame.
+
+    Raises ValueError on parse rejects and NotImplementedError for parsed
+    queries whose semantics the flat TP list does not carry (OPTIONAL /
+    UNION / FILTER / MINUS / VALUES / BIND / sub-SELECT / multi-arm paths
+    '|' '+' '*' '?') — those have explicit programmatic combinators
+    (eval_optional / eval_union / eval_minus, path_closure in
+    operators/graph.py) rather than a silently-wrong conjunctive answer.
+    """
+    r = parse_query(query_text)
+    if not r.parse_ok:
+        raise ValueError(f"SPARQL parse reject: {r.error}")
+    if not r.evaluable:
+        raise NotImplementedError(
+            "query parses but is outside the conjunctive-BGP evaluation "
+            "subset (OPTIONAL/UNION/FILTER/... or multi-arm property path); "
+            "use the eval_* combinators / path_closure for those"
+        )
+    kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str)
+    if r.query_form == "ASK":
+        sols = eval_bgp(triples, r.tps, **kw)
+        return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    return eval_bgp(triples, r.tps, select=r.select_vars, distinct=r.distinct, **kw)

@@ -114,6 +114,21 @@ class ParseResult(NamedTuple):
     tps: List[TriplePattern]
     simple: bool  # False when OPTIONAL/UNION/FILTER/... present
     error: Optional[str]
+    # Round-6 evaluation fields (defaulted — every pre-existing constructor
+    # and positional consumer keeps working; extract.py reads attributes only):
+    #   select_vars: projected var names of the TOP-LEVEL SELECT clause, in
+    #     query order, None for 'SELECT *' / ASK / CONSTRUCT / DESCRIBE;
+    #   distinct: top-level SELECT DISTINCT;
+    #   evaluable: the flat ``tps`` list IS the query's full semantics as a
+    #     conjunctive BGP — SELECT/ASK form, no OPTIONAL/UNION/FILTER/...,
+    #     no multi-arm path expansion ('|', '+', '*', '?' produce one TP
+    #     group PER ARM whose flat conjunction is wrong to evaluate; plain
+    #     sequence '/' and inverse '^' decompositions remain conjunctive
+    #     and therefore evaluable).  The BGP evaluator (sparql/eval.py)
+    #     keys off this instead of the coarser ``simple`` flag.
+    select_vars: Optional[List[str]] = None
+    distinct: bool = False
+    evaluable: bool = False
 
 
 class _Parser:
@@ -126,6 +141,14 @@ class _Parser:
         self.simple = True
         self._bnode_n = 0
         self._path_n = 0
+        # evaluability tracking (round 6): `complex` = a feature whose
+        # semantics the flat TP list does not carry (OPTIONAL/UNION/FILTER/
+        # MINUS/GRAPH/BIND/VALUES/SERVICE/sub-SELECT/projection exprs);
+        # `multi_arm` = a property-path expansion emitted >1 TP group.
+        self.complex = False
+        self.multi_arm = False
+        self.select_vars: Optional[List[str]] = None
+        self.select_distinct = False
 
     # --- token helpers -------------------------------------------------
     def peek(self) -> Optional[Token]:
@@ -342,6 +365,12 @@ class _Parser:
             alts = self.parse_path()
             if len(alts) > 1 or not alts[0] or len(alts[0]) > 1 or alts[0][0][0]:
                 self.simple = False  # path sugar used (incl. a zero-length '?' arm)
+            if len(alts) > 1:
+                # >1 TP group emitted: the flat TP list unions the arms'
+                # patterns, which a conjunctive evaluation would JOIN — the
+                # evaluator must refuse (sparql/eval.py; single-arm '/' and
+                # '^' decompositions stay conjunctive and evaluable)
+                self.multi_arm = True
             while True:
                 obj = self.parse_term()
                 for steps in alts:
@@ -389,24 +418,29 @@ class _Parser:
                 self.parse_group()  # nested group (possibly lhs of UNION)
                 if self.at_kw("UNION"):
                     self.simple = False
+                    self.complex = True
                     while self.at_kw("UNION"):
                         self.next()
                         self.parse_group()
             elif up == "OPTIONAL":
                 self.simple = False
+                self.complex = True
                 self.next()
                 self.parse_group()
             elif up in ("MINUS",):
                 self.simple = False
+                self.complex = True
                 self.next()
                 self.parse_group()
             elif up == "GRAPH":
                 self.simple = False
+                self.complex = True
                 self.next()
                 self.parse_term()  # var or iri
                 self.parse_group()
             elif up == "SERVICE":
                 self.simple = False
+                self.complex = True
                 self.next()
                 if self.at_kw("SILENT"):
                     self.next()
@@ -414,14 +448,17 @@ class _Parser:
                 self.parse_group()
             elif up == "FILTER":
                 self.simple = False
+                self.complex = True
                 self.next()
                 self.skip_filter_constraint()
             elif up == "BIND":
                 self.simple = False
+                self.complex = True
                 self.next()
                 self.skip_parens()
             elif up == "VALUES":
                 self.simple = False
+                self.complex = True
                 self.next()
                 self.parse_values()
             elif up == "SELECT":
@@ -430,6 +467,7 @@ class _Parser:
                 # inner WHERE too, so its group parses into the same
                 # accumulator (VERDICT r1 item 5: sub-SELECT TP collection).
                 self.simple = False
+                self.complex = True
                 self.next()
                 self.skip_select_clause()
                 if self.at_kw("WHERE"):
@@ -543,29 +581,44 @@ class _Parser:
             else:
                 return
 
-    def skip_select_clause(self) -> None:
+    def skip_select_clause(self, record: bool = False) -> None:
+        """``record=True`` only for the TOP-LEVEL SELECT: captures the
+        projected var names (and DISTINCT) for the evaluator; sub-SELECT
+        clauses are skipped as before (their TPs are still collected but
+        their projection is not this query's)."""
         if self.at_kw("DISTINCT", "REDUCED"):
+            if record and self.at_kw("DISTINCT"):
+                self.select_distinct = True
             self.next()
         saw = False
+        star = False
+        saw_expr = False
+        vars_: List[str] = []
         while True:
             t = self.peek()
             if t is None:
                 raise ParseError("truncated SELECT")
             if t.kind == "VAR":
                 self.next()
+                vars_.append(t.text[1:])
                 saw = True
             elif t.kind == "PUNCT" and t.text == "*":
                 self.next()
+                star = True
                 saw = True
             elif t.kind == "PUNCT" and t.text == "(":
                 # (expr AS ?x) projection expression
                 self.skip_parens()
                 self.simple = False
+                self.complex = True
                 saw = True
+                saw_expr = True
             else:
                 break
         if not saw:
             raise ParseError("empty SELECT clause")
+        if record and not star and not saw_expr:
+            self.select_vars = vars_
 
     def skip_dataset_clauses(self) -> None:
         while self.at_kw("FROM"):
@@ -625,7 +678,7 @@ class _Parser:
         form = t.text.upper()
         if form == "SELECT":
             self.next()
-            self.skip_select_clause()
+            self.skip_select_clause(record=True)
             self.skip_dataset_clauses()
             if self.at_kw("WHERE"):
                 self.next()
@@ -717,8 +770,19 @@ def parse_query(text: str) -> ParseResult:
     [R:Stat.py] skip-and-count behavior)."""
     try:
         tokens = tokenize(text)
-        form, tps, simple = _Parser(tokens).parse_query()
-        return ParseResult(True, form, tps, simple, None)
+        p = _Parser(tokens)
+        form, tps, simple = p.parse_query()
+        return ParseResult(
+            True, form, tps, simple, None,
+            select_vars=p.select_vars if form == "SELECT" else None,
+            distinct=p.select_distinct,
+            evaluable=(
+                form in ("SELECT", "ASK")
+                and not p.complex
+                and not p.multi_arm
+                and bool(tps)
+            ),
+        )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))
     except RecursionError:
