@@ -1,0 +1,112 @@
+"""SPARQL query CLI: answer a query over a materialized triple table.
+
+    spark-submit --py-files kgforge.zip jobs/query_graph.py \
+        --triples <triples.parquet> \
+        (--query 'SELECT ...' | --query-file q.rq) \
+        [--out DIR] [--show N] [--closure PRED [--closure-zero]]
+
+The last mile of the KG stack: jobs/build_graph.py materializes the graph,
+jobs/graph_stats.py describes it, and this job QUERIES it — the query goes
+in as SPARQL text, through the from-scratch parser (kgforge/sparql/
+parser.py) and the BGP compiler (kgforge/sparql/eval.py), and runs as a
+plain Catalyst join plan (constant positions prune the scan, joins keyed
+on shared variables).  Supported: SELECT [DISTINCT] / ASK over conjunctive
+BGPs — prefixes, 'a', predicate-object/object lists, blank nodes,
+collections, and single-arm '/' and '^' property paths.  OPTIONAL / UNION
+/ FILTER / multi-arm paths are clean NotImplementedError rejects (exit 2),
+never a silently-wrong conjunctive answer; '+'/'*' closures have the
+dedicated --closure mode (exact semantics via iterative doubling,
+graph.path_closure — not the parser's bounded-depth approximation).
+
+Results go to --out as parquet (one column per projected variable) and/or
+print with --show N; one JSON metrics line goes to stdout either way.
+
+Local smoke:
+
+    python jobs/build_graph.py --corpus-rows 400 --out /tmp/kg_g
+    python jobs/query_graph.py --triples /tmp/kg_g/triples \
+        --query 'SELECT ?s ?o WHERE { ?s <P31> ?o }' --show 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="kgforge SPARQL query runner")
+    ap.add_argument("--triples", required=True, help="parquet: subj, pred, obj")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="SPARQL query text")
+    g.add_argument("--query-file", help="file holding the SPARQL query")
+    g.add_argument(
+        "--closure",
+        metavar="PRED",
+        help="transitive closure of one predicate ('^' prefix = inverse): "
+        "exact 'PRED+' semantics, '--closure-zero' for 'PRED*'",
+    )
+    ap.add_argument("--closure-zero", action="store_true")
+    ap.add_argument("--out", default=None, help="write result parquet here")
+    ap.add_argument("--show", type=int, default=0, metavar="N", help="print N rows")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if args.out is None and not args.show:
+        ap.error("need --out and/or --show")
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from kgforge.conf import get_spark
+
+        spark = get_spark("kgforge-query", master=args.master)
+
+    triples = spark.read.parquet(args.triples)
+
+    if args.closure:
+        from kgforge.operators.graph import path_closure
+
+        result = path_closure(triples, args.closure, include_zero=args.closure_zero)
+        qtext = None
+    else:
+        from kgforge.sparql.eval import answer_sparql
+
+        qtext = args.query
+        if args.query_file:
+            with open(args.query_file, "r", encoding="utf-8") as fh:
+                qtext = fh.read()
+        try:
+            result = answer_sparql(triples, qtext)
+        except (ValueError, NotImplementedError) as e:
+            # parse rejects and out-of-subset queries are OPERATOR errors,
+            # not stack traces: one diagnostic line, exit 2 (the reference's
+            # skip-and-count analog for a single-query surface)
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
+
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        result = spark.read.parquet(args.out)  # count the committed data
+    n = result.count()
+    if args.show:
+        for row in result.limit(args.show).collect():
+            print(json.dumps(row.asDict(), default=str))
+    metrics = {
+        "n_rows": n,
+        "columns": result.columns,
+        "out": args.out,
+        "closure": args.closure,
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
