@@ -78,6 +78,12 @@ EXTRA = [
     "text_length_stats",
     "text_postings",
     "text_keywords",
+    # round-6 fourth session: SPARQL answering + exact transitive closure
+    "kg_bgp_eval",
+    "kg_bgp_optional",
+    "kg_bgp_union",
+    "kg_bgp_minus",
+    "kg_path_closure",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the
