@@ -84,6 +84,8 @@ EXTRA = [
     "kg_bgp_union",
     "kg_bgp_minus",
     "kg_path_closure",
+    "kg_construct",
+    "kg_ntriples_roundtrip",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

@@ -51,7 +51,20 @@ def main(argv: list[str] | None = None) -> int:
         "exact 'PRED+' semantics, '--closure-zero' for 'PRED*'",
     )
     ap.add_argument("--closure-zero", action="store_true")
-    ap.add_argument("--out", default=None, help="write result parquet here")
+    ap.add_argument("--out", default=None, help="write the result here")
+    ap.add_argument(
+        "--format",
+        choices=("parquet", "ntriples"),
+        default="parquet",
+        help="output format; 'ntriples' requires a triple-shaped result "
+        "(CONSTRUCT / --closure) and serializes it as RDF interchange "
+        "text (sources/ntriples.py)",
+    )
+    ap.add_argument(
+        "--base-iri",
+        default="",
+        help="IRI prefix for --format ntriples (plain ids become absolute IRIs)",
+    )
     ap.add_argument("--show", type=int, default=0, metavar="N", help="print N rows")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -92,8 +105,22 @@ def main(argv: list[str] | None = None) -> int:
             return 2
 
     if args.out:
-        result.write.mode("overwrite").parquet(args.out)
-        result = spark.read.parquet(args.out)  # count the committed data
+        if args.format == "ntriples":
+            if set(result.columns) != {"subj", "pred", "obj"}:
+                print(
+                    json.dumps({"error": "ntriples output needs a (subj, pred, obj) result"}),
+                    file=sys.stderr,
+                )
+                return 2
+            from kgforge.sources.ntriples import read_ntriples, write_ntriples
+
+            write_ntriples(result, args.out, base_iri=args.base_iri)
+            result = read_ntriples(spark, args.out, strip_base=args.base_iri).select(
+                "subj", "pred", "obj"
+            )  # count the committed data
+        else:
+            result.write.mode("overwrite").parquet(args.out)
+            result = spark.read.parquet(args.out)  # count the committed data
     n = result.count()
     if args.show:
         for row in result.limit(args.show).collect():

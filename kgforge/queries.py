@@ -2291,6 +2291,55 @@ def _hier_triples(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "kg_construct",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       sol AS (SELECT a.subj AS c, a.obj AS n
+               FROM t a JOIN t b ON a.subj = b.subj
+               WHERE a.pred = 'in_nation' AND b.pred = 'rdf_type')
+       SELECT DISTINCT * FROM (
+         SELECT c AS subj, 'lives_in' AS pred, n AS obj FROM sol
+         UNION ALL SELECT n, 'has_resident', c FROM sol)""",
+)
+def kg_construct(spark, sf):
+    """SPARQL CONSTRUCT (round 6): rewrite the graph — for every TYPED
+    entity with a nation, emit the inverse pair (lives_in /
+    has_resident).  The query goes in as TEXT through answer_sparql; the
+    template instantiates once per WHERE solution, output deduped to a
+    graph (sparql/eval.py:eval_construct — a materialized inference
+    rule: body = WHERE join, head = template).  Full value oracle:
+    solution join + UNION ALL projections + DISTINCT."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """CONSTRUCT { ?c <lives_in> ?n . ?n <has_resident> ?c }
+           WHERE { ?c <in_nation> ?n . ?c <rdf_type> ?seg }""",
+    )
+
+
+@q(
+    "kg_ntriples_roundtrip",
+    f"""SELECT subj, pred, obj FROM ({_DM_TRIPLES_SQL})""",
+)
+def kg_ntriples_roundtrip(spark, sf):
+    """N-Triples sink + source (round 6): serialize the direct-mapping
+    triples as RDF interchange text (IRI-wrapped, escaped, base-prefixed
+    — sources/ntriples.py, pure codegen both ways), read the shards back,
+    and strip the base.  The oracle is the IDENTITY on the original
+    triples: the value check proves serialize-then-parse is lossless,
+    byte-exactly, through a real file round-trip."""
+    import tempfile
+
+    from kgforge.sources.ntriples import read_ntriples, write_ntriples
+
+    out = tempfile.mkdtemp(prefix="kg_nt_") + "/t"
+    write_ntriples(_dm_triples(spark, sf), out, base_iri="http://kg.local/")
+    return read_ntriples(spark, out, strip_base="http://kg.local/").select(
+        "subj", "pred", "obj"
+    )
+
+
+@q(
     "kg_path_closure",
     f"""WITH RECURSIVE e AS ({_HIER_TRIPLES_SQL}),
        r AS (SELECT subj AS s, obj AS o FROM e
@@ -2581,6 +2630,8 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_bgp_optional",
     "kg_bgp_union",
     "kg_bgp_minus",
+    "kg_construct",
+    "kg_ntriples_roundtrip",
     "kg_path_closure",
     "text_vocab_topk",
     "text_length_stats",
@@ -2651,4 +2702,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 93, f"registry must hold exactly 93 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 95, f"registry must hold exactly 95 entries, got {len(REGISTRY)}"

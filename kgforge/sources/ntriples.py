@@ -1,0 +1,180 @@
+"""N-Triples sink + source: the RDF interchange serialization.
+
+The engine's canonical store is columnar parquet, but every external KG
+consumer (triplestores, rdflib, SPARQL endpoints) speaks N-Triples — a KG
+CONSTRUCTION engine that cannot emit/ingest it doesn't interoperate.  Both
+directions are pure JVM column expressions (concat / regexp chains) over
+``spark.read.text`` / ``df.write.text``: no Python in the row path, scan-
+speed at any scale, and the text files shard exactly like any other
+DataFrame write (one file per partition, line-oriented so downstream
+splits are trivial).
+
+Dialect (documented subset of N-Triples 1.1):
+  * subjects/predicates: IRIs (``<...>``) or blank nodes (``_:label``,
+    subjects only); objects: IRI, blank node, or literal
+    (``"..."``, optional ``@lang`` / ``^^<dtype>``);
+  * string escapes: the five mandatory/control ones — ``\\\\ \\" \\n \\r
+    \\t`` — are encoded and decoded exactly (NUL is additionally escaped
+    as ``\\u0000`` on write so the decoder's sentinel pass is safe);
+    ``\\uXXXX`` escapes — NUL's included — pass through undecoded on read
+    (lossless text, not a silent mangle — documented, tested: decoding
+    NUL would collide with the sentinel, and external files' \\uXXXX have
+    no exact pure-SQL decode);
+  * triples this engine writes round-trip byte-exactly EXCEPT embedded
+    NUL, which round-trips to its ``\\u0000`` escaped form
+    (property-tested, including that boundary).
+
+Triple tables here hold PLAIN strings (no ``<>``): the writer adds RDF
+syntax around them (``base_iri`` prefixes relative ids into absolute IRIs,
+as N-Triples requires), the reader strips it back off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# decode sentinel: impossible in well-formed input because the writer
+# escapes NUL and N-Triples forbids raw control chars in literals
+_SENT = "\x00"
+
+
+def _escape(col: Column) -> Column:
+    """N-Triples string-literal escaping, backslash FIRST (order matters:
+    escaping '\\n' before '\\\\' would double-escape)."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    out = F.regexp_replace(out, "\x00", r"\\u0000")
+    return out
+
+
+def _unescape(col: Column) -> Column:
+    """Exact inverse of ``_escape`` without a per-row UDF: the escaped
+    stream contains no raw NUL (writer escapes it; the grammar forbids
+    it), so '\\\\' parks on a NUL sentinel while the single-char escapes
+    decode, then the sentinel restores the backslash.  A naive replace
+    chain without the sentinel would corrupt '\\\\n' (backslash + n) into
+    a newline — regression-tested."""
+    out = F.regexp_replace(col, r"\\\\", _SENT)
+    out = F.regexp_replace(out, r"\\n", "\n")
+    out = F.regexp_replace(out, r"\\r", "\r")
+    out = F.regexp_replace(out, r"\\t", "\t")
+    out = F.regexp_replace(out, r'\\"', '"')
+    # NO backslash-u-0000 decode: emitting a raw NUL here would collide with the
+    # sentinel-restore below (the decoded NUL would turn into a backslash).
+    # Like every other \uXXXX escape, NUL stays in escaped form on read —
+    # the documented, tested subset boundary.
+    return F.regexp_replace(out, _SENT, r"\\")
+
+
+def ntriples_lines(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    base_iri: str = "",
+    obj_kind: str = "iri",
+    obj_kind_col: str | None = None,
+) -> DataFrame:
+    """Render a triple table as one N-Triples line per row (column
+    ``value``).  ``obj_kind``: 'iri' | 'literal' for the whole column, or
+    pass ``obj_kind_col`` naming a per-row column with those values
+    (CONSTRUCT output mixes both).  Values already shaped like ``_:b...``
+    serialize as blank nodes.  ``base_iri`` prefixes non-absolute ids so
+    the output is valid N-Triples (absolute IRIs required)."""
+
+    def iri_or_bnode(c: Column) -> Column:
+        absolute = c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+        iri = F.concat(
+            F.lit("<"),
+            F.when(absolute, c).otherwise(F.concat(F.lit(base_iri), c)),
+            F.lit(">"),
+        )
+        return F.when(c.startswith("_:"), c).otherwise(iri)
+
+    def literal(c: Column) -> Column:
+        return F.concat(F.lit('"'), _escape(c), F.lit('"'))
+
+    s = iri_or_bnode(F.col(subj_col))
+    p = iri_or_bnode(F.col(pred_col))
+    o = F.col(obj_col)
+    if obj_kind_col is not None:
+        obj = F.when(F.col(obj_kind_col) == "literal", literal(o)).otherwise(
+            iri_or_bnode(o)
+        )
+    elif obj_kind == "literal":
+        obj = literal(o)
+    else:
+        obj = iri_or_bnode(o)
+    return triples.select(
+        F.concat_ws(" ", s, p, obj, F.lit(".")).alias("value")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, **kw) -> None:
+    """Shard a triple table to ``path`` as N-Triples text files."""
+    ntriples_lines(triples, **kw).write.mode("overwrite").text(path)
+
+
+# one line = subject predicate object '.' — groups: 1 IRI subj, 2 bnode
+# subj, 3 IRI pred, 4 IRI obj, 5 bnode obj, 6 literal body, 7 lang,
+# 8 dtype (literal modifiers optional)
+_LINE_RE = (
+    r"^\s*(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+"
+    r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+    r"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?)\s*\.\s*$"
+)
+
+
+def read_ntriples(
+    spark: SparkSession,
+    path: str,
+    strip_base: str = "",
+) -> DataFrame:
+    """Parse N-Triples text into (subj, pred, obj, obj_kind, lang, dtype).
+
+    Pure-codegen line parse (one regexp per captured field over
+    ``spark.read.text`` — splittable, predicate-pushable, no Python).
+    Comment lines ('#') and blank lines are skipped; malformed lines
+    surface with ``parse_ok=false`` so callers choose quarantine-vs-fail,
+    matching the pipeline's skip-and-count discipline (never a task
+    failure on one bad line).  ``strip_base`` removes a known IRI prefix
+    to recover the engine's plain-string ids."""
+    lines = spark.read.text(path).filter(
+        ~F.col("value").rlike(r"^\s*(#|$)")
+    )
+
+    def g(i: int) -> Column:
+        return F.regexp_extract("value", _LINE_RE, i)
+
+    matched = F.col("value").rlike(_LINE_RE)
+    subj = F.when(g(2) != "", g(2)).otherwise(g(1))
+    obj_is_iri = F.col("value").rlike(
+        r'^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+<[^>]*>\s*\.\s*$'
+    )
+    obj_is_bnode = F.col("value").rlike(
+        r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+_:\S+\s*\.\s*$"
+    )
+    strip = (
+        (lambda c: F.when(c.startswith(strip_base), c.substr(F.lit(len(strip_base) + 1), F.length(c))).otherwise(c))
+        if strip_base
+        else (lambda c: c)
+    )
+    return lines.select(
+        matched.alias("parse_ok"),
+        strip(subj).alias("subj"),
+        strip(g(3)).alias("pred"),
+        F.when(obj_is_iri, strip(g(4)))
+        .when(obj_is_bnode, g(5))
+        .otherwise(_unescape(g(6)))
+        .alias("obj"),
+        F.when(obj_is_iri, F.lit("iri"))
+        .when(obj_is_bnode, F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("obj_kind"),
+        F.nullif(g(7), F.lit("")).alias("lang"),
+        F.nullif(g(8), F.lit("")).alias("dtype"),
+        F.col("value"),
+    )

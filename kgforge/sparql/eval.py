@@ -288,6 +288,69 @@ def eval_minus(
     return out.distinct() if distinct else out
 
 
+def eval_construct(
+    triples: DataFrame,
+    where_tps: Sequence,
+    template: Optional[Sequence] = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    term_str: Callable[[Term], str] = _default_term_str,
+) -> DataFrame:
+    """CONSTRUCT: instantiate a triple template once per WHERE-BGP solution
+    and return the resulting GRAPH as a (subj, pred, obj) frame — the
+    operator that makes the engine a graph REWRITER, not just a reader
+    (materialized inference rules: body = WHERE, head = template).
+
+    Semantics per SPARQL 1.1 section 10.2, all shapes distributed:
+      * template vars substitute their binding; a solution leaving any
+        position unbound instantiates nothing for that template TP
+        (dropped row, not a NULL triple);
+      * template BNODES mint a fresh node per (solution, label): md5 over
+        the solution's full binding tuple + label — deterministic,
+        collision-safe at graph scale, and shared across template TPs of
+        the same solution, so bnode-linked template structures stay
+        connected;
+      * the output is an RDF GRAPH, i.e. a SET: one distinct shuffle at
+        the end, nothing else beyond the WHERE join plan itself.
+
+    ``template=None`` is the 'CONSTRUCT WHERE { ... }' shorthand (template
+    = the WHERE pattern).  Returns columns (subj_col, pred_col, obj_col).
+    """
+    tpl = [_coerce_tp(t) for t in (template if template is not None else where_tps)]
+    sols = eval_bgp(
+        triples, where_tps,
+        subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str,
+    )
+    bound = set(sols.columns)
+    # one deterministic bnode seed per solution: every bound var value
+    # (md5 of the concatenated binding tuple; unit separator avoids
+    # ("ab","c") == ("a","bc") seed collisions)
+    seed = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in sorted(bound)]))
+
+    def pos(term: Term):
+        v = _var_name(term)
+        if v is None:
+            return F.lit(term_str(term))
+        if term.kind == BNODE:
+            return F.concat(F.lit("_:"), F.substring(F.md5(F.concat(seed, F.lit(v))), 1, 16))
+        return F.col(v) if v in bound else F.lit(None).cast("string")
+
+    parts = []
+    for tp in tpl:
+        parts.append(
+            sols.select(
+                pos(tp.s).alias(subj_col),
+                pos(tp.p).alias(pred_col),
+                pos(tp.o).alias(obj_col),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.na.drop("any").distinct()
+
+
 def answer_sparql(
     triples: DataFrame,
     query_text: str,
@@ -324,4 +387,6 @@ def answer_sparql(
     if r.query_form == "ASK":
         sols = eval_bgp(triples, r.tps, **kw)
         return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    if r.query_form == "CONSTRUCT":
+        return eval_construct(triples, r.tps, template=r.template, **kw)
     return eval_bgp(triples, r.tps, select=r.select_vars, distinct=r.distinct, **kw)

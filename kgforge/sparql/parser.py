@@ -129,6 +129,9 @@ class ParseResult(NamedTuple):
     select_vars: Optional[List[str]] = None
     distinct: bool = False
     evaluable: bool = False
+    # CONSTRUCT template TPs (None for other forms and for the
+    # 'CONSTRUCT WHERE { ... }' shorthand, whose template is ``tps``)
+    template: Optional[List[TriplePattern]] = None
 
 
 class _Parser:
@@ -149,6 +152,9 @@ class _Parser:
         self.multi_arm = False
         self.select_vars: Optional[List[str]] = None
         self.select_distinct = False
+        # CONSTRUCT template TPs ('CONSTRUCT WHERE { ... }' shorthand
+        # leaves this None: the template IS the WHERE pattern)
+        self.template: Optional[List[TriplePattern]] = None
 
     # --- token helpers -------------------------------------------------
     def peek(self) -> Optional[Token]:
@@ -693,12 +699,16 @@ class _Parser:
         elif form == "CONSTRUCT":
             self.next()
             if self.at_punct("{"):
-                # CONSTRUCT template: parse but DISCARD its TPs — the
-                # reference extracts the BGP from the WHERE clause
-                # ([R:QueryManager.py], SURVEY.md 2.9 U2).
+                # CONSTRUCT template: parsed into a SEPARATE accumulator —
+                # the BGP statistics keep using only the WHERE clause's TPs
+                # (the reference extracted the BGP from WHERE,
+                # [R:QueryManager.py], SURVEY.md 2.9 U2), while the round-6
+                # evaluator (sparql/eval.py:eval_construct) instantiates
+                # the template per WHERE solution.
                 saved = self.tps
                 self.tps = []
                 self.parse_group()
+                self.template = self.tps
                 self.tps = saved
             self.skip_dataset_clauses()
             self.eat_kw("WHERE")
@@ -777,11 +787,12 @@ def parse_query(text: str) -> ParseResult:
             select_vars=p.select_vars if form == "SELECT" else None,
             distinct=p.select_distinct,
             evaluable=(
-                form in ("SELECT", "ASK")
+                form in ("SELECT", "ASK", "CONSTRUCT")
                 and not p.complex
                 and not p.multi_arm
                 and bool(tps)
             ),
+            template=p.template if form == "CONSTRUCT" else None,
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

@@ -238,6 +238,61 @@ def test_answer_sparql_rejects(t):
             answer_sparql(t, q)
 
 
+# --------------------------------------------------------------- CONSTRUCT
+def test_construct_basic_and_shorthand(t):
+    got = sorted(
+        tuple(r)
+        for r in answer_sparql(
+            t,
+            """CONSTRUCT { ?n <has_resident> ?c . ?c <lives_in> ?n }
+               WHERE { ?c <in_nation> ?n . ?c <rdf_type> ?seg }""",
+        ).collect()
+    )
+    assert got == sorted(
+        [
+            ("n5", "has_resident", "c1"), ("c1", "lives_in", "n5"),
+            ("n3", "has_resident", "c2"), ("c2", "lives_in", "n3"),
+        ]
+    )
+    sh = answer_sparql(t, "CONSTRUCT WHERE { ?c <rdf_type> ?x }")
+    assert sorted(tuple(r) for r in sh.collect()) == [
+        ("c1", "rdf_type", "seg_A"), ("c2", "rdf_type", "seg_B"),
+    ]
+
+
+def test_construct_is_set_semantics(t):
+    # o1 has two parts -> two WHERE solutions, but the constant-object
+    # template triple must appear once (a graph is a set)
+    df = answer_sparql(
+        t,
+        "CONSTRUCT { ?o <flagged> <multi_part> } WHERE { ?o <contains_part> ?p }",
+    )
+    assert [tuple(r) for r in df.collect()] == [("o1", "flagged", "multi_part")]
+
+
+def test_construct_template_bnodes_fresh_and_connected(t):
+    rows = answer_sparql(
+        t,
+        """CONSTRUCT { ?c <membership> _:m . _:m <of_nation> ?n }
+           WHERE { ?c <in_nation> ?n . ?c <rdf_type> ?s }""",
+    ).collect()
+    mem = {r.subj: r.obj for r in rows if r.pred == "membership"}
+    ofn = {r.subj: r.obj for r in rows if r.pred == "of_nation"}
+    assert set(mem) == {"c1", "c2"}
+    # fresh per solution, connected across template TPs of the solution
+    assert len(set(mem.values())) == 2
+    assert all(b.startswith("_:") and ofn[b] for b in mem.values())
+    assert ofn[mem["c1"]] == "n5" and ofn[mem["c2"]] == "n3"
+
+
+def test_construct_unbound_template_var_instantiates_nothing(t):
+    df = answer_sparql(
+        t,
+        "CONSTRUCT { ?c <oops> ?nowhere } WHERE { ?c <rdf_type> <seg_A> }",
+    )
+    assert df.count() == 0
+
+
 # ----------------------------------------------------------------- closure
 def test_closure_chain_cycle_inverse(spark):
     rows = [(str(i), "next", str(i + 1)) for i in range(1, 5)]

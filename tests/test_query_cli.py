@@ -66,6 +66,33 @@ def test_closure_mode(spark, triples_path, tmpdir_path, capsys):
     assert preds == {"next+"}
 
 
+def test_construct_to_ntriples(spark, triples_path, tmpdir_path, capsys):
+    out = os.path.join(tmpdir_path, "nt")
+    rc = query_graph.main(
+        [
+            "--triples", triples_path,
+            "--query",
+            "CONSTRUCT { ?n <has_order> ?o } WHERE { ?o <placed_by>/<in_nation> ?n }",
+            "--out", out, "--format", "ntriples", "--base-iri", "http://kg.local/",
+        ]
+    )
+    assert rc == 0
+    assert _metrics(capsys)["n_rows"] == 3
+    lines = {r.value for r in spark.read.text(out).collect()}
+    assert "<http://kg.local/n5> <http://kg.local/has_order> <http://kg.local/o1> ." in lines
+
+
+def test_ntriples_format_needs_triple_shape(triples_path, tmpdir_path, capsys):
+    rc = query_graph.main(
+        [
+            "--triples", triples_path,
+            "--query", "SELECT ?o ?c WHERE { ?o <placed_by> ?c }",
+            "--out", os.path.join(tmpdir_path, "x"), "--format", "ntriples",
+        ]
+    )
+    assert rc == 2
+
+
 def test_out_of_subset_is_coded_reject(triples_path, capsys):
     rc = query_graph.main(
         [
