@@ -83,6 +83,7 @@ EXTRA = [
     "kg_bgp_optional",
     "kg_bgp_union",
     "kg_bgp_minus",
+    "kg_bgp_filter",
     "kg_path_closure",
     "kg_construct",
     "kg_ntriples_roundtrip",

@@ -2291,6 +2291,35 @@ def _hier_triples(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "kg_bgp_filter",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       a AS (SELECT subj AS cust, obj AS nat FROM t WHERE pred = 'in_nation'),
+       b AS (SELECT subj AS cust, obj AS seg FROM t WHERE pred = 'rdf_type')
+       SELECT a.cust, a.nat FROM a JOIN b USING (cust)
+       WHERE b.seg != 'seg_BUILDING' AND regexp_matches(a.nat, '^n1[0-9]$')""",
+)
+def kg_bgp_filter(spark, sf):
+    """SPARQL FILTER (round 6): the constraint goes in as TEXT and
+    compiles to a Column over the solution frame — non-BUILDING customers
+    in nations n10-n19 (string inequality + anchored REGEX), three-valued
+    logic matching SPARQL's error semantics (sparql/eval.py:
+    compile_filter).  The parser validates the filter against its group's
+    variable scope (out-of-scope vars demote to a coded reject instead of
+    a silently-global evaluation).  Full value oracle: WHERE-clause
+    replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """SELECT ?cust ?nat WHERE {
+             ?cust <in_nation> ?nat .
+             ?cust <rdf_type> ?seg .
+             FILTER(?seg != "seg_BUILDING" && REGEX(?nat, "^n1[0-9]$"))
+           }""",
+    )
+
+
+@q(
     "kg_construct",
     f"""WITH t AS ({_DM_TRIPLES_SQL}),
        sol AS (SELECT a.subj AS c, a.obj AS n
@@ -2630,6 +2659,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_bgp_optional",
     "kg_bgp_union",
     "kg_bgp_minus",
+    "kg_bgp_filter",
     "kg_construct",
     "kg_ntriples_roundtrip",
     "kg_path_closure",
@@ -2702,4 +2732,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 95, f"registry must hold exactly 95 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 96, f"registry must hold exactly 96 entries, got {len(REGISTRY)}"

@@ -288,10 +288,67 @@ def eval_minus(
     return out.distinct() if distinct else out
 
 
+def compile_filter(ast: tuple, columns: Sequence[str]) -> "F.Column":
+    """Compile a parser FILTER AST (parser.py:parse_filter_expr) into a
+    Column.  SPARQL's error semantics map onto Spark's three-valued logic
+    exactly: a type error (e.g. a non-numeric string under a numeric
+    comparison, via try_cast -> NULL) makes the comparison NULL, NULL
+    propagates through !/&&/|| the same way SPARQL errors do (false &&
+    error = false, true || error = true), and a NULL filter condition
+    drops the row — which is SPARQL's 'error eliminates the solution'.
+
+    Comparison typing over this engine's plain-string term model: a
+    numeric literal on either side compares numerically (both sides
+    try_cast to double); otherwise lexical string comparison.
+    """
+    kind = ast[0]
+    if kind == "or":
+        return compile_filter(ast[1], columns) | compile_filter(ast[2], columns)
+    if kind == "and":
+        return compile_filter(ast[1], columns) & compile_filter(ast[2], columns)
+    if kind == "not":
+        return ~compile_filter(ast[1], columns)
+    if kind == "cmp":
+        _, op, lhs, rhs = ast
+        numeric = (lhs[0] == "lit" and lhs[2] == "num") or (
+            rhs[0] == "lit" and rhs[2] == "num"
+        )
+
+        def operand(o):
+            c = F.col(o[1]) if o[0] == "var" else F.lit(o[1])
+            return c.try_cast("double") if numeric else c
+
+        a, b = operand(lhs), operand(rhs)
+        return {
+            "=": a == b, "!=": a != b,
+            "<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[op]
+    if kind == "call":
+        _, name, args = ast
+
+        def s(o):
+            return F.col(o[1]) if o[0] == "var" else F.lit(o[1])
+
+        a = s(args[0])
+        if name == "regex":
+            pat = str(args[1][1])
+            if len(args) == 3 and args[2][1] == "i":
+                pat = "(?i)" + pat
+            return a.rlike(pat)
+        b = s(args[1])
+        return {
+            "contains": a.contains(b),
+            "strstarts": a.startswith(b),
+            "strends": a.endswith(b),
+        }[name]
+    raise ValueError(f"unknown filter AST node {ast!r}")
+
+
 def eval_construct(
     triples: DataFrame,
     where_tps: Sequence,
     template: Optional[Sequence] = None,
+    filters: Sequence[tuple] = (),
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
@@ -322,6 +379,8 @@ def eval_construct(
         triples, where_tps,
         subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str,
     )
+    for fx in filters:
+        sols = sols.filter(compile_filter(fx, sols.columns))
     bound = set(sols.columns)
     # one deterministic bnode seed per solution: every bound var value
     # (md5 of the concatenated binding tuple; unit separator avoids
@@ -384,9 +443,22 @@ def answer_sparql(
             "use the eval_* combinators / path_closure for those"
         )
     kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str)
-    if r.query_form == "ASK":
-        sols = eval_bgp(triples, r.tps, **kw)
-        return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     if r.query_form == "CONSTRUCT":
-        return eval_construct(triples, r.tps, template=r.template, **kw)
-    return eval_bgp(triples, r.tps, select=r.select_vars, distinct=r.distinct, **kw)
+        return eval_construct(
+            triples, r.tps, template=r.template, filters=r.filters, **kw
+        )
+    # FILTERs apply over the FULL solution frame (their vars may be outside
+    # the projection), so project/distinct only afterwards
+    sols = eval_bgp(triples, r.tps, **kw)
+    for fx in r.filters:
+        sols = sols.filter(compile_filter(fx, sols.columns))
+    if r.query_form == "ASK":
+        return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    if r.select_vars is not None:
+        sols = sols.select(
+            *[
+                (F.col(v) if v in sols.columns else F.lit(None).cast("string")).alias(v)
+                for v in r.select_vars
+            ]
+        )
+    return sols.distinct() if r.distinct else sols

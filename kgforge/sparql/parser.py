@@ -132,6 +132,11 @@ class ParseResult(NamedTuple):
     # CONSTRUCT template TPs (None for other forms and for the
     # 'CONSTRUCT WHERE { ... }' shorthand, whose template is ``tps``)
     template: Optional[List[TriplePattern]] = None
+    # evaluable-subset FILTER constraint ASTs (comparisons, &&/||/!,
+    # REGEX/CONTAINS/STRSTARTS/STRENDS — picklable tuples compiled to
+    # Columns by sparql/eval.py; out-of-subset filters instead set
+    # evaluable=False via the complex flag)
+    filters: Tuple[tuple, ...] = ()
 
 
 class _Parser:
@@ -155,6 +160,10 @@ class _Parser:
         # CONSTRUCT template TPs ('CONSTRUCT WHERE { ... }' shorthand
         # leaves this None: the template IS the WHERE pattern)
         self.template: Optional[List[TriplePattern]] = None
+        # evaluable-subset FILTER ASTs (validated against their group's
+        # variable scope at group exit; out-of-scope or out-of-subset
+        # filters set complex=True instead)
+        self.filters: List[tuple] = []
 
     # --- token helpers -------------------------------------------------
     def peek(self) -> Optional[Token]:
@@ -415,6 +424,14 @@ class _Parser:
     # --- group graph pattern ------------------------------------------------
     def parse_group(self) -> None:
         self.eat_punct("{")
+        # filters parsed in THIS group validate against the group's own
+        # variable scope (SPARQL 1.1 section 8.2: a FILTER constrains its
+        # group, wherever it appears in it) — a filter referencing a var
+        # bound only OUTSIDE the group is always unbound -> error -> empty
+        # under the spec, which a global application would get wrong, so
+        # those demote to complex instead of evaluating.
+        group_filters: List[tuple] = []
+        tp_start = len(self.tps)
         while not self.at_punct("}"):
             t = self.peek()
             if t is None:
@@ -453,10 +470,17 @@ class _Parser:
                 self.parse_term()
                 self.parse_group()
             elif up == "FILTER":
-                self.simple = False
-                self.complex = True
+                self.simple = False  # stats: FILTER is a non-simple feature
                 self.next()
-                self.skip_filter_constraint()
+                # evaluable subset first; anything else falls back to the
+                # skip-and-mark-complex path (backtracking on the token idx)
+                saved_i = self.i
+                try:
+                    group_filters.append(self.parse_filter_expr())
+                except ParseError:
+                    self.i = saved_i
+                    self.complex = True
+                    self.skip_filter_constraint()
             elif up == "BIND":
                 self.simple = False
                 self.complex = True
@@ -485,6 +509,17 @@ class _Parser:
             if self.at_punct("."):
                 self.next()
         self.eat_punct("}")
+        if group_filters:
+            scope = set()
+            for tp in self.tps[tp_start:]:
+                for term in (tp.s, tp.p, tp.o):
+                    if term.kind == VAR:
+                        scope.add(term.value)
+            for fx in group_filters:
+                if self._fx_vars(fx) <= scope:
+                    self.filters.append(fx)
+                else:
+                    self.complex = True  # out-of-scope var: see note above
 
     def skip_parens(self) -> None:
         self.eat_punct("(")
@@ -495,6 +530,124 @@ class _Parser:
                 depth += 1
             elif t.kind == "PUNCT" and t.text == ")":
                 depth -= 1
+
+    # --- FILTER expressions (evaluable subset, round 6) ---------------------
+    # constraint := '(' expr ')' | call
+    # expr  := and ('||' and)* ; and := unary ('&&' unary)* ;
+    # unary := '!' unary | prim ;
+    # prim  := '(' expr ')' | call | operand CMPOP operand ;
+    # operand := ?var | literal | IRI | STR(?var) ;
+    # call  := REGEX(op, op[, op]) | CONTAINS/STRSTARTS/STRENDS(op, op)
+    # AST = picklable tuples, compiled to Columns in sparql/eval.py.
+    # Anything else (BOUND, arithmetic, IN, EXISTS, functions over exprs)
+    # raises ParseError here and falls back to the skip path (complex=True).
+    _FILTER_FNS = {"REGEX", "CONTAINS", "STRSTARTS", "STRENDS"}
+    _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+    def parse_filter_expr(self) -> tuple:
+        t = self.peek()
+        if t is not None and t.kind == "PUNCT" and t.text == "(":
+            self.next()
+            e = self._fx_or()
+            self.eat_punct(")")
+            return e
+        if t is not None and t.kind == "KEYWORD" and t.text.upper() in self._FILTER_FNS:
+            return self._fx_call()
+        raise ParseError("unsupported FILTER form")
+
+    def _fx_or(self) -> tuple:
+        e = self._fx_and()
+        while self.at_punct("||"):
+            self.next()
+            e = ("or", e, self._fx_and())
+        return e
+
+    def _fx_and(self) -> tuple:
+        e = self._fx_unary()
+        while self.at_punct("&&"):
+            self.next()
+            e = ("and", e, self._fx_unary())
+        return e
+
+    def _fx_unary(self) -> tuple:
+        if self.at_punct("!"):
+            self.next()
+            return ("not", self._fx_unary())
+        return self._fx_prim()
+
+    def _fx_prim(self) -> tuple:
+        t = self.peek()
+        if t is None:
+            raise ParseError("truncated FILTER")
+        if t.kind == "PUNCT" and t.text == "(":
+            self.next()
+            e = self._fx_or()
+            self.eat_punct(")")
+            return e
+        if t.kind == "KEYWORD" and t.text.upper() in self._FILTER_FNS:
+            return self._fx_call()
+        lhs = self._fx_operand()
+        t = self.peek()
+        if t is not None and t.kind == "PUNCT" and t.text in self._CMP_OPS:
+            self.next()
+            return ("cmp", t.text, lhs, self._fx_operand())
+        raise ParseError("bare FILTER operand (only comparisons/calls supported)")
+
+    def _fx_operand(self) -> tuple:
+        t = self.peek()
+        if t is None:
+            raise ParseError("truncated FILTER operand")
+        if t.kind == "VAR":
+            self.next()
+            return ("var", t.text[1:])
+        if t.kind == "NUMBER":
+            self.next()
+            return ("lit", float(t.text), "num")
+        if t.kind == "KEYWORD" and t.text.upper() == "STR":
+            # STR(?x): identity over this engine's plain-string term model
+            self.next()
+            self.eat_punct("(")
+            v = self._fx_operand()
+            self.eat_punct(")")
+            return v
+        if t.kind in ("STRING", "STRING3", "IRIREF", "PNAME") or (
+            t.kind == "KEYWORD" and t.text.upper() in ("TRUE", "FALSE")
+        ):
+            term = self.parse_term()
+            return ("lit", term.value, "str")
+        raise ParseError(f"unsupported FILTER operand at {t.pos}")
+
+    def _fx_call(self) -> tuple:
+        name = self.next().text.upper()
+        self.eat_punct("(")
+        args = [self._fx_operand()]
+        while self.at_punct(","):
+            self.next()
+            args.append(self._fx_operand())
+        self.eat_punct(")")
+        if name == "REGEX":
+            if len(args) not in (2, 3):
+                raise ParseError("REGEX takes 2 or 3 arguments")
+            if len(args) == 3 and (args[2][0] != "lit" or args[2][1] not in ("i", "")):
+                raise ParseError("only the 'i' REGEX flag is supported")
+        elif len(args) != 2:
+            raise ParseError(f"{name} takes 2 arguments")
+        return ("call", name.lower(), tuple(args))
+
+    @staticmethod
+    def _fx_vars(ast: tuple) -> set:
+        k = ast[0]
+        if k == "var":
+            return {ast[1]}
+        if k == "lit":
+            return set()
+        if k in ("or", "and", "cmp"):
+            return set().union(*(_Parser._fx_vars(a) for a in ast[2 if k == "cmp" else 1:]))
+        if k == "not":
+            return _Parser._fx_vars(ast[1])
+        if k == "call":
+            return set().union(*(_Parser._fx_vars(a) for a in ast[2]))
+        return set()
 
     def skip_filter_constraint(self) -> None:
         t = self.peek()
@@ -793,6 +946,7 @@ def parse_query(text: str) -> ParseResult:
                 and bool(tps)
             ),
             template=p.template if form == "CONSTRUCT" else None,
+            filters=tuple(p.filters),
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

@@ -231,11 +231,87 @@ def test_answer_sparql_rejects(t):
         "SELECT ?s WHERE { ?s <p>|<q> ?o }",
         "SELECT ?s WHERE { ?s <p>+ ?o }",
         "SELECT ?s WHERE { ?s <p> ?o OPTIONAL { ?o <q> ?x } }",
-        "SELECT ?s WHERE { ?s <p> ?o FILTER(?o > 3) }",
+        # simple FILTERs are evaluable since the round-6 filter subset;
+        # out-of-subset constraint forms still reject:
+        "SELECT ?s WHERE { ?s <p> ?o FILTER(BOUND(?o)) }",
         "SELECT (COUNT(?s) AS ?n) WHERE { ?s <p> ?o }",
     ):
         with pytest.raises(NotImplementedError):
             answer_sparql(t, q)
+
+
+# ------------------------------------------------------------------ FILTER
+@pytest.fixture(scope="module")
+def tf(spark):
+    rows = [
+        ("c1", "in_nation", "n5"), ("c2", "in_nation", "n3"), ("s1", "in_nation", "n5"),
+        ("c1", "rdf_type", "seg_A"), ("c2", "rdf_type", "seg_B"),
+        ("c1", "age", "30"), ("c2", "age", "7"), ("s1", "age", "x"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_filter_string_inequality(tf):
+    got = answer_sparql(
+        tf, 'SELECT ?c WHERE { ?c <rdf_type> ?s FILTER(?s != "seg_B") }'
+    ).collect()
+    assert [r.c for r in got] == ["c1"]
+
+
+def test_filter_numeric_type_error_drops_row(tf):
+    # s1's age is 'x': try_cast -> NULL -> SPARQL error semantics -> dropped
+    got = answer_sparql(
+        tf, "SELECT ?e ?a WHERE { ?e <age> ?a FILTER(?a >= 10) }"
+    ).collect()
+    assert [tuple(r) for r in got] == [("c1", "30")]
+
+
+def test_filter_three_valued_logic_and_builtins(tf):
+    # s1: age 'x' -> (?a < 20) is error/NULL, but CONTAINS(?e,'s') is true,
+    # and SPARQL's (error || true) = true — Spark's NULL||true matches
+    q = """SELECT ?e WHERE { ?e <in_nation> ?n . ?e <age> ?a
+           FILTER(REGEX(?n, "^n[0-9]$") && (?a < 20 || CONTAINS(?e, "s"))
+                  && !(?e = "zzz")) }"""
+    assert sorted(r.e for r in answer_sparql(tf, q).collect()) == ["c2", "s1"]
+
+
+def test_filter_case_insensitive_regex_and_strstarts(tf):
+    q = 'ASK { ?e <rdf_type> ?s FILTER(STRSTARTS(?s, "seg_") && REGEX(?s, "SEG", "i")) }'
+    assert answer_sparql(tf, q).collect()[0].ask is True
+
+
+def test_filter_applies_before_projection(tf):
+    # the filtered var ?s is NOT projected — filters run on the full frame
+    got = answer_sparql(
+        tf, 'SELECT ?c WHERE { ?c <rdf_type> ?s . ?c <age> ?a FILTER(?s = "seg_B") }'
+    ).collect()
+    assert [r.c for r in got] == ["c2"]
+
+
+def test_filter_out_of_scope_var_not_evaluable(tf):
+    from kgforge.sparql.parser import parse_query
+
+    r = parse_query(
+        'SELECT ?c WHERE { { ?c <rdf_type> ?s FILTER(?n = "n5") } . ?c <in_nation> ?n }'
+    )
+    assert r.parse_ok and not r.evaluable
+    with pytest.raises(NotImplementedError):
+        answer_sparql(tf, 'SELECT ?c WHERE { { ?c <rdf_type> ?s FILTER(?n = "n5") } . ?c <in_nation> ?n }')
+
+
+def test_filter_unsupported_builtin_falls_back(tf):
+    from kgforge.sparql.parser import parse_query
+
+    r = parse_query("SELECT ?c WHERE { ?c <rdf_type> ?s FILTER(BOUND(?s)) }")
+    assert r.parse_ok and not r.evaluable and r.filters == ()
+
+
+def test_filter_in_construct(tf):
+    g = answer_sparql(
+        tf,
+        'CONSTRUCT { ?c <adult> "yes" } WHERE { ?c <age> ?a FILTER(?a >= 18) }',
+    )
+    assert [tuple(r) for r in g.collect()] == [("c1", "adult", "yes")]
 
 
 # --------------------------------------------------------------- CONSTRUCT
