@@ -2207,16 +2207,19 @@ def kg_bgp_eval(spark, sf):
 def kg_bgp_optional(spark, sf):
     """SPARQL OPTIONAL (round 6): every entity with a nation, optionally
     extended by its rdf_type class — customers bind ?seg, suppliers stay
-    NULL (SPARQL unbound).  BGP solutions bind every var, so the LeftJoin
-    compatibility test compiles to a plain left outer join on the shared
-    vars (sparql/eval.py:eval_optional).  Full value oracle: LEFT JOIN
-    replay."""
-    from kgforge.sparql.eval import eval_optional
+    NULL (SPARQL unbound).  Answered from query TEXT: the parser captures
+    top-level OPTIONAL groups as spans and the evaluator LeftJoins each in
+    query order (BGP solutions bind every var, so LeftJoin compatibility
+    compiles to a plain left outer join on the shared vars).  Full value
+    oracle: LEFT JOIN replay."""
+    from kgforge.sparql.eval import answer_sparql
 
-    return eval_optional(
+    return answer_sparql(
         _dm_triples(spark, sf),
-        [("?ent", "in_nation", "?nat")],
-        [("?ent", "rdf_type", "?seg")],
+        """SELECT ?ent ?nat ?seg WHERE {
+             ?ent <in_nation> ?nat
+             OPTIONAL { ?ent <rdf_type> ?seg }
+           }""",
     )
 
 

@@ -381,6 +381,17 @@ def eval_construct(
     )
     for fx in filters:
         sols = sols.filter(compile_filter(fx, sols.columns))
+    return _instantiate_template(sols, tpl, subj_col, pred_col, obj_col, term_str)
+
+
+def _instantiate_template(
+    sols: DataFrame,
+    tpl: Sequence[TriplePattern],
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+    term_str: Callable[[Term], str],
+) -> DataFrame:
     bound = set(sols.columns)
     # one deterministic bnode seed per solution: every bound var value
     # (md5 of the concatenated binding tuple; unit separator avoids
@@ -443,15 +454,38 @@ def answer_sparql(
             "use the eval_* combinators / path_closure for those"
         )
     kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str)
-    if r.query_form == "CONSTRUCT":
+    base = r.base_tps if r.base_tps is not None else r.tps
+    if r.query_form == "CONSTRUCT" and not r.optionals:
         return eval_construct(
             triples, r.tps, template=r.template, filters=r.filters, **kw
         )
-    # FILTERs apply over the FULL solution frame (their vars may be outside
-    # the projection), so project/distinct only afterwards
-    sols = eval_bgp(triples, r.tps, **kw)
+    # solution frame: conjunctive base, then each top-level OPTIONAL group
+    # LeftJoins in query order (its own filters pre-join, group-scoped —
+    # parser guarantees the scope), then the main group's FILTERs over the
+    # full frame (possibly-unbound optional vars: NULL comparisons drop
+    # rows, exactly SPARQL's unbound -> error -> eliminate)
+    sols = eval_bgp(triples, base, **kw)
+    for opt_tps, opt_filters in r.optionals:
+        opt = eval_bgp(triples, opt_tps, **kw)
+        for fx in opt_filters:
+            opt = opt.filter(compile_filter(fx, opt.columns))
+        shared = sorted(set(sols.columns) & set(opt.columns))
+        if shared:
+            sols = sols.join(opt, on=shared, how="left")
+        else:
+            k = "__optk"
+            sols = (
+                sols.withColumn(k, F.lit(1))
+                .join(opt.withColumn(k, F.lit(1)), on=k, how="left")
+                .drop(k)
+            )
     for fx in r.filters:
         sols = sols.filter(compile_filter(fx, sols.columns))
+    if r.query_form == "CONSTRUCT":
+        return _instantiate_template(
+            sols, [_coerce_tp(t) for t in (r.template if r.template is not None else r.tps)],
+            subj_col, pred_col, obj_col, term_str,
+        )
     if r.query_form == "ASK":
         return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     if r.select_vars is not None:

@@ -137,6 +137,13 @@ class ParseResult(NamedTuple):
     # Columns by sparql/eval.py; out-of-subset filters instead set
     # evaluable=False via the complex flag)
     filters: Tuple[tuple, ...] = ()
+    # top-level OPTIONAL groups as (tps_tuple, filters_tuple) pairs, in
+    # query order.  ``tps`` above still INCLUDES these TPs (flat
+    # collect-all-groups, the stats contract); ``base_tps`` below is the
+    # conjunctive base with the optional spans removed — what the
+    # evaluator joins before LeftJoining each optional group.
+    optionals: Tuple[tuple, ...] = ()
+    base_tps: Optional[List[TriplePattern]] = None
 
 
 class _Parser:
@@ -164,6 +171,13 @@ class _Parser:
         # variable scope at group exit; out-of-scope or out-of-subset
         # filters set complex=True instead)
         self.filters: List[tuple] = []
+        # top-level OPTIONAL groups captured for evaluation as
+        # (tp_start, tp_end, filters) spans over self.tps — the flat tps
+        # list keeps INCLUDING optional TPs (the reference collected TPs
+        # from every group; stats/canonicalization depend on that), the
+        # spans let the evaluator split base vs optional.
+        self.optional_spans: List[tuple] = []
+        self._depth = 0
 
     # --- token helpers -------------------------------------------------
     def peek(self) -> Optional[Token]:
@@ -423,6 +437,7 @@ class _Parser:
 
     # --- group graph pattern ------------------------------------------------
     def parse_group(self) -> None:
+        self._depth += 1
         self.eat_punct("{")
         # filters parsed in THIS group validate against the group's own
         # variable scope (SPARQL 1.1 section 8.2: a FILTER constrains its
@@ -446,10 +461,29 @@ class _Parser:
                         self.next()
                         self.parse_group()
             elif up == "OPTIONAL":
-                self.simple = False
-                self.complex = True
+                self.simple = False  # stats: OPTIONAL is a non-simple feature
                 self.next()
-                self.parse_group()
+                if self._depth == 1:
+                    # top-level OPTIONAL: capture the group as a span so the
+                    # evaluator can LeftJoin it (sparql/eval.py).  Its
+                    # FILTERs move out of the main filter list (they apply
+                    # to the optional side, SPARQL 1.1 section 8.3.3 —
+                    # equivalent pre-join when scoped to the group, which
+                    # the group-exit scope check guarantees).  A complex
+                    # body (nested OPTIONAL/UNION/...) flips self.complex
+                    # inside parse_group and the whole query demotes anyway.
+                    t_start = len(self.tps)
+                    f_start = len(self.filters)
+                    self.parse_group()
+                    ofilters = tuple(self.filters[f_start:])
+                    del self.filters[f_start:]
+                    self.optional_spans.append((t_start, len(self.tps), ofilters))
+                else:
+                    # OPTIONAL nested below the main group: its LeftJoin
+                    # attaches to the INNER group's solutions — not
+                    # expressible on the flat TP list, so not evaluable
+                    self.complex = True
+                    self.parse_group()
             elif up in ("MINUS",):
                 self.simple = False
                 self.complex = True
@@ -520,6 +554,7 @@ class _Parser:
                     self.filters.append(fx)
                 else:
                     self.complex = True  # out-of-scope var: see note above
+        self._depth -= 1
 
     def skip_parens(self) -> None:
         self.eat_punct("(")
@@ -859,10 +894,21 @@ class _Parser:
                 # evaluator (sparql/eval.py:eval_construct) instantiates
                 # the template per WHERE solution.
                 saved = self.tps
+                saved_spans = self.optional_spans
+                saved_filters = self.filters
                 self.tps = []
+                self.optional_spans = []
+                self.filters = []
                 self.parse_group()
+                if self.optional_spans or self.filters:
+                    # OPTIONAL/FILTER are not template syntax; the TPs were
+                    # still collected (permissive parse) but the query is
+                    # not evaluable as written
+                    self.complex = True
                 self.template = self.tps
                 self.tps = saved
+                self.optional_spans = saved_spans
+                self.filters = saved_filters
             self.skip_dataset_clauses()
             self.eat_kw("WHERE")
             self.parse_group()
@@ -935,6 +981,22 @@ def parse_query(text: str) -> ParseResult:
         tokens = tokenize(text)
         p = _Parser(tokens)
         form, tps, simple = p.parse_query()
+        spans = p.optional_spans
+        in_span = set()
+        for s, e, _ in spans:
+            in_span.update(range(s, e))
+        base = [tp for i, tp in enumerate(tps) if i not in in_span]
+        optionals = tuple((tuple(tps[s:e]), fx) for s, e, fx in spans)
+        # evaluation subset: every base TP must PRECEDE the first OPTIONAL
+        # (SPARQL algebra builds left-to-right — a base pattern after a
+        # LeftJoin joins after it, which a base-first evaluation would get
+        # wrong when it shares vars with the optional side), and optional
+        # groups must be non-empty
+        opt_ok = bool(spans) and not p.complex
+        if opt_ok:
+            first = spans[0][0]
+            opt_ok = all(i < first for i in range(len(tps)) if i not in in_span)
+            opt_ok = opt_ok and all(s < e for s, e, _ in spans) and bool(base)
         return ParseResult(
             True, form, tps, simple, None,
             select_vars=p.select_vars if form == "SELECT" else None,
@@ -944,9 +1006,12 @@ def parse_query(text: str) -> ParseResult:
                 and not p.complex
                 and not p.multi_arm
                 and bool(tps)
+                and (not spans or opt_ok)
             ),
             template=p.template if form == "CONSTRUCT" else None,
             filters=tuple(p.filters),
+            optionals=optionals,
+            base_tps=base,
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

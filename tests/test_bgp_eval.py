@@ -230,7 +230,9 @@ def test_answer_sparql_rejects(t):
     for q in (
         "SELECT ?s WHERE { ?s <p>|<q> ?o }",
         "SELECT ?s WHERE { ?s <p>+ ?o }",
-        "SELECT ?s WHERE { ?s <p> ?o OPTIONAL { ?o <q> ?x } }",
+        # top-level OPTIONAL evaluates since round 6; NESTED optionals and
+        # base-TPs-after-OPTIONAL remain out of the subset:
+        "SELECT ?s WHERE { ?s <p> ?o OPTIONAL { ?o <q> ?x OPTIONAL { ?x <r> ?y } } }",
         # simple FILTERs are evaluable since the round-6 filter subset;
         # out-of-subset constraint forms still reject:
         "SELECT ?s WHERE { ?s <p> ?o FILTER(BOUND(?o)) }",
@@ -238,6 +240,64 @@ def test_answer_sparql_rejects(t):
     ):
         with pytest.raises(NotImplementedError):
             answer_sparql(t, q)
+
+
+# ------------------------------------------------- OPTIONAL from query text
+def test_answer_sparql_optional(t):
+    got = sorted(
+        tuple(r)
+        for r in answer_sparql(
+            t,
+            "SELECT ?e ?n ?s WHERE { ?e <in_nation> ?n OPTIONAL { ?e <rdf_type> ?s } }",
+        ).collect()
+    )
+    assert got == [("c1", "n5", "seg_A"), ("c2", "n3", "seg_B"), ("s1", "n5", None)]
+
+
+def test_answer_sparql_chained_optionals_with_inner_filter(t):
+    q = """SELECT ?e ?s ?p WHERE { ?e <placed_by> ?c
+           OPTIONAL { ?e <contains_part> ?p FILTER(?p != "p2") }
+           OPTIONAL { ?c <rdf_type> ?s } }"""
+    got = sorted(tuple(r) for r in answer_sparql(t, q).collect())
+    assert got == [
+        ("o1", "seg_A", "p1"),  # p2 filtered inside the optional group
+        ("o2", "seg_A", None),
+        ("o3", "seg_B", None),
+    ]
+
+
+def test_answer_sparql_main_filter_on_optional_var(t):
+    # unbound optional var under a main-group filter: SPARQL error -> drop
+    q = """SELECT ?e WHERE { ?e <in_nation> ?n OPTIONAL { ?e <rdf_type> ?s }
+           FILTER(?s != "seg_B") }"""
+    assert sorted(r.e for r in answer_sparql(t, q).collect()) == ["c1"]
+
+
+def test_optional_subset_boundaries(t):
+    from kgforge.sparql.parser import parse_query
+
+    # base TP after the OPTIONAL: algebra order not expressible -> demote
+    r = parse_query(
+        "SELECT ?e WHERE { ?e <in_nation> ?n OPTIONAL { ?e <rdf_type> ?s } ?e <age> ?a }"
+    )
+    assert r.parse_ok and not r.evaluable
+    # nested OPTIONAL -> demote
+    r2 = parse_query(
+        "SELECT ?e WHERE { ?e <a> ?n OPTIONAL { ?e <b> ?s OPTIONAL { ?e <c> ?x } } }"
+    )
+    assert r2.parse_ok and not r2.evaluable
+    # flat tps still include optional TPs (stats contract unchanged)
+    r3 = parse_query("SELECT ?e WHERE { ?e <a> ?n OPTIONAL { ?e <b> ?s } }")
+    assert len(r3.tps) == 2 and len(r3.base_tps) == 1 and len(r3.optionals) == 1
+
+
+def test_construct_with_optional_drops_only_unbound_rows(t):
+    q = """CONSTRUCT { ?e <nat> ?n . ?e <seg> ?s }
+           WHERE { ?e <in_nation> ?n OPTIONAL { ?e <rdf_type> ?s } }"""
+    got = sorted(tuple(r) for r in answer_sparql(t, q).collect())
+    assert ("s1", "nat", "n5") in got
+    assert not any(r[0] == "s1" and r[1] == "seg" for r in got)
+    assert ("c1", "seg", "seg_A") in got
 
 
 # ------------------------------------------------------------------ FILTER
