@@ -2235,14 +2235,18 @@ def kg_bgp_union(spark, sf):
     """SPARQL UNION (round 6) with heterogeneous branch variables:
     entities in nation n3 (binds ?ent only) unioned with all typed
     entities (binds ?ent and ?cls) — branch solutions align on the union
-    of the variables, absent vars NULL-padded, bag semantics preserved
-    (sparql/eval.py:eval_union).  Full value oracle: NULL-padded UNION
-    ALL."""
-    from kgforge.sparql.eval import eval_union
+    of the variables, absent vars NULL-padded, bag semantics preserved.
+    Answered from query TEXT: the parser captures the top-level UNION
+    chain as arm spans and the evaluator NULL-pad-unions the conjunctive
+    arms (sparql/eval.py:answer_sparql).  Full value oracle: NULL-padded
+    UNION ALL."""
+    from kgforge.sparql.eval import answer_sparql
 
-    return eval_union(
+    return answer_sparql(
         _dm_triples(spark, sf),
-        [[("?ent", "in_nation", "n3")], [("?ent", "rdf_type", "?cls")]],
+        """SELECT ?ent ?cls WHERE {
+             { ?ent <in_nation> <n3> } UNION { ?ent <rdf_type> ?cls }
+           }""",
     )
 
 

@@ -455,16 +455,41 @@ def answer_sparql(
         )
     kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str)
     base = r.base_tps if r.base_tps is not None else r.tps
-    if r.query_form == "CONSTRUCT" and not r.optionals:
+    if r.query_form == "CONSTRUCT" and not r.optionals and not r.unions:
         return eval_construct(
             triples, r.tps, template=r.template, filters=r.filters, **kw
         )
-    # solution frame: conjunctive base, then each top-level OPTIONAL group
-    # LeftJoins in query order (its own filters pre-join, group-scoped —
-    # parser guarantees the scope), then the main group's FILTERs over the
-    # full frame (possibly-unbound optional vars: NULL comparisons drop
-    # rows, exactly SPARQL's unbound -> error -> eliminate)
-    sols = eval_bgp(triples, base, **kw)
+    # solution frame: either ONE top-level UNION chain (NULL-padded union
+    # of conjunctive arms, each with its arm-scoped filters), or the
+    # conjunctive base followed by each top-level OPTIONAL group
+    # LeftJoining in query order (its own filters pre-join, group-scoped —
+    # parser guarantees the scope); then the main group's FILTERs over the
+    # full frame (possibly-unbound vars: NULL comparisons drop rows,
+    # exactly SPARQL's unbound -> error -> eliminate)
+    if r.unions:
+        allvars: List[str] = []
+        for arm_tps, _ in r.unions:
+            for v in _bgp_vars(arm_tps):
+                if v not in allvars:
+                    allvars.append(v)
+        parts = []
+        for arm_tps, arm_filters in r.unions:
+            arm = eval_bgp(triples, arm_tps, **kw)
+            for fx in arm_filters:
+                arm = arm.filter(compile_filter(fx, arm.columns))
+            parts.append(
+                arm.select(
+                    *[
+                        (F.col(v) if v in arm.columns else F.lit(None).cast("string")).alias(v)
+                        for v in allvars
+                    ]
+                )
+            )
+        sols = parts[0]
+        for part in parts[1:]:
+            sols = sols.unionByName(part)
+    else:
+        sols = eval_bgp(triples, base, **kw)
     for opt_tps, opt_filters in r.optionals:
         opt = eval_bgp(triples, opt_tps, **kw)
         for fx in opt_filters:

@@ -144,6 +144,11 @@ class ParseResult(NamedTuple):
     # evaluator joins before LeftJoining each optional group.
     optionals: Tuple[tuple, ...] = ()
     base_tps: Optional[List[TriplePattern]] = None
+    # ONE top-level UNION chain as ((tps, filters), ...) arms; evaluable
+    # only when the chain is the ENTIRE WHERE group (mixing base TPs with
+    # a union needs compatibility joins over NULL-padded arms — out of
+    # the subset, demoted instead of approximated)
+    unions: Tuple[tuple, ...] = ()
 
 
 class _Parser:
@@ -177,6 +182,9 @@ class _Parser:
         # from every group; stats/canonicalization depend on that), the
         # spans let the evaluator split base vs optional.
         self.optional_spans: List[tuple] = []
+        # ONE top-level UNION chain captured for evaluation, as arm spans
+        # (tp_start, tp_end, filters) — same flat-tps contract as optionals
+        self.union_arms: List[tuple] = []
         self._depth = 0
 
     # --- token helpers -------------------------------------------------
@@ -453,13 +461,25 @@ class _Parser:
                 raise ParseError("unterminated group")
             up = t.text.upper() if t.kind == "KEYWORD" else ""
             if t.kind == "PUNCT" and t.text == "{":
+                s0, f0 = len(self.tps), len(self.filters)
                 self.parse_group()  # nested group (possibly lhs of UNION)
                 if self.at_kw("UNION"):
-                    self.simple = False
-                    self.complex = True
+                    self.simple = False  # stats: UNION is a non-simple feature
+                    arms = [(s0, len(self.tps), tuple(self.filters[f0:]))]
+                    del self.filters[f0:]
                     while self.at_kw("UNION"):
                         self.next()
+                        s, f = len(self.tps), len(self.filters)
                         self.parse_group()
+                        arms.append((s, len(self.tps), tuple(self.filters[f:])))
+                        del self.filters[f:]
+                    if self._depth == 1 and not self.union_arms:
+                        # one top-level chain is evaluable (NULL-padded
+                        # union of conjunctive arms, sparql/eval.py); the
+                        # wrapper validates it is the WHOLE group
+                        self.union_arms = arms
+                    else:
+                        self.complex = True  # nested chain / second chain
             elif up == "OPTIONAL":
                 self.simple = False  # stats: OPTIONAL is a non-simple feature
                 self.next()
@@ -997,6 +1017,17 @@ def parse_query(text: str) -> ParseResult:
             first = spans[0][0]
             opt_ok = all(i < first for i in range(len(tps)) if i not in in_span)
             opt_ok = opt_ok and all(s < e for s, e, _ in spans) and bool(base)
+        arms = p.union_arms
+        union_ok = bool(arms) and not p.complex and not spans
+        if union_ok:
+            armed = set()
+            for s, e, _ in arms:
+                armed.update(range(s, e))
+            union_ok = (
+                armed == set(range(len(tps)))
+                and all(e > s for s, e, _ in arms)
+            )
+        unions = tuple((tuple(tps[s:e]), fx) for s, e, fx in arms)
         return ParseResult(
             True, form, tps, simple, None,
             select_vars=p.select_vars if form == "SELECT" else None,
@@ -1007,11 +1038,13 @@ def parse_query(text: str) -> ParseResult:
                 and not p.multi_arm
                 and bool(tps)
                 and (not spans or opt_ok)
+                and (not arms or union_ok)
             ),
             template=p.template if form == "CONSTRUCT" else None,
             filters=tuple(p.filters),
             optionals=optionals,
             base_tps=base,
+            unions=unions,
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

@@ -300,6 +300,45 @@ def test_construct_with_optional_drops_only_unbound_rows(t):
     assert ("c1", "seg", "seg_A") in got
 
 
+# --------------------------------------------------- UNION from query text
+def test_answer_sparql_union_null_padding(t):
+    q = "SELECT ?x ?cls WHERE { { ?x <in_nation> <n3> } UNION { ?x <rdf_type> ?cls } }"
+    got = [(r.x, r.cls) for r in answer_sparql(t, q).collect()]
+    assert sorted(got, key=str) == sorted(
+        [("c2", None), ("c1", "seg_A"), ("c2", "seg_B")], key=str
+    )
+
+
+def test_answer_sparql_union_arm_filter_and_ask(t):
+    q = """SELECT ?x WHERE { { ?x <in_nation> <n5> }
+           UNION { ?x <rdf_type> ?c FILTER(?c != "seg_A") } }"""
+    assert sorted(r.x for r in answer_sparql(t, q).collect()) == ["c1", "c2", "s1"]
+    ask = "ASK { { ?x <in_nation> <n9> } UNION { ?x <rdf_type> <seg_B> } }"
+    assert answer_sparql(t, ask).collect()[0].ask is True
+
+
+def test_union_subset_boundaries(t):
+    from kgforge.sparql.parser import parse_query
+
+    # mixed base TPs + union, nested chains, two chains: demoted not wrong
+    for q in (
+        "SELECT ?x WHERE { ?x <in_nation> ?n . { ?x <a> ?b } UNION { ?x <c> ?d } }",
+        "SELECT ?x WHERE { { { ?x <a> ?b } UNION { ?x <c> ?d } } UNION { ?x <e> ?f } }",
+        "SELECT ?x WHERE { { ?x <a> ?b } UNION { ?x <c> ?d } . { ?x <e> ?f } UNION { ?x <g> ?h } }",
+    ):
+        r = parse_query(q)
+        assert r.parse_ok and not r.evaluable, q
+        with pytest.raises(NotImplementedError):
+            answer_sparql(t, q)
+
+
+def test_construct_over_union(t):
+    q = """CONSTRUCT { ?x <hit> "y" }
+           WHERE { { ?x <in_nation> <n3> } UNION { ?x <rdf_type> <seg_A> } }"""
+    got = sorted(tuple(r) for r in answer_sparql(t, q).collect())
+    assert got == [("c1", "hit", "y"), ("c2", "hit", "y")]
+
+
 # ------------------------------------------------------------------ FILTER
 @pytest.fixture(scope="module")
 def tf(spark):
