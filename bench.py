@@ -87,6 +87,7 @@ EXTRA = [
     "kg_path_closure",
     "kg_construct",
     "kg_ntriples_roundtrip",
+    "kg_khop_sample",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

@@ -265,6 +265,88 @@ def path_closure(
     )
 
 
+def khop_sample(
+    triples: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    fanout: int = 10,
+    pred: str = None,
+    salt: str = "s0",
+    direction: str = "out",
+    n_salt: int = 16,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Deterministic k-hop neighborhood sampling over a triple/edge table —
+    the mini-batch computation-graph builder for GNN training (GraphSAGE
+    / PinSAGE style): per frontier node keep at most ``fanout`` neighbors,
+    expand ``k`` hops from each seed, return every sampled edge labeled
+    with its (seed, hop).
+
+    Determinism instead of RNG state: a neighbor's sampling rank is
+    ``md5(src | dst | salt)`` — content-keyed like every other sampler in
+    this repo (negative_samples, corpus_shuffle), so a given (graph, salt)
+    always yields the same computation graph, retries are idempotent, and
+    a DuckDB oracle can replay the exact choice (row_number over the same
+    md5).  Vary ``salt`` per epoch for fresh samples.
+
+    Scale shape:
+      * the sampled adjacency is computed ONCE for the whole graph and
+        shared across seeds — per-src top-``fanout`` by hash via the same
+        TWO-LEVEL CAPPED MIN-K as the inverted-index heads (text.py:
+        postings): level 1 caps per (src, hash(dst) % n_salt) bucket,
+        level 2 merges <= n_salt partial heads — aggregation buffers stay
+        O(n_salt * fanout) even on celebrity hub nodes, where a window
+        row_number would sort the hub's whole edge list in one partition;
+      * each hop is then one equi-join of the (seed, node) frontier with
+        the sampled adjacency on the 8-byte node key + a DISTINCT to
+        collapse converging paths — frontier size is bounded by
+        seeds * fanout^hop, never by path multiplicities.
+
+    ``seeds``: one-column DataFrame of seed node ids.  ``pred`` filters to
+    one predicate's edges (None = every triple is an edge); ``direction``
+    'out' walks subj->obj, 'in' walks obj->subj.  Returns (seed, hop, src,
+    dst), hop in 1..k.
+    """
+    assert direction in ("out", "in")
+    s_col, o_col = (subj_col, obj_col) if direction == "out" else (obj_col, subj_col)
+    e = triples
+    if pred is not None:
+        e = e.filter(F.col(pred_col) == pred)
+    e = e.select(F.col(s_col).alias("src"), F.col(o_col).alias("dst")).distinct()
+    h = F.md5(F.concat_ws("|", F.col("src"), F.col("dst"), F.lit(salt)))
+    salted = e.select(
+        "src", F.struct(h.alias("h"), F.col("dst").alias("dst")).alias("hd"),
+        F.pmod(F.xxhash64("dst"), F.lit(n_salt)).alias("b"),
+    )
+    part = salted.groupBy("src", "b").agg(
+        F.slice(F.array_sort(F.collect_list("hd")), 1, fanout).alias("hds")
+    )
+    adj = (
+        part.groupBy("src")
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("hds"))), 1, fanout).alias("hds")
+        )
+        .select("src", F.explode("hds").alias("hd"))
+        .select("src", F.col("hd.dst").alias("dst"))
+    )
+    seed_col = seeds.columns[0]
+    frontier = seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("node")).distinct()
+    hops = []
+    for hop in range(1, k + 1):
+        step = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select("seed", F.lit(hop).alias("hop"), "src", "dst")
+        )
+        hops.append(step)
+        frontier = step.select("seed", F.col("dst").alias("node")).distinct()
+    out = hops[0]
+    for s in hops[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def schema_infer(
     triples: DataFrame,
     type_pred: str = "rdf_type",

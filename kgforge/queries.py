@@ -2327,6 +2327,40 @@ def kg_bgp_filter(spark, sf):
 
 
 @q(
+    "kg_khop_sample",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       e AS (SELECT DISTINCT obj AS s, subj AS o FROM t),
+       adj AS (SELECT s, o FROM (
+                 SELECT s, o, row_number() OVER (
+                   PARTITION BY s ORDER BY md5(s || '|' || o || '|' || 'epoch0')
+                 ) AS rn FROM e) WHERE rn <= 10),
+       f0 AS (SELECT * FROM (VALUES ('n1'), ('n2'), ('n3')) v(node)),
+       h1 AS (SELECT f0.node AS seed, 1 AS hop, adj.s AS src, adj.o AS dst
+              FROM f0 JOIN adj ON f0.node = adj.s),
+       f1 AS (SELECT DISTINCT seed, dst AS node FROM h1),
+       h2 AS (SELECT f1.seed, 2 AS hop, adj.s AS src, adj.o AS dst
+              FROM f1 JOIN adj ON f1.node = adj.s)
+       SELECT seed, hop, src, dst FROM h1
+       UNION ALL SELECT seed, hop, src, dst FROM h2""",
+)
+def kg_khop_sample(spark, sf):
+    """k-hop neighborhood sampling (round 6): the GNN mini-batch
+    computation graph — 2 hops from 3 seed nations over the REVERSED
+    direct-mapping edges (nation -> residents -> their orders), fanout 10
+    per node, deterministically sampled by content hash (vary the salt
+    per epoch).  The sampled adjacency is computed once via the two-level
+    capped min-k (no hub-node window sort) and shared across seeds
+    (operators/graph.py:khop_sample).  Full value oracle: row_number over
+    the same md5 rank replays the exact sample."""
+    from kgforge.operators.graph import khop_sample
+
+    seeds = spark.createDataFrame([("n1",), ("n2",), ("n3",)], "seed string")
+    return khop_sample(
+        _dm_triples(spark, sf), seeds, k=2, fanout=10, salt="epoch0", direction="in"
+    )
+
+
+@q(
     "kg_construct",
     f"""WITH t AS ({_DM_TRIPLES_SQL}),
        sol AS (SELECT a.subj AS c, a.obj AS n
@@ -2667,6 +2701,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_bgp_union",
     "kg_bgp_minus",
     "kg_bgp_filter",
+    "kg_khop_sample",
     "kg_construct",
     "kg_ntriples_roundtrip",
     "kg_path_closure",
@@ -2739,4 +2774,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 96, f"registry must hold exactly 96 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 97, f"registry must hold exactly 97 entries, got {len(REGISTRY)}"
