@@ -88,6 +88,7 @@ EXTRA = [
     "kg_construct",
     "kg_ntriples_roundtrip",
     "kg_khop_sample",
+    "kg_bgp_values",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

@@ -2327,6 +2327,34 @@ def kg_bgp_filter(spark, sf):
 
 
 @q(
+    "kg_bgp_values",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       a AS (SELECT subj AS ent, obj AS nat FROM t WHERE pred = 'in_nation'),
+       b AS (SELECT subj AS ent, obj AS seg FROM t WHERE pred = 'rdf_type')
+       SELECT a.ent, a.nat, b.seg FROM a JOIN b USING (ent)
+       WHERE a.nat IN ('n2', 'n7', 'n11')""",
+)
+def kg_bgp_values(spark, sf):
+    """SPARQL VALUES (round 6): inline solution data joined into the BGP —
+    typed entities restricted to three nations by an inline table.  The
+    parser captures one UNDEF-free top-level clause; the evaluator inner
+    equi-joins the broadcast literal rows (exact SPARQL Join(group, data)
+    because the VALUES vars are guaranteed base-bound; UNDEF rows demote
+    to a coded reject instead of approximating compatibility).  Full
+    value oracle: IN-list replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """SELECT ?ent ?nat ?seg WHERE {
+             ?ent <in_nation> ?nat .
+             ?ent <rdf_type> ?seg .
+             VALUES ?nat { <n2> <n7> <n11> }
+           }""",
+    )
+
+
+@q(
     "kg_khop_sample",
     f"""WITH t AS ({_DM_TRIPLES_SQL}),
        e AS (SELECT DISTINCT obj AS s, subj AS o FROM t),
@@ -2701,6 +2729,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_bgp_union",
     "kg_bgp_minus",
     "kg_bgp_filter",
+    "kg_bgp_values",
     "kg_khop_sample",
     "kg_construct",
     "kg_ntriples_roundtrip",
@@ -2774,4 +2803,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 97, f"registry must hold exactly 97 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 98, f"registry must hold exactly 98 entries, got {len(REGISTRY)}"

@@ -490,6 +490,15 @@ def answer_sparql(
             sols = sols.unionByName(part)
     else:
         sols = eval_bgp(triples, base, **kw)
+    if r.values is not None:
+        # inline VALUES table: the parser guarantees its vars are bound in
+        # the base/every arm, so a plain inner equi-join is exact SPARQL
+        # Join(group, data) — and Catalyst broadcasts the literal rows
+        vvars, vrows = r.values
+        inline = triples.sparkSession.createDataFrame(
+            [tuple(row) for row in vrows], ", ".join(f"{v} string" for v in vvars)
+        )
+        sols = sols.join(F.broadcast(inline), on=list(vvars))
     for opt_tps, opt_filters in r.optionals:
         opt = eval_bgp(triples, opt_tps, **kw)
         for fx in opt_filters:

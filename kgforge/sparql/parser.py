@@ -149,6 +149,10 @@ class ParseResult(NamedTuple):
     # a union needs compatibility joins over NULL-padded arms — out of
     # the subset, demoted instead of approximated)
     unions: Tuple[tuple, ...] = ()
+    # ONE top-level UNDEF-free VALUES clause as (vars, rows): an inline
+    # solution table the evaluator equi-joins with the solution frame
+    # (UNDEF rows need compatibility joins — demoted instead)
+    values: Optional[tuple] = None
 
 
 class _Parser:
@@ -185,6 +189,8 @@ class _Parser:
         # ONE top-level UNION chain captured for evaluation, as arm spans
         # (tp_start, tp_end, filters) — same flat-tps contract as optionals
         self.union_arms: List[tuple] = []
+        # ONE top-level UNDEF-free VALUES clause: (vars, rows) or None
+        self.values_clause: Optional[tuple] = None
         self._depth = 0
 
     # --- token helpers -------------------------------------------------
@@ -541,10 +547,9 @@ class _Parser:
                 self.next()
                 self.skip_parens()
             elif up == "VALUES":
-                self.simple = False
-                self.complex = True
+                self.simple = False  # stats: VALUES is a non-simple feature
                 self.next()
-                self.parse_values()
+                self.parse_values()  # captures or demotes (see parse_values)
             elif up == "SELECT":
                 # subquery: { SELECT ... WHERE { ... } modifiers } — the
                 # reference (via rdflib algebra walk) collected TPs from the
@@ -721,12 +726,14 @@ class _Parser:
         else:
             raise ParseError(f"bad FILTER at {t.pos}")
 
-    def parse_data_term(self) -> None:
+    def parse_data_term(self):
         """One VALUES data-block value: IRI / literal / UNDEF (vars and
-        bnodes are NOT legal here — SPARQL 1.1 grammar rule [65] DataBlockValue)."""
+        bnodes are NOT legal here — SPARQL 1.1 grammar rule [65]
+        DataBlockValue).  Returns the plain-string value for the
+        evaluator, or None for UNDEF."""
         if self.at_kw("UNDEF"):
             self.next()
-            return
+            return None
         t = self.peek()
         if t is None:
             raise ParseError("[values] truncated VALUES data block")
@@ -736,43 +743,56 @@ class _Parser:
             term = self.parse_term()
             if term.kind not in (IRI, LITERAL):
                 raise ParseError(f"[values] bad VALUES value at {t.pos}")
-            return
+            return term.value
         raise ParseError(f"[values] bad VALUES value {t.text!r} at {t.pos}")
 
     def parse_values(self) -> None:
         """VALUES inline data, both forms, with term-level validation
         (VERDICT r1 item 5).  Contributes no TPs — VALUES binds solutions,
-        it does not add graph patterns."""
+        it does not add graph patterns.  Round 6: ONE top-level UNDEF-free
+        clause is captured for evaluation (an inline-table equi-join,
+        sparql/eval.py); UNDEF rows need compatibility joins and demote,
+        as does a second clause or a nested one."""
+        vars_ = []
+        rows = []
+        undef = False
         t = self.peek()
         if t is not None and t.kind == "VAR":  # VALUES ?x { v1 v2 ... }
+            vars_.append(t.text[1:])
             self.next()
             self.eat_punct("{")
             while not self.at_punct("}"):
-                self.parse_data_term()
+                v = self.parse_data_term()
+                undef = undef or v is None
+                rows.append((v,))
             self.next()
         elif t is not None and t.kind == "PUNCT" and t.text == "(":
             # VALUES (?x ?y) { (v1 v2) (UNDEF v3) ... }
             self.next()
-            n_vars = 0
             while not self.at_punct(")"):
                 v = self.next()
                 if v.kind != "VAR":
                     raise ParseError(f"[values] bad VALUES var at {v.pos}")
-                n_vars += 1
+                vars_.append(v.text[1:])
             self.next()
             self.eat_punct("{")
             while not self.at_punct("}"):
                 self.eat_punct("(")
-                n_vals = 0
+                row = []
                 while not self.at_punct(")"):
-                    self.parse_data_term()
-                    n_vals += 1
+                    row.append(self.parse_data_term())
                 self.next()
-                if n_vals != n_vars:
+                if len(row) != len(vars_):
                     raise ParseError("[values] VALUES row arity mismatch")
+                undef = undef or any(v is None for v in row)
+                rows.append(tuple(row))
             self.next()
         else:
             raise ParseError("[values] bad VALUES")
+        if self._depth == 1 and self.values_clause is None and not undef and rows:
+            self.values_clause = (tuple(vars_), tuple(rows))
+        else:
+            self.complex = True
 
     # --- top level -----------------------------------------------------------
     def parse_prologue(self) -> None:
@@ -1017,6 +1037,29 @@ def parse_query(text: str) -> ParseResult:
             first = spans[0][0]
             opt_ok = all(i < first for i in range(len(tps)) if i not in in_span)
             opt_ok = opt_ok and all(s < e for s, e, _ in spans) and bool(base)
+        vals = p.values_clause
+        if vals is not None:
+            # VALUES vars must be bound in the conjunctive base (or in
+            # EVERY union arm): inner equi-join is then exact.  A VALUES
+            # var that can be unbound (optional-only, or missing from an
+            # arm) needs compatibility semantics -> demote.
+            def _tp_vars(tp_list):
+                return {
+                    t_.value
+                    for tp_ in tp_list
+                    for t_ in (tp_.s, tp_.p, tp_.o)
+                    if t_.kind == VAR
+                }
+
+            if p.union_arms:
+                ok = all(
+                    set(vals[0]) <= _tp_vars(tps[s:e]) for s, e, _ in p.union_arms
+                )
+            else:
+                ok = set(vals[0]) <= _tp_vars(base)
+            if not ok:
+                p.complex = True
+                vals = None
         arms = p.union_arms
         union_ok = bool(arms) and not p.complex and not spans
         if union_ok:
@@ -1045,6 +1088,7 @@ def parse_query(text: str) -> ParseResult:
             optionals=optionals,
             base_tps=base,
             unions=unions,
+            values=vals,
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

@@ -339,6 +339,46 @@ def test_construct_over_union(t):
     assert got == [("c1", "hit", "y"), ("c2", "hit", "y")]
 
 
+# -------------------------------------------------- VALUES from query text
+def test_answer_sparql_values(t):
+    q = 'SELECT ?e ?n WHERE { ?e <in_nation> ?n VALUES ?n { <n5> } }'
+    assert sorted(tuple(r) for r in answer_sparql(t, q).collect()) == [
+        ("c1", "n5"), ("s1", "n5"),
+    ]
+    # multi-var rows restrict pairwise, not independently
+    q2 = "SELECT ?e ?n WHERE { ?e <in_nation> ?n VALUES (?e ?n) { (<c1> <n5>) (<c2> <n5>) } }"
+    assert [tuple(r) for r in answer_sparql(t, q2).collect()] == [("c1", "n5")]
+    # duplicate rows multiply solutions (bag semantics)
+    q3 = "SELECT ?e WHERE { ?e <in_nation> <n3> VALUES ?e { <c2> <c2> } }"
+    assert [r.e for r in answer_sparql(t, q3).collect()] == ["c2", "c2"]
+
+
+def test_values_subset_boundaries(t):
+    from kgforge.sparql.parser import parse_query
+
+    # UNDEF needs compatibility joins -> demote
+    r = parse_query("SELECT ?e WHERE { ?e <p> ?n VALUES (?e ?n) { (UNDEF <n5>) } }")
+    assert r.parse_ok and not r.evaluable
+    # VALUES var bound only in an OPTIONAL group -> demote
+    r2 = parse_query(
+        'SELECT ?e WHERE { ?e <p> ?n OPTIONAL { ?e <q> ?s } VALUES ?s { "x" } }'
+    )
+    assert r2.parse_ok and not r2.evaluable
+    # two VALUES clauses -> demote
+    r3 = parse_query("SELECT ?e WHERE { ?e <p> ?n VALUES ?n { <a> } VALUES ?e { <b> } }")
+    assert r3.parse_ok and not r3.evaluable
+
+
+def test_values_composes_with_optional_and_union(t):
+    q = """SELECT ?e ?s WHERE { ?e <in_nation> ?n VALUES ?n { <n5> }
+           OPTIONAL { ?e <rdf_type> ?s } }"""
+    got = sorted([(r.e, r.s) for r in answer_sparql(t, q).collect()], key=str)
+    assert got == sorted([("c1", "seg_A"), ("s1", None)], key=str)
+    q2 = """SELECT ?e WHERE { { ?e <in_nation> <n5> } UNION { ?e <rdf_type> ?c }
+            VALUES ?e { <c1> } }"""
+    assert sorted(r.e for r in answer_sparql(t, q2).collect()) == ["c1", "c1"]
+
+
 # ------------------------------------------------------------------ FILTER
 @pytest.fixture(scope="module")
 def tf(spark):
