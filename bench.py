@@ -89,6 +89,7 @@ EXTRA = [
     "kg_ntriples_roundtrip",
     "kg_khop_sample",
     "kg_bgp_values",
+    "kg_describe",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

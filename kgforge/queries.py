@@ -2327,6 +2327,30 @@ def kg_bgp_filter(spark, sf):
 
 
 @q(
+    "kg_describe",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       n AS (SELECT DISTINCT subj AS node FROM t
+             WHERE pred = 'rdf_type' AND obj = 'seg_AUTOMOBILE')
+       SELECT DISTINCT subj, pred, obj FROM t
+       WHERE subj IN (SELECT node FROM n) OR obj IN (SELECT node FROM n)""",
+)
+def kg_describe(spark, sf):
+    """SPARQL DESCRIBE (round 6): the full symmetric description of every
+    AUTOMOBILE-segment customer — all triples touching the described
+    nodes, subject or object side.  The node set comes from the WHERE BGP
+    bindings; the description is two broadcast semi-joins + distinct
+    (sparql/eval.py:_describe_nodes — no bnode CBD recursion needed over
+    this engine's bnode-free graphs).  Full value oracle: IN-subquery
+    replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        "DESCRIBE ?c WHERE { ?c <rdf_type> <seg_AUTOMOBILE> }",
+    )
+
+
+@q(
     "kg_bgp_values",
     f"""WITH t AS ({_DM_TRIPLES_SQL}),
        a AS (SELECT subj AS ent, obj AS nat FROM t WHERE pred = 'in_nation'),
@@ -2729,6 +2753,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_bgp_union",
     "kg_bgp_minus",
     "kg_bgp_filter",
+    "kg_describe",
     "kg_bgp_values",
     "kg_khop_sample",
     "kg_construct",
@@ -2803,4 +2828,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 98, f"registry must hold exactly 98 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 99, f"registry must hold exactly 99 entries, got {len(REGISTRY)}"

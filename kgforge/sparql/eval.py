@@ -421,6 +421,27 @@ def _instantiate_template(
     return out.na.drop("any").distinct()
 
 
+def _describe_nodes(
+    triples: DataFrame,
+    nodes: DataFrame,
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+) -> DataFrame:
+    """Symmetric description of a node set: every triple with the node as
+    subject or object — the standard SPARQL DESCRIBE rendition over this
+    engine's bnode-free plain-string graphs (no CBD bnode closure needed;
+    a full Concise Bounded Description would recurse into bnodes).  Two
+    broadcast semi-joins (the node set is a query-sized dimension), one
+    distinct to dedupe triples matched from both ends."""
+    out = triples.join(
+        F.broadcast(nodes), triples[subj_col] == nodes.node, "left_semi"
+    ).unionByName(
+        triples.join(F.broadcast(nodes), triples[obj_col] == nodes.node, "left_semi")
+    )
+    return out.select(subj_col, pred_col, obj_col).distinct()
+
+
 def answer_sparql(
     triples: DataFrame,
     query_text: str,
@@ -455,6 +476,12 @@ def answer_sparql(
         )
     kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str)
     base = r.base_tps if r.base_tps is not None else r.tps
+    if r.query_form == "DESCRIBE" and not r.tps:
+        # DESCRIBE <iri> ...: no WHERE — straight to the description
+        nodes = triples.sparkSession.createDataFrame(
+            [(term_str(t),) for t in r.describe_terms], "node string"
+        )
+        return _describe_nodes(triples, nodes, subj_col, pred_col, obj_col)
     if r.query_form == "CONSTRUCT" and not r.optionals and not r.unions:
         return eval_construct(
             triples, r.tps, template=r.template, filters=r.filters, **kw
@@ -522,6 +549,24 @@ def answer_sparql(
         )
     if r.query_form == "ASK":
         return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    if r.query_form == "DESCRIBE":
+        dvars = [t.value for t in r.describe_terms if t.kind == VAR]
+        if r.describe_star:
+            dvars = [c for c in sols.columns if not _internal(c)]
+        parts = [
+            sols.select(F.col(v).alias("node")).distinct()
+            for v in dvars
+            if v in sols.columns
+        ]
+        iris = [(term_str(t),) for t in r.describe_terms if t.kind != VAR]
+        if iris:
+            parts.append(
+                triples.sparkSession.createDataFrame(iris, "node string")
+            )
+        nodes = parts[0]
+        for part in parts[1:]:
+            nodes = nodes.unionByName(part)
+        return _describe_nodes(triples, nodes.distinct(), subj_col, pred_col, obj_col)
     if r.select_vars is not None:
         sols = sols.select(
             *[

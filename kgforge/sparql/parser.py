@@ -153,6 +153,10 @@ class ParseResult(NamedTuple):
     # solution table the evaluator equi-joins with the solution frame
     # (UNDEF rows need compatibility joins — demoted instead)
     values: Optional[tuple] = None
+    # DESCRIBE targets (IRI and/or VAR Terms; '*' expands to every WHERE
+    # var at evaluation time)
+    describe_terms: Tuple[Term, ...] = ()
+    describe_star: bool = False
 
 
 class _Parser:
@@ -191,6 +195,9 @@ class _Parser:
         self.union_arms: List[tuple] = []
         # ONE top-level UNDEF-free VALUES clause: (vars, rows) or None
         self.values_clause: Optional[tuple] = None
+        # DESCRIBE targets: explicit IRIs and/or vars ('*' = every var)
+        self.describe_terms: List[Term] = []
+        self.describe_star = False
         self._depth = 0
 
     # --- token helpers -------------------------------------------------
@@ -958,11 +965,23 @@ class _Parser:
             saw = False
             while True:
                 tt = self.peek()
-                if tt is not None and tt.kind in ("VAR", "IRIREF", "PNAME"):
+                if tt is not None and tt.kind == "VAR":
+                    self.next()
+                    self.describe_terms.append(Term(VAR, tt.text[1:]))
+                    saw = True
+                elif tt is not None and tt.kind == "IRIREF":
+                    self.next()
+                    self.describe_terms.append(Term(IRI, tt.text[1:-1]))
+                    saw = True
+                elif tt is not None and tt.kind == "PNAME":
+                    self.describe_terms.append(
+                        Term(IRI, self.expand_pname(tt.text, tt.pos))
+                    )
                     self.next()
                     saw = True
                 elif tt is not None and tt.kind == "PUNCT" and tt.text == "*":
                     self.next()
+                    self.describe_star = True
                     saw = True
                 else:
                     break
@@ -1076,10 +1095,22 @@ def parse_query(text: str) -> ParseResult:
             select_vars=p.select_vars if form == "SELECT" else None,
             distinct=p.select_distinct,
             evaluable=(
-                form in ("SELECT", "ASK", "CONSTRUCT")
+                (
+                    form in ("SELECT", "ASK", "CONSTRUCT")
+                    and bool(tps)
+                    # DESCRIBE: explicit IRIs need no WHERE; vars/'*' do
+                    or form == "DESCRIBE"
+                    and (p.describe_terms or p.describe_star)
+                    and (
+                        bool(tps)
+                        or not (
+                            p.describe_star
+                            or any(t.kind == VAR for t in p.describe_terms)
+                        )
+                    )
+                )
                 and not p.complex
                 and not p.multi_arm
-                and bool(tps)
                 and (not spans or opt_ok)
                 and (not arms or union_ok)
             ),
@@ -1089,6 +1120,8 @@ def parse_query(text: str) -> ParseResult:
             base_tps=base,
             unions=unions,
             values=vals,
+            describe_terms=tuple(p.describe_terms),
+            describe_star=p.describe_star,
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

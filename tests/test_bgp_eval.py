@@ -339,6 +339,43 @@ def test_construct_over_union(t):
     assert got == [("c1", "hit", "y"), ("c2", "hit", "y")]
 
 
+# ----------------------------------------------------------------- DESCRIBE
+def test_describe_explicit_iri(t):
+    got = sorted(tuple(r) for r in answer_sparql(t, "DESCRIBE <c1>").collect())
+    assert got == sorted(
+        [
+            ("o1", "placed_by", "c1"), ("o2", "placed_by", "c1"),
+            ("c1", "in_nation", "n5"), ("c1", "rdf_type", "seg_A"),
+        ]
+    )
+
+
+def test_describe_var_star_and_mixed(t):
+    v = sorted(
+        tuple(r)
+        for r in answer_sparql(t, "DESCRIBE ?c WHERE { ?c <rdf_type> <seg_B> }").collect()
+    )
+    assert v == [("c2", "in_nation", "n3"), ("c2", "rdf_type", "seg_B"), ("o3", "placed_by", "c2")]
+    star = answer_sparql(t, "DESCRIBE * WHERE { ?x <self> ?x }").collect()
+    assert [tuple(r) for r in star] == [("z", "self", "z")]
+    mixed = sorted(
+        tuple(r)
+        for r in answer_sparql(
+            t, "DESCRIBE <p1> ?c WHERE { ?c <in_nation> <n3> }"
+        ).collect()
+    )
+    assert ("o1", "contains_part", "p1") in mixed and ("c2", "in_nation", "n3") in mixed
+
+
+def test_describe_var_without_where_not_evaluable(t):
+    from kgforge.sparql.parser import parse_query
+
+    r = parse_query("DESCRIBE ?x")
+    assert r.parse_ok and not r.evaluable
+    with pytest.raises(NotImplementedError):
+        answer_sparql(t, "DESCRIBE ?x")
+
+
 # -------------------------------------------------- VALUES from query text
 def test_answer_sparql_values(t):
     q = 'SELECT ?e ?n WHERE { ?e <in_nation> ?n VALUES ?n { <n5> } }'
