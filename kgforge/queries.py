@@ -2263,15 +2263,18 @@ def kg_bgp_minus(spark, sf):
     """SPARQL MINUS (round 6): nation memberships minus the BUILDING-
     segment customers.  BGP solutions bind every var, so MINUS
     compatibility is equality on the shared vars -> LEFT ANTI join on a
-    DISTINCT'd minus side (sparql/eval.py:eval_minus; no shared vars
-    would pass base through unchanged per SPARQL 1.1 section 8.3).  Full
-    value oracle: NOT IN replay."""
-    from kgforge.sparql.eval import eval_minus
+    DISTINCT'd minus side (no shared vars would pass base through
+    unchanged per SPARQL 1.1 section 8.3).  Answered from query TEXT:
+    the parser captures top-level MINUS groups as spans like OPTIONAL's.
+    Full value oracle: NOT IN replay."""
+    from kgforge.sparql.eval import answer_sparql
 
-    return eval_minus(
+    return answer_sparql(
         _dm_triples(spark, sf),
-        [("?cust", "in_nation", "?nat")],
-        [("?cust", "rdf_type", "seg_BUILDING")],
+        """SELECT ?cust ?nat WHERE {
+             ?cust <in_nation> ?nat
+             MINUS { ?cust <rdf_type> <seg_BUILDING> }
+           }""",
     )
 
 

@@ -540,6 +540,13 @@ def answer_sparql(
                 .join(opt.withColumn(k, F.lit(1)), on=k, how="left")
                 .drop(k)
             )
+    for m_tps, m_filters in r.minuses:
+        m = eval_bgp(triples, m_tps, **kw)
+        for fx in m_filters:
+            m = m.filter(compile_filter(fx, m.columns))
+        shared = sorted(set(sols.columns) & set(m.columns))
+        if shared:  # no shared vars: MINUS keeps everything (SPARQL 8.3)
+            sols = sols.join(m.select(*shared).distinct(), on=shared, how="left_anti")
     for fx in r.filters:
         sols = sols.filter(compile_filter(fx, sols.columns))
     if r.query_form == "CONSTRUCT":

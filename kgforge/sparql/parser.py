@@ -157,6 +157,9 @@ class ParseResult(NamedTuple):
     # var at evaluation time)
     describe_terms: Tuple[Term, ...] = ()
     describe_star: bool = False
+    # top-level MINUS groups as (tps, filters) pairs — evaluated as LEFT
+    # ANTI joins on the shared vars (exact for always-bound BGP solutions)
+    minuses: Tuple[tuple, ...] = ()
 
 
 class _Parser:
@@ -198,6 +201,8 @@ class _Parser:
         # DESCRIBE targets: explicit IRIs and/or vars ('*' = every var)
         self.describe_terms: List[Term] = []
         self.describe_star = False
+        # top-level MINUS groups, same span shape as optional_spans
+        self.minus_spans: List[tuple] = []
         self._depth = 0
 
     # --- token helpers -------------------------------------------------
@@ -518,10 +523,22 @@ class _Parser:
                     self.complex = True
                     self.parse_group()
             elif up in ("MINUS",):
-                self.simple = False
-                self.complex = True
+                self.simple = False  # stats: MINUS is a non-simple feature
                 self.next()
-                self.parse_group()
+                if self._depth == 1:
+                    # top-level MINUS: same span capture as OPTIONAL — the
+                    # evaluator LEFT ANTI joins the group on the shared
+                    # vars (exact for always-bound BGP solutions; no
+                    # shared vars keeps everything per SPARQL 8.3)
+                    t_start = len(self.tps)
+                    f_start = len(self.filters)
+                    self.parse_group()
+                    mfilters = tuple(self.filters[f_start:])
+                    del self.filters[f_start:]
+                    self.minus_spans.append((t_start, len(self.tps), mfilters))
+                else:
+                    self.complex = True
+                    self.parse_group()
             elif up == "GRAPH":
                 self.simple = False
                 self.complex = True
@@ -1040,22 +1057,26 @@ def parse_query(text: str) -> ParseResult:
         tokens = tokenize(text)
         p = _Parser(tokens)
         form, tps, simple = p.parse_query()
-        spans = p.optional_spans
+        # OPTIONAL and MINUS spans share the base-split and ordering rules:
+        # every base TP must PRECEDE the first span (SPARQL algebra builds
+        # left-to-right — a base pattern after a LeftJoin/Minus applies
+        # after it, which base-first evaluation would get wrong when vars
+        # overlap), spans must be non-empty, the base non-empty, and
+        # OPTIONAL+MINUS may not mix (their relative algebra order is not
+        # represented on the flat list).
+        spans = p.optional_spans + p.minus_spans
         in_span = set()
         for s, e, _ in spans:
             in_span.update(range(s, e))
         base = [tp for i, tp in enumerate(tps) if i not in in_span]
-        optionals = tuple((tuple(tps[s:e]), fx) for s, e, fx in spans)
-        # evaluation subset: every base TP must PRECEDE the first OPTIONAL
-        # (SPARQL algebra builds left-to-right — a base pattern after a
-        # LeftJoin joins after it, which a base-first evaluation would get
-        # wrong when it shares vars with the optional side), and optional
-        # groups must be non-empty
+        optionals = tuple((tuple(tps[s:e]), fx) for s, e, fx in p.optional_spans)
+        minuses = tuple((tuple(tps[s:e]), fx) for s, e, fx in p.minus_spans)
         opt_ok = bool(spans) and not p.complex
         if opt_ok:
-            first = spans[0][0]
+            first = min(s for s, _, _ in spans)
             opt_ok = all(i < first for i in range(len(tps)) if i not in in_span)
             opt_ok = opt_ok and all(s < e for s, e, _ in spans) and bool(base)
+            opt_ok = opt_ok and not (p.optional_spans and p.minus_spans)
         vals = p.values_clause
         if vals is not None:
             # VALUES vars must be bound in the conjunctive base (or in
@@ -1122,6 +1143,7 @@ def parse_query(text: str) -> ParseResult:
             values=vals,
             describe_terms=tuple(p.describe_terms),
             describe_star=p.describe_star,
+            minuses=minuses,
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

@@ -339,6 +339,32 @@ def test_construct_over_union(t):
     assert got == [("c1", "hit", "y"), ("c2", "hit", "y")]
 
 
+# --------------------------------------------------- MINUS from query text
+def test_answer_sparql_minus(t):
+    q = "SELECT ?c ?n WHERE { ?c <in_nation> ?n MINUS { ?c <rdf_type> <seg_B> } }"
+    got = sorted(tuple(r) for r in answer_sparql(t, q).collect())
+    assert got == [("c1", "n5"), ("s1", "n5")]
+    # minus-group filter
+    q2 = 'SELECT ?c WHERE { ?c <in_nation> ?n MINUS { ?c <rdf_type> ?s FILTER(?s = "seg_A") } }'
+    assert sorted(r.c for r in answer_sparql(t, q2).collect()) == ["c2", "s1"]
+    # disjoint domains keep everything (SPARQL 8.3)
+    q3 = "SELECT ?c WHERE { ?c <in_nation> ?n MINUS { ?z <rdf_type> <seg_B> } }"
+    assert answer_sparql(t, q3).count() == 3
+
+
+def test_minus_subset_boundaries(t):
+    from kgforge.sparql.parser import parse_query
+
+    for q in (
+        # OPTIONAL+MINUS relative order is not on the flat list -> demote
+        "SELECT ?e WHERE { ?e <a> ?n OPTIONAL { ?e <b> ?s } MINUS { ?e <c> ?d } }",
+        "SELECT ?e WHERE { ?e <a> ?n MINUS { ?e <b> ?s MINUS { ?e <c> ?d } } }",
+        "SELECT ?e WHERE { ?e <a> ?n MINUS { ?e <b> ?s } ?e <c> ?d }",
+    ):
+        r = parse_query(q)
+        assert r.parse_ok and not r.evaluable, q
+
+
 # ----------------------------------------------------------------- DESCRIBE
 def test_describe_explicit_iri(t):
     got = sorted(tuple(r) for r in answer_sparql(t, "DESCRIBE <c1>").collect())
