@@ -90,6 +90,7 @@ EXTRA = [
     "kg_khop_sample",
     "kg_bgp_values",
     "kg_describe",
+    "kg_bgp_agg",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

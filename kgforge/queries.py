@@ -2330,6 +2330,35 @@ def kg_bgp_filter(spark, sf):
 
 
 @q(
+    "kg_bgp_agg",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       a AS (SELECT subj AS ord, obj AS cust FROM t WHERE pred = 'placed_by'),
+       b AS (SELECT subj AS cust, obj AS nat FROM t WHERE pred = 'in_nation')
+       SELECT b.nat, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(count(DISTINCT a.cust) AS BIGINT) AS n_custs
+       FROM a JOIN b USING (cust)
+       GROUP BY b.nat ORDER BY n_orders DESC, b.nat LIMIT 10""",
+)
+def kg_bgp_agg(spark, sf):
+    """SPARQL aggregation + solution modifiers (round 6): orders and
+    distinct customers per nation, top-10 by volume — GROUP BY,
+    COUNT(*) / COUNT(DISTINCT ?v) projection aggregates, ORDER BY
+    DESC(?agg) with a deterministic tie-break, and LIMIT, all parsed from
+    query TEXT and compiled onto groupBy/agg/orderBy/limit in the spec's
+    operation order (sparql/eval.py:answer_sparql; HAVING, expression
+    keys and SUM(DISTINCT) demote instead of approximating).  Full value
+    oracle: GROUP BY replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """SELECT ?nat (COUNT(*) AS ?n_orders) (COUNT(DISTINCT ?cust) AS ?n_custs)
+           WHERE { ?ord <placed_by> ?cust . ?cust <in_nation> ?nat }
+           GROUP BY ?nat ORDER BY DESC(?n_orders) ?nat LIMIT 10""",
+    )
+
+
+@q(
     "kg_describe",
     f"""WITH t AS ({_DM_TRIPLES_SQL}),
        n AS (SELECT DISTINCT subj AS node FROM t
@@ -2756,6 +2785,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_bgp_union",
     "kg_bgp_minus",
     "kg_bgp_filter",
+    "kg_bgp_agg",
     "kg_describe",
     "kg_bgp_values",
     "kg_khop_sample",
@@ -2831,4 +2861,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 99, f"registry must hold exactly 99 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 100, f"registry must hold exactly 100 entries, got {len(REGISTRY)}"

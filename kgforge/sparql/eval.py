@@ -574,6 +574,38 @@ def answer_sparql(
         for part in parts[1:]:
             nodes = nodes.unionByName(part)
         return _describe_nodes(triples, nodes.distinct(), subj_col, pred_col, obj_col)
+    # SELECT tail, in the spec's operation order: Group/Aggregate ->
+    # OrderBy -> Projection -> Distinct -> Slice.  (With DISTINCT the
+    # parser restricted sort keys to projected vars, so sorting after the
+    # distinct shuffle is equivalent and keeps the order intact.)
+    if r.aggregates or r.group_by:
+        aggs = []
+        for fn, var, dist, alias in r.aggregates:
+            if fn == "COUNT" and var is None:
+                e = F.count(F.lit(1))
+            elif fn == "COUNT":
+                e = F.count_distinct(F.col(var)) if dist else F.count(var)
+            else:
+                c = F.col(var)
+                if fn in ("SUM", "AVG"):
+                    # numeric aggregation over the plain-string term model:
+                    # non-numeric values become NULL and are skipped (the
+                    # registered oracles replay the same try_cast)
+                    c = c.try_cast("double")
+                e = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[fn](c)
+            aggs.append(e.alias(alias))
+        if aggs:
+            sols = sols.groupBy(*[F.col(g) for g in r.group_by]).agg(*aggs)
+        else:  # GROUP BY without aggregates: grouped projection
+            sols = sols.select(*r.group_by).distinct()
+
+    def _order(df):
+        return df.orderBy(
+            *[(F.col(v).desc() if d else F.col(v).asc()) for v, d in r.order_by]
+        ) if r.order_by else df
+
+    if not r.distinct:
+        sols = _order(sols)
     if r.select_vars is not None:
         sols = sols.select(
             *[
@@ -581,4 +613,10 @@ def answer_sparql(
                 for v in r.select_vars
             ]
         )
-    return sols.distinct() if r.distinct else sols
+    if r.distinct:
+        sols = _order(sols.distinct())
+    if r.offset is not None:
+        sols = sols.offset(r.offset)
+    if r.limit is not None:
+        sols = sols.limit(r.limit)
+    return sols

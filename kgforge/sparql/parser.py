@@ -160,6 +160,15 @@ class ParseResult(NamedTuple):
     # top-level MINUS groups as (tps, filters) pairs — evaluated as LEFT
     # ANTI joins on the shared vars (exact for always-bound BGP solutions)
     minuses: Tuple[tuple, ...] = ()
+    # solution modifiers (SELECT only — other forms demote when present):
+    # ORDER BY (var, descending) specs, integer LIMIT/OFFSET, GROUP BY
+    # vars, and projection aggregates (func, var|None='*', distinct,
+    # alias); select_vars lists agg aliases in projection order.
+    order_by: Tuple[tuple, ...] = ()
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    group_by: Tuple[str, ...] = ()
+    aggregates: Tuple[tuple, ...] = ()
 
 
 class _Parser:
@@ -203,6 +212,15 @@ class _Parser:
         self.describe_star = False
         # top-level MINUS groups, same span shape as optional_spans
         self.minus_spans: List[tuple] = []
+        # solution modifiers (top-level form only): ORDER BY specs as
+        # (var, descending) pairs, LIMIT/OFFSET ints, GROUP BY vars, and
+        # projection aggregates as (func, var|None for '*', distinct,
+        # alias) — out-of-subset forms (expressions, HAVING) set complex.
+        self.order_by: List[tuple] = []
+        self.limit: Optional[int] = None
+        self.offset: Optional[int] = None
+        self.group_by: List[str] = []
+        self.aggregates: List[tuple] = []
         self._depth = 0
 
     # --- token helpers -------------------------------------------------
@@ -865,7 +883,15 @@ class _Parser:
                 star = True
                 saw = True
             elif t.kind == "PUNCT" and t.text == "(":
-                # (expr AS ?x) projection expression
+                # (expr AS ?x) projection expression: the evaluable subset
+                # is a single aggregate call (COUNT/SUM/AVG/MIN/MAX over a
+                # var or COUNT(*), optional DISTINCT) — recorded with its
+                # alias; anything else skips and sets complex
+                if record and self._try_agg_projection():
+                    vars_.append(self.aggregates[-1][3])
+                    saw = True
+                    self.simple = False
+                    continue
                 self.skip_parens()
                 self.simple = False
                 self.complex = True
@@ -887,8 +913,13 @@ class _Parser:
             if t.kind not in ("IRIREF", "PNAME"):
                 raise ParseError(f"bad FROM at {t.pos}")
 
-    def skip_solution_modifiers(self) -> None:
-        # ORDER BY / LIMIT / OFFSET / GROUP BY / HAVING: recognized, ignored.
+    def skip_solution_modifiers(self, record: bool = False) -> None:
+        # ORDER BY / LIMIT / OFFSET / GROUP BY / HAVING.  ``record=True``
+        # (the top-level form only) captures the evaluable subset —
+        # ORDER BY on plain vars (ASC()/DESC() around a single var),
+        # integer LIMIT/OFFSET, GROUP BY on plain vars; expression sorts,
+        # expression groups and HAVING set complex instead.  Sub-SELECT
+        # modifiers stay skipped as before.
         while True:
             if self.at_kw("ORDER"):
                 self.next()
@@ -899,11 +930,20 @@ class _Parser:
                         return
                     if t.kind == "VAR":
                         self.next()
+                        if record:
+                            self.order_by.append((t.text[1:], False))
                     elif t.kind == "KEYWORD" and t.text.upper() in ("ASC", "DESC"):
+                        desc = t.text.upper() == "DESC"
                         self.next()
+                        if record and self._try_sort_var(desc):
+                            continue
                         self.skip_parens()
+                        if record:
+                            self.complex = True  # expression sort key
                     elif t.kind == "PUNCT" and t.text == "(":
                         self.skip_parens()
+                        if record:
+                            self.complex = True  # expression sort key
                     else:
                         break
             elif self.at_kw("GROUP"):
@@ -913,20 +953,95 @@ class _Parser:
                     t = self.peek()
                     if t is not None and t.kind == "VAR":
                         self.next()
+                        if record:
+                            self.group_by.append(t.text[1:])
                     elif t is not None and t.kind == "PUNCT" and t.text == "(":
                         self.skip_parens()
+                        if record:
+                            self.complex = True  # expression group key
                     else:
                         break
             elif self.at_kw("HAVING"):
                 self.next()
                 self.skip_parens()
+                if record:
+                    self.complex = True
             elif self.at_kw("LIMIT", "OFFSET"):
+                which = self.peek().text.upper()
                 self.next()
                 t = self.next()
                 if t.kind != "NUMBER":
                     raise ParseError(f"bad LIMIT/OFFSET at {t.pos}")
+                if record:
+                    if not _NUM_INT.match(t.text):
+                        raise ParseError(f"bad LIMIT/OFFSET at {t.pos}")
+                    if which == "LIMIT":
+                        self.limit = int(t.text)
+                    else:
+                        self.offset = int(t.text)
             else:
                 return
+
+    _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+
+    def _try_agg_projection(self) -> bool:
+        """'( AGG([DISTINCT] ?v|*) AS ?alias )' — the evaluable projection
+        expression.  Appends (func, var|None, distinct, alias) to
+        self.aggregates; backtracks and returns False on anything else."""
+        saved = self.i
+        try:
+            self.eat_punct("(")
+            fn = self.next()
+            if fn.kind != "KEYWORD" or fn.text.upper() not in self._AGG_FNS:
+                raise ParseError("not an aggregate")
+            self.eat_punct("(")
+            distinct = False
+            if self.at_kw("DISTINCT"):
+                if fn.text.upper() != "COUNT":
+                    # SUM/AVG(DISTINCT) have no direct Column form —
+                    # outside the subset, falls back to complex
+                    raise ParseError("DISTINCT only supported under COUNT")
+                distinct = True
+                self.next()
+            t = self.peek()
+            if t is not None and t.kind == "VAR":
+                self.next()
+                var: Optional[str] = t.text[1:]
+            elif (
+                t is not None and t.kind == "PUNCT" and t.text == "*"
+                and fn.text.upper() == "COUNT"
+            ):
+                self.next()
+                var = None
+            else:
+                raise ParseError("aggregate over an expression")
+            self.eat_punct(")")
+            self.eat_kw("AS")
+            a = self.next()
+            if a.kind != "VAR":
+                raise ParseError("bad aggregate alias")
+            self.eat_punct(")")
+        except ParseError:
+            self.i = saved
+            return False
+        self.aggregates.append((fn.text.upper(), var, distinct, a.text[1:]))
+        return True
+
+    def _try_sort_var(self, desc: bool) -> bool:
+        """ASC(?v) / DESC(?v) with a single plain var — the evaluable sort
+        form.  Backtracks and returns False on anything else."""
+        saved = self.i
+        try:
+            self.eat_punct("(")
+            t = self.next()
+            if t.kind != "VAR":
+                raise ParseError("not a plain sort var")
+            self.eat_punct(")")
+        except ParseError:
+            self.i = saved
+            return False
+        self.order_by.append((t.text[1:], desc))
+        return True
 
     def parse_query(self) -> Tuple[str, List[TriplePattern], bool]:
         self.parse_prologue()
@@ -941,7 +1056,7 @@ class _Parser:
             if self.at_kw("WHERE"):
                 self.next()
             self.parse_group()
-            self.skip_solution_modifiers()
+            self.skip_solution_modifiers(record=True)
         elif form == "ASK":
             self.next()
             self.skip_dataset_clauses()
@@ -976,7 +1091,9 @@ class _Parser:
             self.skip_dataset_clauses()
             self.eat_kw("WHERE")
             self.parse_group()
-            self.skip_solution_modifiers()
+            # record so a CONSTRUCT with ORDER/LIMIT/... demotes instead of
+            # silently dropping the modifier (wrapper check)
+            self.skip_solution_modifiers(record=True)
         elif form == "DESCRIBE":
             self.next()
             saw = False
@@ -1010,7 +1127,7 @@ class _Parser:
                 self.parse_group()
             elif not saw:
                 raise ParseError("empty DESCRIBE")
-            self.skip_solution_modifiers()
+            self.skip_solution_modifiers(record=True)  # demote-not-drop
         else:
             raise ParseError(f"unsupported query form {form!r}")
         t = self.peek()
@@ -1100,6 +1217,48 @@ def parse_query(text: str) -> ParseResult:
             if not ok:
                 p.complex = True
                 vals = None
+        # solution modifiers: validated here so out-of-subset combinations
+        # demote instead of silently dropping a modifier
+        has_mods = bool(
+            p.order_by or p.limit is not None or p.offset is not None
+            or p.group_by or p.aggregates
+        )
+        if has_mods and form != "SELECT":
+            p.complex = True  # LIMIT/ORDER on CONSTRUCT/DESCRIBE: refuse
+        if form == "SELECT" and (p.aggregates or p.group_by):
+            agg_aliases = {a for _, _, _, a in p.aggregates}
+            plain = [v for v in (p.select_vars or []) if v not in agg_aliases]
+            # grouped projection: every plain projected var must be a group
+            # key; aggregate input vars must be solution vars
+            all_vars = {
+                t_.value
+                for tp_ in tps
+                for t_ in (tp_.s, tp_.p, tp_.o)
+                if t_.kind == VAR
+            }
+            if (
+                p.select_vars is None  # SELECT * with GROUP BY: not well-formed
+                or not set(plain) <= set(p.group_by)
+                or not set(p.group_by) <= all_vars
+                or not all(v is None or v in all_vars for _, v, _, _ in p.aggregates)
+            ):
+                p.complex = True
+        if form == "SELECT" and p.order_by:
+            all_vars = {
+                t_.value
+                for tp_ in tps
+                for t_ in (tp_.s, tp_.p, tp_.o)
+                if t_.kind == VAR
+            }
+            if p.aggregates or p.group_by:
+                sortable = set(p.select_vars or [])
+            elif p.select_distinct:
+                # DISTINCT projects first: sort keys must be projected
+                sortable = set(p.select_vars) if p.select_vars is not None else all_vars
+            else:
+                sortable = all_vars  # sort before projection (spec order)
+            if not {v for v, _ in p.order_by} <= sortable:
+                p.complex = True
         arms = p.union_arms
         union_ok = bool(arms) and not p.complex and not spans
         if union_ok:
@@ -1144,6 +1303,11 @@ def parse_query(text: str) -> ParseResult:
             describe_terms=tuple(p.describe_terms),
             describe_star=p.describe_star,
             minuses=minuses,
+            order_by=tuple(p.order_by),
+            limit=p.limit,
+            offset=p.offset,
+            group_by=tuple(p.group_by),
+            aggregates=tuple(p.aggregates),
         )
     except ParseError as e:
         return ParseResult(False, None, [], True, str(e))

@@ -236,7 +236,8 @@ def test_answer_sparql_rejects(t):
         # simple FILTERs are evaluable since the round-6 filter subset;
         # out-of-subset constraint forms still reject:
         "SELECT ?s WHERE { ?s <p> ?o FILTER(BOUND(?o)) }",
-        "SELECT (COUNT(?s) AS ?n) WHERE { ?s <p> ?o }",
+        # simple aggregates are evaluable too; expression aggregates not:
+        "SELECT (COUNT(?s) + 1 AS ?n) WHERE { ?s <p> ?o }",
     ):
         with pytest.raises(NotImplementedError):
             answer_sparql(t, q)
@@ -337,6 +338,60 @@ def test_construct_over_union(t):
            WHERE { { ?x <in_nation> <n3> } UNION { ?x <rdf_type> <seg_A> } }"""
     got = sorted(tuple(r) for r in answer_sparql(t, q).collect())
     assert got == [("c1", "hit", "y"), ("c2", "hit", "y")]
+
+
+# ----------------------------------- aggregates + solution modifiers (text)
+def test_group_by_count_order(t):
+    q = """SELECT ?c (COUNT(?o) AS ?n) WHERE { ?o <placed_by> ?c }
+           GROUP BY ?c ORDER BY DESC(?n) ?c"""
+    assert [tuple(r) for r in answer_sparql(t, q).collect()] == [("c1", 2), ("c2", 1)]
+
+
+def test_global_aggregates(t):
+    q = "SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?c) AS ?d) WHERE { ?o <placed_by> ?c }"
+    assert [tuple(r) for r in answer_sparql(t, q).collect()] == [(3, 2)]
+
+
+def test_sum_numeric_semantics(tf):
+    # 'x' is non-numeric: try_cast NULL, skipped by SUM (oracle replays
+    # the same — the documented plain-string numeric model)
+    q = """SELECT (SUM(?a) AS ?total) (MAX(?a) AS ?m)
+           WHERE { ?e <age> ?a }"""
+    row = answer_sparql(tf, q).collect()[0]
+    assert row.total == 37.0 and row.m == "x"  # MAX is lexical on strings
+
+
+def test_order_limit_offset(t):
+    q = "SELECT ?o WHERE { ?o <placed_by> ?c } ORDER BY ?o LIMIT 2 OFFSET 1"
+    assert [r.o for r in answer_sparql(t, q).collect()] == ["o2", "o3"]
+    # ORDER BY a non-projected var is legal without DISTINCT (sorts the
+    # solution frame before projection)
+    q2 = "SELECT ?o WHERE { ?o <placed_by> ?c } ORDER BY DESC(?c) ?o LIMIT 1"
+    assert [r.o for r in answer_sparql(t, q2).collect()] == ["o3"]
+
+
+def test_distinct_order_interaction(t):
+    q = "SELECT DISTINCT ?c WHERE { ?o <placed_by> ?c } ORDER BY DESC(?c)"
+    assert [r.c for r in answer_sparql(t, q).collect()] == ["c2", "c1"]
+
+
+def test_modifier_subset_boundaries(t):
+    from kgforge.sparql.parser import parse_query
+
+    for q in (
+        "SELECT ?c WHERE { ?o <placed_by> ?c } GROUP BY ?c HAVING (COUNT(?o) > 1)",
+        "SELECT (SUM(DISTINCT ?a) AS ?s) WHERE { ?o <amount> ?a }",
+        # DISTINCT + ORDER BY a non-projected var is ill-formed SPARQL
+        "SELECT DISTINCT ?c WHERE { ?o <placed_by> ?c } ORDER BY ?o",
+        # modifiers on CONSTRUCT would be silently dropped -> demoted
+        "CONSTRUCT { ?o <p> ?c } WHERE { ?o <placed_by> ?c } LIMIT 2",
+        # plain projected var not a group key
+        "SELECT ?x (COUNT(?o) AS ?n) WHERE { ?o <placed_by> ?x . ?o <q> ?a } GROUP BY ?a",
+        # SELECT * with GROUP BY is not well-formed
+        "SELECT * WHERE { ?o <placed_by> ?c } GROUP BY ?c",
+    ):
+        r = parse_query(q)
+        assert r.parse_ok and not r.evaluable, q
 
 
 # --------------------------------------------------- MINUS from query text
