@@ -128,6 +128,7 @@ def eval_bgp(
     pred_col: str = "pred",
     obj_col: str = "obj",
     term_str: Callable[[Term], str] = _default_term_str,
+    per_tp_triples: Optional[Sequence[DataFrame]] = None,
 ) -> DataFrame:
     """Evaluate a conjunctive BGP; returns one column per variable.
 
@@ -139,7 +140,16 @@ def eval_bgp(
     assert tps, "empty BGP"
     cols = (subj_col, pred_col, obj_col)
     patterns = [_coerce_tp(tp) for tp in tps]
-    scans = [_tp_scan(triples, tp, cols, term_str) for tp in patterns]
+    # per_tp_triples: one source frame per pattern (the incremental
+    # delta-staircase uses old/delta/new mixes — eval_bgp_delta below);
+    # default: every pattern scans the same table
+    sources = (
+        per_tp_triples if per_tp_triples is not None else [triples] * len(patterns)
+    )
+    assert len(sources) == len(patterns)
+    scans = [
+        _tp_scan(src, tp, cols, term_str) for src, tp in zip(sources, patterns)
+    ]
 
     # var order for SELECT *: first appearance in pattern-position order
     order: List[str] = []
@@ -182,6 +192,50 @@ def eval_bgp(
             proj = [F.col(v) for v in order]
     out = out.select(*proj) if proj else out
     return out.distinct() if distinct else out
+
+
+def eval_bgp_delta(
+    old_triples: DataFrame,
+    delta_triples: DataFrame,
+    tps: Sequence,
+    select: Optional[Sequence[str]] = None,
+    **kw,
+) -> DataFrame:
+    """Incremental BGP view maintenance for an INSERT batch: the solutions
+    that exist over (old UNION delta) but not over old alone, produced
+    WITHOUT re-evaluating the query on the full graph.
+
+    The classic delta-join staircase (bag-exact, the same decomposition
+    differential/DBSP systems use for joins): for a conjunctive query over
+    patterns t1..tn,
+
+        DELTA(Q) = SUM_i  t1..t_{i-1}@old  JOIN  Dt_i  JOIN  t_{i+1}..tn@new
+
+    where new = old UNION delta.  Each new solution uses at least one
+    delta triple; indexing the sum by the FIRST pattern position bound to
+    a delta triple produces every new solution exactly once (bag
+    multiplicities included), so the result can be UNION ALL'd onto the
+    old solution set with no dedup.
+
+    Scale shape: n evaluations whose i-th scan is the (small) delta —
+    every staircase term is a join chain seeded by the batch, so work is
+    proportional to the delta's match volume, not the corpus.  The
+    alternative — recompute over old+delta and anti-join — rescans the
+    whole graph per batch.
+    """
+    new = old_triples.unionByName(delta_triples)
+    parts = []
+    for i in range(len(tps)):
+        sources = (
+            [old_triples] * i + [delta_triples] + [new] * (len(tps) - i - 1)
+        )
+        parts.append(
+            eval_bgp(new, tps, select=select, per_tp_triples=sources, **kw)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _bgp_vars(tps: Sequence) -> List[str]:

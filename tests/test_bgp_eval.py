@@ -662,6 +662,44 @@ def test_closure_doubling_round_count(spark):
     assert capped < full  # 2 rounds cover length <= 4 only
 
 
+# -------------------------------------------------- incremental maintenance
+def test_delta_staircase_bag_exact(spark):
+    import random
+
+    from kgforge.sparql.eval import eval_bgp_delta
+
+    rng = random.Random(7)
+    ents = [f"e{i}" for i in range(12)]
+    rows = sorted(
+        {(rng.choice(ents), rng.choice(["p", "q", "r"]), rng.choice(ents)) for _ in range(120)}
+    )
+    rng.shuffle(rows)
+    schema = "subj string, pred string, obj string"
+    old = spark.createDataFrame(rows[:90], schema)
+    delta = spark.createDataFrame(rows[90:], schema)
+    full = spark.createDataFrame(rows, schema)
+    for tps in (
+        [("?a", "p", "?b"), ("?b", "q", "?c")],
+        [("?a", "p", "?b"), ("?b", "q", "?c"), ("?c", "r", "?d")],
+        [("?a", "p", "?b")],
+    ):
+        want = sorted(tuple(r) for r in eval_bgp(full, tps).collect())
+        got = sorted(
+            [tuple(r) for r in eval_bgp(old, tps).collect()]
+            + [tuple(r) for r in eval_bgp_delta(old, delta, tps).collect()]
+        )
+        assert got == want, tps
+
+
+def test_delta_empty_batch_adds_nothing(spark):
+    from kgforge.sparql.eval import eval_bgp_delta
+
+    schema = "subj string, pred string, obj string"
+    old = spark.createDataFrame([("a", "p", "b"), ("b", "q", "c")], schema)
+    empty = spark.createDataFrame([], schema)
+    assert eval_bgp_delta(old, empty, [("?x", "p", "?y"), ("?y", "q", "?z")]).count() == 0
+
+
 # ------------------------------------------------------------- plan gates
 def test_bgp_pred_filter_prunes_partitions(spark, tmpdir_path):
     rows = [(f"s{i}", p, f"o{i % 7}") for i in range(50) for p in ("a", "b", "c")]
