@@ -40,7 +40,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="kgforge SPARQL query runner")
-    ap.add_argument("--triples", required=True, help="parquet: subj, pred, obj")
+    ap.add_argument("--triples", required=True, help="graph table: subj, pred, obj")
+    ap.add_argument(
+        "--triples-format",
+        choices=("parquet", "ntriples"),
+        default="parquet",
+        help="input format; 'ntriples' parses RDF interchange text "
+        "(sources/ntriples.py) and quarantines malformed lines with a "
+        "counted warning instead of failing",
+    )
+    ap.add_argument(
+        "--strip-base",
+        default="",
+        help="IRI prefix to strip when reading ntriples input",
+    )
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--query", help="SPARQL query text")
     g.add_argument("--query-file", help="file holding the SPARQL query")
@@ -81,7 +94,18 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("kgforge-query", master=args.master)
 
-    triples = spark.read.parquet(args.triples)
+    if args.triples_format == "ntriples":
+        from pyspark.sql import functions as F
+
+        from kgforge.sources.ntriples import read_ntriples
+
+        raw = read_ntriples(spark, args.triples, strip_base=args.strip_base)
+        n_bad = raw.filter(~F.col("parse_ok")).count()
+        if n_bad:
+            print(json.dumps({"warn_malformed_lines": n_bad}), file=sys.stderr)
+        triples = raw.filter(F.col("parse_ok")).select("subj", "pred", "obj")
+    else:
+        triples = spark.read.parquet(args.triples)
 
     if args.closure:
         from kgforge.operators.graph import path_closure

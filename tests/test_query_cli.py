@@ -106,6 +106,28 @@ def test_out_of_subset_is_coded_reject(triples_path, capsys):
     assert "conjunctive" in json.loads(err)["error"]
 
 
+def test_ntriples_input(spark, tmpdir_path, capsys):
+    nt = os.path.join(tmpdir_path, "g.nt")
+    with open(nt, "w") as fh:
+        fh.write(
+            "<http://x/a> <http://x/knows> <http://x/b> .\n"
+            "garbage\n"
+            "<http://x/b> <http://x/knows> <http://x/c> .\n"
+        )
+    rc = query_graph.main(
+        [
+            "--triples", nt, "--triples-format", "ntriples",
+            "--strip-base", "http://x/",
+            "--query", "SELECT ?x ?z WHERE { ?x <knows>/<knows> ?z }",
+            "--show", "5",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    assert json.loads(out.out.strip().splitlines()[0]) == {"x": "a", "z": "c"}
+    assert json.loads(out.err.strip().splitlines()[-1]) == {"warn_malformed_lines": 1}
+
+
 def test_parse_reject_exit_code(triples_path, capsys):
     rc = query_graph.main(
         ["--triples", triples_path, "--query", "SELECT WHERE {", "--show", "1"]
