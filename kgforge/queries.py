@@ -2550,6 +2550,31 @@ def kg_path_closure(spark, sf):
 
 
 @q(
+    "kg_sparql_closure",
+    f"""WITH RECURSIVE e AS ({_HIER_TRIPLES_SQL}),
+       r AS (SELECT subj AS s, obj AS o FROM e
+             UNION
+             SELECT r.s, e.obj AS o FROM r JOIN e ON r.o = e.subj)
+       SELECT s AS part, o AS anc FROM r WHERE o = 'p1'""",
+)
+def kg_sparql_closure(spark, sf):
+    """Quantified property path answered from SPARQL TEXT (round 6):
+    '?part <sub_part>+ <p1>' — every descendant of part p1 in the
+    containment tree, at ANY depth.  The parser captures the quantifier
+    and the evaluator routes to the iterative-doubling closure
+    (graph.path_closure) with the constant endpoint bound afterwards —
+    EXACT semantics, not the parser's bounded depth-3 arm expansion
+    (which exists only for the stats contract).  Full value oracle:
+    DuckDB WITH RECURSIVE, endpoint-filtered."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _hier_triples(spark, sf),
+        "SELECT ?part ?anc WHERE { ?part <sub_part>+ ?anc FILTER(?anc = \"p1\") }",
+    )
+
+
+@q(
     "text_vocab_topk",
     r"""WITH w AS (SELECT doc_id,
                           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
@@ -2825,6 +2850,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_construct",
     "kg_ntriples_roundtrip",
     "kg_path_closure",
+    "kg_sparql_closure",
     "text_vocab_topk",
     "text_length_stats",
     "text_postings",
@@ -2894,4 +2920,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 101, f"registry must hold exactly 101 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 102, f"registry must hold exactly 102 entries, got {len(REGISTRY)}"

@@ -547,7 +547,31 @@ def answer_sparql(
     # parser guarantees the scope); then the main group's FILTERs over the
     # full frame (possibly-unbound vars: NULL comparisons drop rows,
     # exactly SPARQL's unbound -> error -> eliminate)
-    if r.unions:
+    if r.closure is not None:
+        # exact 'p+'/'p*': iterative doubling (graph.path_closure), then
+        # bind the endpoint terms — never the parser's bounded expansion
+        from kgforge.operators.graph import path_closure
+
+        s_t, p_t, inv, kind, o_t = r.closure
+        pred_name = ("^" if inv else "") + term_str(p_t)
+        reach = path_closure(
+            triples, pred_name,
+            subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
+            include_zero=(kind == "*"),
+        ).select(F.col(subj_col).alias("__s"), F.col(obj_col).alias("__o"))
+        for term, col in ((s_t, "__s"), (o_t, "__o")):
+            if _var_name(term) is None:
+                reach = reach.filter(F.col(col) == term_str(term))
+        sv, ov = _var_name(s_t), _var_name(o_t)
+        if sv is not None and sv == ov:
+            reach = reach.filter(F.col("__s") == F.col("__o"))
+        sel = []
+        if sv is not None:
+            sel.append(F.col("__s").alias(sv))
+        if ov is not None and ov != sv:
+            sel.append(F.col("__o").alias(ov))
+        sols = reach.select(*sel) if sel else reach
+    elif r.unions:
         allvars: List[str] = []
         for arm_tps, _ in r.unions:
             for v in _bgp_vars(arm_tps):

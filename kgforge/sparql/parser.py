@@ -169,6 +169,13 @@ class ParseResult(NamedTuple):
     offset: Optional[int] = None
     group_by: Tuple[str, ...] = ()
     aggregates: Tuple[tuple, ...] = ()
+    # EXACT transitive closure route: set when the WHERE is exactly ONE
+    # quantified single-predicate path TP — (subject Term, pred Term,
+    # inverse, '+'|'*', object Term).  The evaluator answers it with
+    # graph.path_closure (iterative doubling) instead of the parser's
+    # bounded-depth arm expansion, which only exists for the stats
+    # contract and is never evaluated.
+    closure: Optional[tuple] = None
 
 
 class _Parser:
@@ -212,6 +219,10 @@ class _Parser:
         self.describe_star = False
         # top-level MINUS groups, same span shape as optional_spans
         self.minus_spans: List[tuple] = []
+        # exact-closure capture: (subject, pred, inverse, '+'|'*', object)
+        # per quantified single-predicate path occurrence
+        self._quant_path = None
+        self.closure_specs: List[tuple] = []
         # solution modifiers (top-level form only): ORDER BY specs as
         # (var, descending) pairs, LIMIT/OFFSET ints, GROUP BY vars, and
         # projection aggregates as (func, var|None for '*', distinct,
@@ -395,7 +406,19 @@ class _Parser:
         else:
             inner = [[(False, self.parse_term(as_predicate=True))]]
         if self.at_punct("*") or self.at_punct("+"):
+            kind = self.peek().text
             self.next()
+            # exact-closure capture (round 6): a quantifier over ONE plain
+            # predicate is evaluable exactly via iterative doubling
+            # (graph.path_closure) — remember (pred, inverse, kind) so the
+            # wrapper can route single-closure queries to it; the bounded
+            # expansion below is still emitted for the stats/mention
+            # contract (collect-all-arms), unchanged.
+            if len(inner) == 1 and len(inner[0]) == 1:
+                p_inv, p_term = inner[0][0]
+                self._quant_path = (p_term, p_inv != inverse, kind)
+            else:
+                self._quant_path = "unsupported"
             base = inner
             expanded = list(base)
             cur = base
@@ -435,6 +458,7 @@ class _Parser:
     # --- triples block ----------------------------------------------------
     def parse_predicate_object_list(self, subject: Term) -> None:
         while True:
+            self._quant_path = None
             alts = self.parse_path()
             if len(alts) > 1 or not alts[0] or len(alts[0]) > 1 or alts[0][0][0]:
                 self.simple = False  # path sugar used (incl. a zero-length '?' arm)
@@ -444,8 +468,20 @@ class _Parser:
                 # evaluator must refuse (sparql/eval.py; single-arm '/' and
                 # '^' decompositions stay conjunctive and evaluable)
                 self.multi_arm = True
+            # pure single-pred quantifier? (alts must be exactly the 1..MAX
+            # depth expansions of one step — guards against a nested
+            # quantifier inside a sequence/alternative being misattributed)
+            qp = self._quant_path
+            pure_quant = (
+                isinstance(qp, tuple)
+                and len(alts) == self.MAX_PATH_DEPTH
+                and sorted(len(a) for a in alts) == list(range(1, self.MAX_PATH_DEPTH + 1))
+                and len({s for a in alts for s in a}) == 1
+            )
             while True:
                 obj = self.parse_term()
+                if pure_quant:
+                    self.closure_specs.append((subject, qp[0], qp[1], qp[2], obj))
                 for steps in alts:
                     self.emit_path(subject, steps, obj)
                 if self.at_punct(","):
@@ -1259,6 +1295,19 @@ def parse_query(text: str) -> ParseResult:
                 sortable = all_vars  # sort before projection (spec order)
             if not {v for v, _ in p.order_by} <= sortable:
                 p.complex = True
+        # exact-closure route: the whole WHERE is one quantified
+        # single-pred path (its bounded expansion is the ONLY tps content)
+        n_expansion = _Parser.MAX_PATH_DEPTH * (_Parser.MAX_PATH_DEPTH + 1) // 2
+        closure_ok = (
+            len(p.closure_specs) == 1
+            and form in ("SELECT", "ASK")
+            and not p.complex
+            and not p.optional_spans
+            and not p.minus_spans
+            and not p.union_arms
+            and vals is None
+            and len(tps) == n_expansion
+        )
         arms = p.union_arms
         union_ok = bool(arms) and not p.complex and not spans
         if union_ok:
@@ -1293,7 +1342,9 @@ def parse_query(text: str) -> ParseResult:
                 and not p.multi_arm
                 and (not spans or opt_ok)
                 and (not arms or union_ok)
+                or closure_ok  # quantified paths override multi_arm
             ),
+            closure=p.closure_specs[0] if closure_ok else None,
             template=p.template if form == "CONSTRUCT" else None,
             filters=tuple(p.filters),
             optionals=optionals,

@@ -229,7 +229,9 @@ def test_answer_sparql_rejects(t):
         answer_sparql(t, "SELECT WHERE")
     for q in (
         "SELECT ?s WHERE { ?s <p>|<q> ?o }",
-        "SELECT ?s WHERE { ?s <p>+ ?o }",
+        # single-pred 'p+' routes to exact closure since round 6; a
+        # QUANTIFIED SEQUENCE still has no exact route:
+        "SELECT ?s WHERE { ?s (<p>/<q>)+ ?o }",
         # top-level OPTIONAL evaluates since round 6; NESTED optionals and
         # base-TPs-after-OPTIONAL remain out of the subset:
         "SELECT ?s WHERE { ?s <p> ?o OPTIONAL { ?o <q> ?x OPTIONAL { ?x <r> ?y } } }",
@@ -660,6 +662,52 @@ def test_closure_doubling_round_count(spark):
     assert full == sum(range(1, 17))  # all (i, j>i) pairs = 16*17/2
     capped = path_closure(t, "n", max_rounds=2).count()
     assert capped < full  # 2 rounds cover length <= 4 only
+
+
+# ------------------------------------------- quantified paths -> exact closure
+def test_quantified_path_exact_beyond_parser_depth(spark):
+    rows = [(str(i), "next", str(i + 1)) for i in range(1, 6)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sorted(
+        (r.x, r.y)
+        for r in answer_sparql(t, "SELECT ?x ?y WHERE { ?x <next>+ ?y }").collect()
+    )
+    # 15 pairs incl. depth-5 (1,6): the parser's depth-3 expansion could
+    # never produce it — proves the closure route, not the arm union
+    assert got == sorted(
+        (str(i), str(j)) for i in range(1, 6) for j in range(i + 1, 7)
+    )
+    assert answer_sparql(t, "ASK { <1> <next>+ <6> }").collect()[0].ask is True
+    assert answer_sparql(t, "ASK { <6> <next>+ <1> }").collect()[0].ask is False
+
+
+def test_quantified_path_inverse_star_and_modifiers(spark):
+    rows = [(str(i), "next", str(i + 1)) for i in range(1, 6)] + [("a", "o", "b")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    inv = answer_sparql(t, "SELECT ?x WHERE { ?x ^<next>+ <1> } ORDER BY ?x")
+    assert [r.x for r in inv.collect()] == ["2", "3", "4", "5", "6"]
+    # 'a' has no next edges: p* still yields the identity binding
+    star = answer_sparql(t, "SELECT ?y WHERE { <a> <next>* ?y }")
+    assert [r.y for r in star.collect()] == ["a"]
+    agg = answer_sparql(t, "SELECT (COUNT(*) AS ?n) WHERE { ?x <next>+ ?y }")
+    assert agg.collect()[0].n == 15
+    fil = answer_sparql(
+        t, 'SELECT ?x WHERE { ?x <next>+ ?y FILTER(?y = "6") } ORDER BY ?x LIMIT 3'
+    )
+    assert [r.x for r in fil.collect()] == ["1", "2", "3"]
+
+
+def test_quantified_path_subset_boundaries(spark):
+    from kgforge.sparql.parser import parse_query
+
+    # mixed with other TPs / sequence-quantified / multi-spec: demoted
+    for q in (
+        "SELECT ?x WHERE { ?x <p>+ ?y . ?x <q> ?z }",
+        "SELECT ?x WHERE { ?x (<p>/<q>)+ ?y }",
+        "SELECT ?x WHERE { ?x <p>+ ?y . ?y <q>+ ?z }",
+    ):
+        r = parse_query(q)
+        assert r.parse_ok and not r.evaluable and r.closure is None, q
 
 
 # -------------------------------------------------- incremental maintenance
