@@ -2575,6 +2575,28 @@ def kg_sparql_closure(spark, sf):
 
 
 @q(
+    "kg_sparql_alt",
+    f"""WITH t AS ({_DM_TRIPLES_SQL})
+       SELECT subj AS ent, obj AS v FROM t WHERE pred = 'in_nation'
+       UNION ALL
+       SELECT subj AS ent, obj AS v FROM t WHERE pred = 'rdf_type'""",
+)
+def kg_sparql_alt(spark, sf):
+    """SPARQL path alternative 'p|q' answered from TEXT (round 6):
+    '?ent <in_nation>|<rdf_type> ?v' — the parser captures quantifier-
+    free multi-arm paths and the evaluator unions the arm chains between
+    the same endpoints (exact bag semantics; mixed-with-other-TPs and
+    quantified alternatives demote).  Full value oracle: per-predicate
+    UNION ALL replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        "SELECT ?ent ?v WHERE { ?ent <in_nation>|<rdf_type> ?v }",
+    )
+
+
+@q(
     "text_vocab_topk",
     r"""WITH w AS (SELECT doc_id,
                           unnest(string_split_regex(trim(lower(coalesce(text, ''))),
@@ -2851,6 +2873,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_ntriples_roundtrip",
     "kg_path_closure",
     "kg_sparql_closure",
+    "kg_sparql_alt",
     "text_vocab_topk",
     "text_length_stats",
     "text_postings",
@@ -2920,4 +2943,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 102, f"registry must hold exactly 102 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 103, f"registry must hold exactly 103 entries, got {len(REGISTRY)}"

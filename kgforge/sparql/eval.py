@@ -571,6 +571,35 @@ def answer_sparql(
         if ov is not None and ov != sv:
             sel.append(F.col("__o").alias(ov))
         sols = reach.select(*sel) if sel else reach
+    elif r.path_alt is not None:
+        # 'p|q' (or 'a/b|c') path: the exact union of its arm chains; each
+        # arm becomes a fresh-var TP chain between the same endpoints
+        s_t, arms, o_t = r.path_alt
+        evars = []
+        for t_ in (s_t, o_t):
+            v = _var_name(t_)
+            if v is not None and v not in evars:
+                evars.append(v)
+        parts = []
+        for ai, steps in enumerate(arms):
+            nodes = [s_t] + [
+                Term(VAR, f"_path_alt{ai}_{j}") for j in range(len(steps) - 1)
+            ] + [o_t]
+            arm_tps = []
+            for j, (inv, p_t) in enumerate(steps):
+                a, b = nodes[j], nodes[j + 1]
+                arm_tps.append(
+                    TriplePattern(b, p_t, a) if inv else TriplePattern(a, p_t, b)
+                )
+            arm = eval_bgp(triples, arm_tps, select=evars or None, **kw)
+            if not evars:
+                # fully-ground path (ASK-style): reduce each arm to an
+                # existence marker so the arms union on a common shape
+                arm = arm.limit(1).select(F.lit(1).alias("__hit"))
+            parts.append(arm)
+        sols = parts[0]
+        for part in parts[1:]:
+            sols = sols.unionByName(part)
     elif r.unions:
         allvars: List[str] = []
         for arm_tps, _ in r.unions:

@@ -176,6 +176,11 @@ class ParseResult(NamedTuple):
     # bounded-depth arm expansion, which only exists for the stats
     # contract and is never evaluated.
     closure: Optional[tuple] = None
+    # path-alternative route: (subject Term, arms, object Term) when the
+    # WHERE is exactly one quantifier-free 'p|q'-style path — evaluated
+    # as the UNION of the arm chains (each arm a tuple of (inverse, Term)
+    # steps)
+    path_alt: Optional[tuple] = None
 
 
 class _Parser:
@@ -223,6 +228,11 @@ class _Parser:
         # per quantified single-predicate path occurrence
         self._quant_path = None
         self.closure_specs: List[tuple] = []
+        # exact-alternative capture: (subject, arms, object) where arms is
+        # a tuple of non-empty (inverse, Term) step tuples — a 'p|q' (or
+        # 'a/b|c') path is EXACTLY the union of its arm chains; recorded
+        # only for quantifier-free multi-arm paths
+        self.alt_specs: List[tuple] = []
         # solution modifiers (top-level form only): ORDER BY specs as
         # (var, descending) pairs, LIMIT/OFFSET ints, GROUP BY vars, and
         # projection aggregates as (func, var|None for '*', distinct,
@@ -478,10 +488,17 @@ class _Parser:
                 and sorted(len(a) for a in alts) == list(range(1, self.MAX_PATH_DEPTH + 1))
                 and len({s for a in alts for s in a}) == 1
             )
+            pure_alt = (
+                qp is None and len(alts) > 1 and all(len(a) >= 1 for a in alts)
+            )
             while True:
                 obj = self.parse_term()
                 if pure_quant:
                     self.closure_specs.append((subject, qp[0], qp[1], qp[2], obj))
+                elif pure_alt:
+                    self.alt_specs.append(
+                        (subject, tuple(tuple(a) for a in alts), obj)
+                    )
                 for steps in alts:
                     self.emit_path(subject, steps, obj)
                 if self.at_punct(","):
@@ -1298,15 +1315,27 @@ def parse_query(text: str) -> ParseResult:
         # exact-closure route: the whole WHERE is one quantified
         # single-pred path (its bounded expansion is the ONLY tps content)
         n_expansion = _Parser.MAX_PATH_DEPTH * (_Parser.MAX_PATH_DEPTH + 1) // 2
-        closure_ok = (
-            len(p.closure_specs) == 1
-            and form in ("SELECT", "ASK")
+        _path_route_ok = (
+            form in ("SELECT", "ASK")
             and not p.complex
             and not p.optional_spans
             and not p.minus_spans
             and not p.union_arms
             and vals is None
+        )
+        closure_ok = (
+            _path_route_ok
+            and len(p.closure_specs) == 1
+            and not p.alt_specs
             and len(tps) == n_expansion
+        )
+        # 'p|q' route: the WHERE is exactly one quantifier-free multi-arm
+        # path — answered as the union of its arm chains
+        alt_ok = (
+            _path_route_ok
+            and not p.closure_specs
+            and len(p.alt_specs) == 1
+            and len(tps) == sum(len(a) for a in p.alt_specs[0][1])
         )
         arms = p.union_arms
         union_ok = bool(arms) and not p.complex and not spans
@@ -1343,8 +1372,10 @@ def parse_query(text: str) -> ParseResult:
                 and (not spans or opt_ok)
                 and (not arms or union_ok)
                 or closure_ok  # quantified paths override multi_arm
+                or alt_ok  # 'p|q' alternatives likewise
             ),
             closure=p.closure_specs[0] if closure_ok else None,
+            path_alt=p.alt_specs[0] if alt_ok else None,
             template=p.template if form == "CONSTRUCT" else None,
             filters=tuple(p.filters),
             optionals=optionals,

@@ -228,7 +228,9 @@ def test_answer_sparql_rejects(t):
     with pytest.raises(ValueError):
         answer_sparql(t, "SELECT WHERE")
     for q in (
-        "SELECT ?s WHERE { ?s <p>|<q> ?o }",
+        # 'p|q' alone routes to the arm union since round 6; mixed with
+        # another pattern it has no exact route:
+        "SELECT ?s WHERE { ?s <p>|<q> ?o . ?s <r> ?z }",
         # single-pred 'p+' routes to exact closure since round 6; a
         # QUANTIFIED SEQUENCE still has no exact route:
         "SELECT ?s WHERE { ?s (<p>/<q>)+ ?o }",
@@ -708,6 +710,46 @@ def test_quantified_path_subset_boundaries(spark):
     ):
         r = parse_query(q)
         assert r.parse_ok and not r.evaluable and r.closure is None, q
+
+
+# --------------------------------------------- path alternatives -> union
+def test_path_alternative_union(spark):
+    rows = [
+        ("c1", "in_nation", "n5"), ("c1", "rdf_type", "A"),
+        ("x", "a2", "m"), ("m", "b2", "y"), ("x", "c2", "y"),
+        ("s1", "manages", "c1"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sorted(
+        tuple(r)
+        for r in answer_sparql(
+            t, "SELECT ?e ?v WHERE { ?e <in_nation>|<rdf_type> ?v }"
+        ).collect()
+    )
+    assert got == [("c1", "A"), ("c1", "n5")]
+    # sequence arm + plain arm, BAG semantics (x->y twice)
+    seq = answer_sparql(t, "SELECT ?s ?o WHERE { ?s <a2>/<b2>|<c2> ?o }")
+    assert sorted(tuple(r) for r in seq.collect()) == [("x", "y"), ("x", "y")]
+    # inverse arm
+    inv = answer_sparql(t, "SELECT ?e WHERE { ?e <in_nation>|^<manages> ?v }")
+    assert sorted(r.e for r in inv.collect()) == ["c1", "c1"]
+    # fully-ground (ASK) arms
+    assert answer_sparql(t, "ASK { <x> <a2>/<b2>|<zz> <y> }").collect()[0].ask is True
+    assert answer_sparql(t, "ASK { <x> <q1>|<zz> <y> }").collect()[0].ask is False
+
+
+def test_path_alternative_boundaries(spark):
+    from kgforge.sparql.parser import parse_query
+
+    for q in (
+        "SELECT ?e WHERE { ?e <p>|<q> ?v . ?e <r> ?z }",
+        # a quantified alternative group blows the expansion budget: a
+        # counted parse reject, which is an even stronger refusal
+        "SELECT ?e WHERE { ?e (<p>|<q>)+ ?v }",
+        "SELECT ?e WHERE { ?e <p>|<q> ?v . ?e <r>|<s> ?w }",
+    ):
+        r = parse_query(q)
+        assert not r.evaluable and r.path_alt is None, q
 
 
 # -------------------------------------------------- incremental maintenance
