@@ -97,7 +97,7 @@ def test_out_of_subset_is_coded_reject(triples_path, capsys):
     rc = query_graph.main(
         [
             "--triples", triples_path,
-            "--query", "SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } }",
+            "--query", "SELECT ?s WHERE { GRAPH ?g { ?s <p> ?o } }",
             "--show", "5",
         ]
     )
