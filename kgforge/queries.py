@@ -2575,6 +2575,37 @@ def kg_sparql_closure(spark, sf):
 
 
 @q(
+    "kg_bgp_groupconcat",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       ty AS (SELECT subj AS cust, obj AS seg FROM t WHERE pred = 'rdf_type'),
+       na AS (SELECT subj AS cust, obj AS nat FROM t WHERE pred = 'in_nation')
+       SELECT ty.seg,
+              string_agg(DISTINCT na.nat, ', ' ORDER BY na.nat) AS nations,
+              min(na.nat) AS one_nat
+       FROM ty JOIN na USING (cust)
+       GROUP BY ty.seg ORDER BY ty.seg""",
+)
+def kg_bgp_groupconcat(spark, sf):
+    """SPARQL GROUP_CONCAT + SAMPLE (round 6): per customer segment, the
+    sorted distinct nation list and one deterministic witness nation —
+    completing the SPARQL 1.1 aggregate set from query text.  This
+    engine's GROUP_CONCAT SORTS group elements (the spec leaves order
+    implementation-defined; sorting makes it deterministic and
+    oracle-replayable via string_agg(... ORDER BY)) and SAMPLE is min()
+    (a legal 'any value' choice, section 18.5.1.9).  Full value
+    oracle."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """SELECT ?seg (GROUP_CONCAT(DISTINCT ?nat; SEPARATOR=", ") AS ?nations)
+                  (SAMPLE(?nat) AS ?one_nat)
+           WHERE { ?cust <rdf_type> ?seg . ?cust <in_nation> ?nat }
+           GROUP BY ?seg ORDER BY ?seg""",
+    )
+
+
+@q(
     "kg_sparql_alt",
     f"""WITH t AS ({_DM_TRIPLES_SQL})
        SELECT subj AS ent, obj AS v FROM t WHERE pred = 'in_nation'
@@ -2873,6 +2904,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_ntriples_roundtrip",
     "kg_path_closure",
     "kg_sparql_closure",
+    "kg_bgp_groupconcat",
     "kg_sparql_alt",
     "text_vocab_topk",
     "text_length_stats",
@@ -2943,4 +2975,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 103, f"registry must hold exactly 103 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 104, f"registry must hold exactly 104 entries, got {len(REGISTRY)}"

@@ -687,11 +687,23 @@ def answer_sparql(
     # distinct shuffle is equivalent and keeps the order intact.)
     if r.aggregates or r.group_by:
         aggs = []
-        for fn, var, dist, alias in r.aggregates:
+        for fn, var, dist, alias, *rest in r.aggregates:
+            sep = rest[0] if rest else " "
             if fn == "COUNT" and var is None:
                 e = F.count(F.lit(1))
             elif fn == "COUNT":
                 e = F.count_distinct(F.col(var)) if dist else F.count(var)
+            elif fn == "SAMPLE":
+                # SAMPLE may return ANY value of the group (SPARQL 1.1
+                # section 18.5.1.9) — min() is a legal, DETERMINISTIC
+                # choice, which also makes the result oracle-replayable
+                e = F.min(var)
+            elif fn == "GROUP_CONCAT":
+                # element order is implementation-defined in the spec;
+                # this engine SORTS the group for determinism (and oracle
+                # replay via string_agg(... ORDER BY ...))
+                vals_col = F.collect_set(var) if dist else F.collect_list(var)
+                e = F.array_join(F.array_sort(vals_col), sep)
             else:
                 c = F.col(var)
                 if fn in ("SUM", "AVG"):

@@ -1035,12 +1035,14 @@ class _Parser:
             else:
                 return
 
-    _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+    _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
     def _try_agg_projection(self) -> bool:
         """'( AGG([DISTINCT] ?v|*) AS ?alias )' — the evaluable projection
-        expression.  Appends (func, var|None, distinct, alias) to
-        self.aggregates; backtracks and returns False on anything else."""
+        expression; GROUP_CONCAT additionally takes the
+        '; SEPARATOR="..."' clause.  Appends (func, var|None, distinct,
+        alias, sep) to self.aggregates; backtracks and returns False on
+        anything else."""
         saved = self.i
         try:
             self.eat_punct("(")
@@ -1050,10 +1052,10 @@ class _Parser:
             self.eat_punct("(")
             distinct = False
             if self.at_kw("DISTINCT"):
-                if fn.text.upper() != "COUNT":
+                if fn.text.upper() not in ("COUNT", "GROUP_CONCAT"):
                     # SUM/AVG(DISTINCT) have no direct Column form —
                     # outside the subset, falls back to complex
-                    raise ParseError("DISTINCT only supported under COUNT")
+                    raise ParseError("DISTINCT only under COUNT/GROUP_CONCAT")
                 distinct = True
                 self.next()
             t = self.peek()
@@ -1068,6 +1070,20 @@ class _Parser:
                 var = None
             else:
                 raise ParseError("aggregate over an expression")
+            sep = " "  # the SPARQL 1.1 default separator
+            if self.at_punct(";"):
+                if fn.text.upper() != "GROUP_CONCAT":
+                    raise ParseError("separator only under GROUP_CONCAT")
+                self.next()
+                s = self.next()
+                if s.kind != "KEYWORD" or s.text.upper() != "SEPARATOR":
+                    raise ParseError("expected SEPARATOR")
+                self.eat_punct("=")
+                st = self.next()
+                if st.kind not in ("STRING", "STRING3"):
+                    raise ParseError("bad SEPARATOR string")
+                body = st.text[3:-3] if st.kind == "STRING3" else st.text[1:-1]
+                sep = _unescape(body)
             self.eat_punct(")")
             self.eat_kw("AS")
             a = self.next()
@@ -1077,7 +1093,7 @@ class _Parser:
         except ParseError:
             self.i = saved
             return False
-        self.aggregates.append((fn.text.upper(), var, distinct, a.text[1:]))
+        self.aggregates.append((fn.text.upper(), var, distinct, a.text[1:], sep))
         return True
 
     def _try_sort_var(self, desc: bool) -> bool:
@@ -1279,7 +1295,7 @@ def parse_query(text: str) -> ParseResult:
         if has_mods and form != "SELECT":
             p.complex = True  # LIMIT/ORDER on CONSTRUCT/DESCRIBE: refuse
         if form == "SELECT" and (p.aggregates or p.group_by):
-            agg_aliases = {a for _, _, _, a in p.aggregates}
+            agg_aliases = {t[3] for t in p.aggregates}
             plain = [v for v in (p.select_vars or []) if v not in agg_aliases]
             # grouped projection: every plain projected var must be a group
             # key; aggregate input vars must be solution vars
@@ -1293,7 +1309,7 @@ def parse_query(text: str) -> ParseResult:
                 p.select_vars is None  # SELECT * with GROUP BY: not well-formed
                 or not set(plain) <= set(p.group_by)
                 or not set(p.group_by) <= all_vars
-                or not all(v is None or v in all_vars for _, v, _, _ in p.aggregates)
+                or not all(t[1] is None or t[1] in all_vars for t in p.aggregates)
             ):
                 p.complex = True
         if form == "SELECT" and p.order_by:

@@ -379,6 +379,16 @@ def test_distinct_order_interaction(t):
     assert [r.c for r in answer_sparql(t, q).collect()] == ["c2", "c1"]
 
 
+def test_group_concat_and_sample(t):
+    q = """SELECT ?c (GROUP_CONCAT(?o; SEPARATOR=", ") AS ?orders)
+                  (SAMPLE(?o) AS ?one)
+           WHERE { ?o <placed_by> ?c } GROUP BY ?c ORDER BY ?c"""
+    got = [tuple(r) for r in answer_sparql(t, q).collect()]
+    assert got == [("c1", "o1, o2", "o1"), ("c2", "o3", "o3")]
+    q2 = "SELECT (GROUP_CONCAT(DISTINCT ?c) AS ?cs) WHERE { ?o <placed_by> ?c }"
+    assert answer_sparql(t, q2).collect()[0].cs == "c1 c2"  # spec default sep
+
+
 def test_modifier_subset_boundaries(t):
     from kgforge.sparql.parser import parse_query
 
