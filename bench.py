@@ -91,6 +91,11 @@ EXTRA = [
     "kg_bgp_values",
     "kg_describe",
     "kg_bgp_agg",
+    "kg_bgp_bind",
+    "kg_bgp_groupconcat",
+    "kg_sparql_closure",
+    "kg_sparql_alt",
+    "kg_bgp_incremental",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

@@ -2575,6 +2575,34 @@ def kg_sparql_closure(spark, sf):
 
 
 @q(
+    "kg_bgp_bind",
+    f"""WITH t AS ({_DM_TRIPLES_SQL})
+       SELECT subj AS cust, obj AS nat,
+              upper(subj) || '@' || obj AS handle,
+              CAST(length(subj) AS INT) AS idlen
+       FROM t WHERE pred = 'in_nation'""",
+)
+def kg_bgp_bind(spark, sf):
+    """SPARQL BIND (round 6): derived columns from query text —
+    CONCAT(UCASE(?cust), "@", ?nat) and STRLEN(?cust) as fresh vars.
+    The evaluable subset (operands + CONCAT/UCASE/LCASE/STRLEN/STR)
+    compiles to withColumn over the solution frame; expression forms
+    beyond it, non-fresh targets, and optional-only operand vars demote
+    (sparql/eval.py:_value_col).  Full value oracle: ||/upper()/length()
+    replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """SELECT ?cust ?nat ?handle ?idlen WHERE {
+             ?cust <in_nation> ?nat .
+             BIND(CONCAT(UCASE(?cust), "@", ?nat) AS ?handle)
+             BIND(STRLEN(?cust) AS ?idlen)
+           }""",
+    )
+
+
+@q(
     "kg_bgp_groupconcat",
     f"""WITH t AS ({_DM_TRIPLES_SQL}),
        ty AS (SELECT subj AS cust, obj AS seg FROM t WHERE pred = 'rdf_type'),
@@ -2904,6 +2932,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_ntriples_roundtrip",
     "kg_path_closure",
     "kg_sparql_closure",
+    "kg_bgp_bind",
     "kg_bgp_groupconcat",
     "kg_sparql_alt",
     "text_vocab_topk",
@@ -2975,4 +3004,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 104, f"registry must hold exactly 104 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 105, f"registry must hold exactly 105 entries, got {len(REGISTRY)}"

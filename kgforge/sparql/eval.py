@@ -398,6 +398,30 @@ def compile_filter(ast: tuple, columns: Sequence[str]) -> "F.Column":
     raise ValueError(f"unknown filter AST node {ast!r}")
 
 
+def _value_col(ast: tuple) -> "F.Column":
+    """Compile a BIND value-expression AST (parser.py:parse_bind_expr):
+    operands plus CONCAT/UCASE/LCASE/STRLEN, everything string-typed over
+    the plain-string term model (numeric literals keep their lexical
+    float form)."""
+    kind = ast[0]
+    if kind == "var":
+        return F.col(ast[1])
+    if kind == "lit":
+        return F.lit(ast[1]).cast("string") if ast[2] == "num" else F.lit(ast[1])
+    if kind == "fn":
+        _, name, args = ast
+        cols = [_value_col(a).cast("string") for a in args]
+        if name == "concat":
+            return F.concat(*cols)
+        if name == "ucase":
+            return F.upper(cols[0])
+        if name == "lcase":
+            return F.lower(cols[0])
+        if name == "strlen":
+            return F.length(cols[0])
+    raise ValueError(f"unknown bind AST node {ast!r}")
+
+
 def eval_construct(
     triples: DataFrame,
     where_tps: Sequence,
@@ -654,6 +678,8 @@ def answer_sparql(
         shared = sorted(set(sols.columns) & set(m.columns))
         if shared:  # no shared vars: MINUS keeps everything (SPARQL 8.3)
             sols = sols.join(m.select(*shared).distinct(), on=shared, how="left_anti")
+    for expr, bvar in r.binds:
+        sols = sols.withColumn(bvar, _value_col(expr))
     for fx in r.filters:
         sols = sols.filter(compile_filter(fx, sols.columns))
     if r.query_form == "CONSTRUCT":

@@ -176,6 +176,9 @@ class ParseResult(NamedTuple):
     # bounded-depth arm expansion, which only exists for the stats
     # contract and is never evaluated.
     closure: Optional[tuple] = None
+    # evaluable BIND clauses (value-expr AST, fresh var), applied as
+    # withColumn after the join frame is built
+    binds: Tuple[tuple, ...] = ()
     # path-alternative route: (subject Term, arms, object Term) when the
     # WHERE is exactly one quantifier-free 'p|q'-style path — evaluated
     # as the UNION of the arm chains (each arm a tuple of (inverse, Term)
@@ -233,6 +236,8 @@ class _Parser:
         # 'a/b|c') path is EXACTLY the union of its arm chains; recorded
         # only for quantifier-free multi-arm paths
         self.alt_specs: List[tuple] = []
+        # evaluable BIND clauses: (value-expr AST, fresh var name)
+        self.binds: List[tuple] = []
         # solution modifiers (top-level form only): ORDER BY specs as
         # (var, descending) pairs, LIMIT/OFFSET ints, GROUP BY vars, and
         # projection aggregates as (func, var|None for '*', distinct,
@@ -544,6 +549,7 @@ class _Parser:
         # those demote to complex instead of evaluating.
         group_filters: List[tuple] = []
         tp_start = len(self.tps)
+        bind_start = len(self.binds)
         while not self.at_punct("}"):
             t = self.peek()
             if t is None:
@@ -637,10 +643,22 @@ class _Parser:
                     self.complex = True
                     self.skip_filter_constraint()
             elif up == "BIND":
-                self.simple = False
-                self.complex = True
+                self.simple = False  # stats: BIND is a non-simple feature
                 self.next()
-                self.skip_parens()
+                # evaluable subset: BIND((operand | CONCAT/UCASE/LCASE/
+                # STRLEN/STR over operands) AS ?fresh) at depth 1 —
+                # compiled to withColumn; anything else skips + complex
+                saved_i = self.i
+                try:
+                    expr, bvar = self.parse_bind_expr()
+                    if self._depth == 1:
+                        self.binds.append((expr, bvar))
+                    else:
+                        self.complex = True
+                except ParseError:
+                    self.i = saved_i
+                    self.complex = True
+                    self.skip_parens()
             elif up == "VALUES":
                 self.simple = False  # stats: VALUES is a non-simple feature
                 self.next()
@@ -669,6 +687,8 @@ class _Parser:
                 for term in (tp.s, tp.p, tp.o):
                     if term.kind == VAR:
                         scope.add(term.value)
+            # BIND targets join the group scope for subsequent FILTERs
+            scope.update(v for _, v in self.binds[bind_start:])
             for fx in group_filters:
                 if self._fx_vars(fx) <= scope:
                     self.filters.append(fx)
@@ -1035,6 +1055,37 @@ class _Parser:
             else:
                 return
 
+    _BIND_FNS = {"CONCAT", "UCASE", "LCASE", "STRLEN"}
+
+    def parse_bind_expr(self) -> tuple:
+        """'( value-expr AS ?var )' for BIND.  Value exprs: a plain
+        operand, or CONCAT(op, ...) / UCASE(op) / LCASE(op) / STRLEN(op)
+        (STR() folds to identity inside _fx_operand).  Raises ParseError
+        on anything else (the caller backtracks to the skip path)."""
+        self.eat_punct("(")
+        expr = self._bind_value()
+        self.eat_kw("AS")
+        v = self.next()
+        if v.kind != "VAR":
+            raise ParseError("bad BIND target")
+        self.eat_punct(")")
+        return expr, v.text[1:]
+
+    def _bind_value(self) -> tuple:
+        t = self.peek()
+        if t is not None and t.kind == "KEYWORD" and t.text.upper() in self._BIND_FNS:
+            name = self.next().text.upper()
+            self.eat_punct("(")
+            args = [self._bind_value()]  # nested calls compose
+            while self.at_punct(","):
+                self.next()
+                args.append(self._bind_value())
+            self.eat_punct(")")
+            if name != "CONCAT" and len(args) != 1:
+                raise ParseError(f"{name} takes 1 argument")
+            return ("fn", name.lower(), tuple(args))
+        return self._fx_operand()
+
     _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
     def _try_agg_projection(self) -> bool:
@@ -1243,6 +1294,31 @@ def parse_query(text: str) -> ParseResult:
         tokens = tokenize(text)
         p = _Parser(tokens)
         form, tps, simple = p.parse_query()
+        # FAST PATH — plain query, no evaluation features: this wrapper
+        # runs once per query inside the extraction pipeline's pandas
+        # UDFs, so the common case must not pay the feature bookkeeping
+        # below (measured ~8us/parse, a real tax at millions of log
+        # queries; the full path is behavior-identical for these inputs)
+        if not (
+            p.optional_spans or p.minus_spans or p.union_arms
+            or p.values_clause or p.binds or p.closure_specs or p.alt_specs
+            or p.describe_terms or p.describe_star or p.filters
+            or p.template is not None
+            or p.order_by or p.group_by or p.aggregates
+            or p.limit is not None or p.offset is not None
+        ):
+            return ParseResult(
+                True, form, tps, simple, None,
+                select_vars=p.select_vars if form == "SELECT" else None,
+                distinct=p.select_distinct,
+                evaluable=(
+                    form in ("SELECT", "ASK", "CONSTRUCT")
+                    and not p.complex
+                    and not p.multi_arm
+                    and bool(tps)
+                ),
+                base_tps=tps,
+            )
         # OPTIONAL and MINUS spans share the base-split and ordering rules:
         # every base TP must PRECEDE the first span (SPARQL algebra builds
         # left-to-right — a base pattern after a LeftJoin/Minus applies
@@ -1251,12 +1327,21 @@ def parse_query(text: str) -> ParseResult:
         # OPTIONAL+MINUS may not mix (their relative algebra order is not
         # represented on the flat list).
         spans = p.optional_spans + p.minus_spans
-        in_span = set()
-        for s, e, _ in spans:
-            in_span.update(range(s, e))
-        base = [tp for i, tp in enumerate(tps) if i not in in_span]
-        optionals = tuple((tuple(tps[s:e]), fx) for s, e, fx in p.optional_spans)
-        minuses = tuple((tuple(tps[s:e]), fx) for s, e, fx in p.minus_spans)
+        if spans:
+            in_span = set()
+            for s, e, _ in spans:
+                in_span.update(range(s, e))
+            base = [tp for i, tp in enumerate(tps) if i not in in_span]
+            optionals = tuple((tuple(tps[s:e]), fx) for s, e, fx in p.optional_spans)
+            minuses = tuple((tuple(tps[s:e]), fx) for s, e, fx in p.minus_spans)
+        else:
+            # fast path: no spans — this wrapper runs once per query inside
+            # the extraction pipeline's pandas UDFs, so the common case
+            # (plain BGP) must not pay list copies for absent features
+            in_span = ()
+            base = tps
+            optionals = ()
+            minuses = ()
         opt_ok = bool(spans) and not p.complex
         if opt_ok:
             first = min(s for s, _, _ in spans)
@@ -1286,6 +1371,41 @@ def parse_query(text: str) -> ParseResult:
             if not ok:
                 p.complex = True
                 vals = None
+        # BIND validation: operand vars must be base-bound (optional-only
+        # operands could be NULL — demoted instead of diverging), targets
+        # fresh and distinct; no mixing with union/path routes
+        bind_vars = set()
+        if p.binds:
+            tp_vars_all = {
+                t_.value
+                for tp_ in tps
+                for t_ in (tp_.s, tp_.p, tp_.o)
+                if t_.kind == VAR
+            }
+            base_vars = {
+                t_.value
+                for tp_ in base
+                for t_ in (tp_.s, tp_.p, tp_.o)
+                if t_.kind == VAR
+            }
+
+            def _operand_vars(ast):
+                if ast[0] == "var":
+                    return {ast[1]}
+                if ast[0] == "fn":
+                    return set().union(*(_operand_vars(a) for a in ast[2]))
+                return set()
+
+            bind_vars = {v for _, v in p.binds}
+            if (
+                p.union_arms
+                or len(bind_vars) != len(p.binds)
+                or bind_vars & tp_vars_all
+                or not all(
+                    _operand_vars(e) <= base_vars for e, _ in p.binds
+                )
+            ):
+                p.complex = True
         # solution modifiers: validated here so out-of-subset combinations
         # demote instead of silently dropping a modifier
         has_mods = bool(
@@ -1304,7 +1424,7 @@ def parse_query(text: str) -> ParseResult:
                 for tp_ in tps
                 for t_ in (tp_.s, tp_.p, tp_.o)
                 if t_.kind == VAR
-            }
+            } | bind_vars
             if (
                 p.select_vars is None  # SELECT * with GROUP BY: not well-formed
                 or not set(plain) <= set(p.group_by)
@@ -1318,7 +1438,7 @@ def parse_query(text: str) -> ParseResult:
                 for tp_ in tps
                 for t_ in (tp_.s, tp_.p, tp_.o)
                 if t_.kind == VAR
-            }
+            } | bind_vars
             if p.aggregates or p.group_by:
                 sortable = set(p.select_vars or [])
             elif p.select_distinct:
@@ -1330,29 +1450,32 @@ def parse_query(text: str) -> ParseResult:
                 p.complex = True
         # exact-closure route: the whole WHERE is one quantified
         # single-pred path (its bounded expansion is the ONLY tps content)
-        n_expansion = _Parser.MAX_PATH_DEPTH * (_Parser.MAX_PATH_DEPTH + 1) // 2
-        _path_route_ok = (
-            form in ("SELECT", "ASK")
-            and not p.complex
-            and not p.optional_spans
-            and not p.minus_spans
-            and not p.union_arms
-            and vals is None
-        )
-        closure_ok = (
-            _path_route_ok
-            and len(p.closure_specs) == 1
-            and not p.alt_specs
-            and len(tps) == n_expansion
-        )
-        # 'p|q' route: the WHERE is exactly one quantifier-free multi-arm
-        # path — answered as the union of its arm chains
-        alt_ok = (
-            _path_route_ok
-            and not p.closure_specs
-            and len(p.alt_specs) == 1
-            and len(tps) == sum(len(a) for a in p.alt_specs[0][1])
-        )
+        closure_ok = alt_ok = False
+        if p.closure_specs or p.alt_specs:
+            n_expansion = _Parser.MAX_PATH_DEPTH * (_Parser.MAX_PATH_DEPTH + 1) // 2
+            _path_route_ok = (
+                form in ("SELECT", "ASK")
+                and not p.complex
+                and not p.optional_spans
+                and not p.minus_spans
+                and not p.union_arms
+                and vals is None
+                and not p.binds
+            )
+            closure_ok = (
+                _path_route_ok
+                and len(p.closure_specs) == 1
+                and not p.alt_specs
+                and len(tps) == n_expansion
+            )
+            # 'p|q' route: the WHERE is exactly one quantifier-free
+            # multi-arm path — answered as the union of its arm chains
+            alt_ok = (
+                _path_route_ok
+                and not p.closure_specs
+                and len(p.alt_specs) == 1
+                and len(tps) == sum(len(a) for a in p.alt_specs[0][1])
+            )
         arms = p.union_arms
         union_ok = bool(arms) and not p.complex and not spans
         if union_ok:
@@ -1401,6 +1524,7 @@ def parse_query(text: str) -> ParseResult:
             describe_terms=tuple(p.describe_terms),
             describe_star=p.describe_star,
             minuses=minuses,
+            binds=tuple(p.binds),
             order_by=tuple(p.order_by),
             limit=p.limit,
             offset=p.offset,

@@ -379,6 +379,35 @@ def test_distinct_order_interaction(t):
     assert [r.c for r in answer_sparql(t, q).collect()] == ["c2", "c1"]
 
 
+def test_bind_expressions(t):
+    q = """SELECT ?c ?h ?n WHERE { ?c <rdf_type> ?s .
+           BIND(CONCAT(UCASE(?c), "/", ?s) AS ?h)
+           BIND(STRLEN(?c) AS ?n) }"""
+    got = sorted(tuple(r) for r in answer_sparql(t, q).collect())
+    assert got == [("c1", "C1/seg_A", 2), ("c2", "C2/seg_B", 2)]
+    # bind var usable in filters and modifiers downstream
+    q2 = """SELECT ?h WHERE { ?c <rdf_type> ?s BIND(LCASE(?s) AS ?h)
+            FILTER(STRENDS(?h, "_a")) }"""
+    assert [r.h for r in answer_sparql(t, q2).collect()] == ["seg_a"]
+
+
+def test_bind_subset_boundaries(t):
+    from kgforge.sparql.parser import parse_query
+
+    for q in (
+        # target var already bound by a pattern
+        "SELECT ?c WHERE { ?c <rdf_type> ?s BIND(UCASE(?s) AS ?c) }",
+        # arithmetic expression: out of subset
+        "SELECT ?x WHERE { ?c <rdf_type> ?s BIND(1 + 2 AS ?x) }",
+        # operand var bound only in an OPTIONAL group
+        "SELECT ?x WHERE { ?c <a> ?v OPTIONAL { ?c <b> ?s } BIND(UCASE(?s) AS ?x) }",
+        # duplicate bind targets
+        "SELECT ?x WHERE { ?c <a> ?v BIND(UCASE(?v) AS ?x) BIND(LCASE(?v) AS ?x) }",
+    ):
+        r = parse_query(q)
+        assert r.parse_ok and not r.evaluable, q
+
+
 def test_group_concat_and_sample(t):
     q = """SELECT ?c (GROUP_CONCAT(?o; SEPARATOR=", ") AS ?orders)
                   (SAMPLE(?o) AS ?one)
