@@ -338,3 +338,110 @@ def run_incremental_substring(
         .start()
     )
     q.awaitTermination()
+
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string"
+
+
+def run_incremental_bgp_view(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    query_text: str,
+    max_files_per_batch: int = 32,
+) -> None:
+    """CONTINUOUS MATERIALIZED SPARQL VIEW: triples stream in as parquet
+    files, and a registered SELECT query's solution set is maintained
+    INCREMENTALLY — each micro-batch contributes only its DELTA solutions
+    via the bag-exact delta-join staircase (sparql/eval.py:eval_bgp_delta),
+    so per-batch work scales with the batch's match volume, never a
+    full-graph recompute.  The view is always the exact bag the one-shot
+    query would produce over everything ingested so far (pytest-gated:
+    batch-union == one-shot).
+
+    State layout under ``state_dir``: ``triples/`` (the accumulated graph
+    snapshot the NEXT delta joins against) and ``solutions/`` (the view).
+    Both appends are guarded by the shared epoch ledger — a redelivered
+    micro-batch is skipped whole, the same exactly-once layering as the
+    other incremental drivers in this module.  Contract: batches carry NEW
+    triples (the insert-only IVM setting; deletions are the tombstone
+    machinery's domain, operators/dedup.py).
+
+    The query must be in the conjunctive evaluable subset WITHOUT
+    post-join features that do not distribute over union (DISTINCT,
+    aggregates, modifiers, OPTIONAL/UNION/MINUS) — plain FILTERs are fine
+    (Filter distributes over the solution union).  Anything else raises
+    BEFORE the stream starts.
+    """
+    import os
+
+    from kgforge.sparql.eval import compile_filter, eval_bgp, eval_bgp_delta
+    from kgforge.sparql.parser import parse_query
+
+    r = parse_query(query_text)
+    if not r.parse_ok:
+        raise ValueError(f"SPARQL parse reject: {r.error}")
+    if not (
+        r.evaluable
+        and r.query_form == "SELECT"
+        and not r.distinct
+        and not r.optionals
+        and not r.unions
+        and not r.minuses
+        and not r.aggregates
+        and not r.group_by
+        and not r.order_by
+        and r.limit is None
+        and r.offset is None
+        and r.values is None
+        and r.closure is None
+        and r.path_alt is None
+        and not r.binds
+    ):
+        raise NotImplementedError(
+            "incremental view maintenance needs a plain conjunctive "
+            "SELECT (FILTERs allowed); this query is outside that subset"
+        )
+    tps, filters, select = r.tps, r.filters, r.select_vars
+
+    triples_dir = os.path.join(state_dir, "triples")
+    solutions_dir = os.path.join(state_dir, "solutions")
+    ledger = _EpochLedger(
+        state_dir.rstrip("/") + "_view_epochs.txt", checkpoint_dir
+    )
+
+    def _filtered(df: DataFrame) -> DataFrame:
+        for fx in filters:
+            df = df.filter(compile_filter(fx, df.columns))
+        return df
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = ledger.done()
+        if ledger.key(epoch_id) in done:
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)  # one stable read
+        first = not os.path.exists(triples_dir)
+        if first:
+            delta = eval_bgp(batch_df, tps, select=select)
+        else:
+            old = spark.read.parquet(triples_dir)
+            delta = eval_bgp_delta(old, batch_df, tps, select=select)
+        _filtered(delta).write.mode("append").parquet(solutions_dir)
+        batch_df.write.mode("append").parquet(triples_dir)
+        ledger.mark(done, epoch_id)
+
+    ledger.done()  # pre-flight
+
+    stream = (
+        spark.readStream.schema(TRIPLE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -203,3 +203,48 @@ def test_streaming_dedup(spark, events_stream):
         .count()
     )
     assert n == distinct_ids
+
+
+def test_incremental_bgp_view_equals_oneshot(spark, tmpdir_path):
+    """Materialized SPARQL view over a triple stream: the maintained bag
+    == the one-shot query over everything ingested; redelivery/restart is
+    a no-op; out-of-subset queries reject BEFORE the stream starts."""
+    import glob
+    import random
+    import shutil
+
+    from kgforge.sparql.eval import answer_sparql
+    from kgforge.streaming.incremental import run_incremental_bgp_view
+
+    rng = random.Random(3)
+    ents = [f"e{i}" for i in range(10)]
+    rows = sorted(
+        {(rng.choice(ents), rng.choice(["p", "q"]), rng.choice(ents)) for _ in range(80)}
+    )
+    rng.shuffle(rows)
+    schema = "subj string, pred string, obj string"
+    src = os.path.join(tmpdir_path, "src")
+    os.makedirs(src)
+    n = 0
+    for i in range(3):
+        wave = os.path.join(tmpdir_path, f"wave{i}")
+        spark.createDataFrame(rows[i * 27:(i + 1) * 27], schema).coalesce(1).write.parquet(wave)
+        for f in glob.glob(f"{wave}/part-*.parquet"):
+            shutil.move(f, os.path.join(src, f"file{n}.parquet"))
+            n += 1
+    q = 'SELECT ?a ?c WHERE { ?a <p> ?b . ?b <q> ?c FILTER(?c != "e3") }'
+    state, ckpt = os.path.join(tmpdir_path, "state"), os.path.join(tmpdir_path, "ckpt")
+    run_incremental_bgp_view(spark, src, state, ckpt, q, max_files_per_batch=1)
+    got = sorted(tuple(r) for r in spark.read.parquet(state + "/solutions").collect())
+    full = spark.createDataFrame(rows[:81], schema)
+    want = sorted(tuple(r) for r in answer_sparql(full, q).collect())
+    assert got == want and len(got) > 0
+    # restart with the same checkpoint: ledger skips everything
+    run_incremental_bgp_view(spark, src, state, ckpt, q, max_files_per_batch=1)
+    got2 = sorted(tuple(r) for r in spark.read.parquet(state + "/solutions").collect())
+    assert got2 == got
+    with pytest.raises(NotImplementedError):
+        run_incremental_bgp_view(
+            spark, src, os.path.join(tmpdir_path, "s2"), os.path.join(tmpdir_path, "c2"),
+            "SELECT DISTINCT ?a WHERE { ?a <p> ?b }",
+        )
