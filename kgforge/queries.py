@@ -649,7 +649,9 @@ def udaf_mean_pool(spark, sf):
     """Custom aggregation in pandas: per-label embedding centroid via
     applyInPandas with one-row-per-group output (the UDAF pattern the
     pyspark guide prescribes when grouped-agg annotations can't express
-    an array-typed result).  The oracle replicates the mean element-wise
+    an array-typed result).  [Round-6 swap #5: moved to the extras —
+    still locally value-swept; U6 additionally pytest-gated in
+    test_sqlfns.]  The oracle replicates the mean element-wise
     (cross join with the 64 dimension indices); both sides round to 6
     decimals before the micro-unit projection so double-summation-order
     ulps can't flip a digit."""
@@ -1048,6 +1050,9 @@ def win_rank_pct(spark, sf):
        FROM events GROUP BY 1, 2""",
 )
 def win_tumbling(spark, sf):
+    """F3 tumbling-window agg.  [Round-6 swap #5: moved to the extras —
+    still locally value-swept; tumbling semantics additionally gated in
+    test_streaming.]"""
     return (
         T(spark, sf, "events")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -2985,13 +2990,24 @@ _PROMOTE = {
     # two flagship KG-query operators, both with full DuckDB value oracles
     # (the closure one via WITH RECURSIVE).  They displace the two set/
     # string scalar showcases below, which keep their local value sweep.
+    # Swap #5 (round 6, fourth session): kg_construct (graph REWRITING —
+    # CONSTRUCT templates instantiated per solution) and kg_sparql_closure
+    # (quantified 'p+' answered EXACTLY from text, beyond the parser's
+    # bounded depth) join the recorded set next to their siblings; the
+    # displaced win_tumbling (F3 tumbling stays pytest+streaming-gated,
+    # fn_date locally value-swept) and udaf_mean_pool (U6 stays
+    # pytest-gated + locally value-swept) keep their local sweeps.
     "kg_bgp_ranking": [
         "kg_void_stats", "kg_pagerank", "kg_path_2hop",
         "kg_bgp_eval", "kg_path_closure",
+        "kg_construct", "kg_sparql_closure",
     ],
     "dedup_ngram_jaccard": ["dedup_substring"],
 }
-_DEMOTE = ["fn_date", "fn_math", "fn_json", "fn_map", "set_ops", "fn_string_array"]
+_DEMOTE = [
+    "fn_date", "fn_math", "fn_json", "fn_map", "set_ops", "fn_string_array",
+    "win_tumbling", "udaf_mean_pool",
+]
 _promoted = [k for ks in _PROMOTE.values() for k in ks]
 _keys = [k for k in REGISTRY if k not in set(_promoted) | set(_DEMOTE)]
 for _anchor, _ks in _PROMOTE.items():
