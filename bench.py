@@ -96,6 +96,7 @@ EXTRA = [
     "kg_sparql_closure",
     "kg_sparql_alt",
     "kg_bgp_incremental",
+    "kg_bgp_exists",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

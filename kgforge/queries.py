@@ -2580,6 +2580,38 @@ def kg_sparql_closure(spark, sf):
 
 
 @q(
+    "kg_bgp_exists",
+    f"""WITH t AS ({_DM_TRIPLES_SQL}),
+       a AS (SELECT subj AS cust, obj AS nat FROM t WHERE pred = 'in_nation')
+       SELECT cust, nat FROM a
+       WHERE EXISTS (SELECT 1 FROM t
+                     WHERE pred = 'placed_by' AND obj = a.cust)
+         AND NOT EXISTS (SELECT 1 FROM t
+                         WHERE pred = 'rdf_type' AND subj = a.cust
+                           AND obj = 'seg_BUILDING')""",
+)
+def kg_bgp_exists(spark, sf):
+    """SPARQL FILTER EXISTS / NOT EXISTS (round 6): nation members that
+    HAVE at least one order and are NOT BUILDING-segment — correlated
+    existence compiled to semi/anti joins on the shared vars (pattern
+    vars stay local per the spec's non-binding EXISTS scope; uncorrelated
+    patterns become broadcast global gates).  Mixing with OPTIONAL
+    demotes (NULL-bound shared vars would diverge from the correlated
+    substitution semantics).  Full value oracle: correlated
+    EXISTS/NOT EXISTS subquery replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _dm_triples(spark, sf),
+        """SELECT ?cust ?nat WHERE {
+             ?cust <in_nation> ?nat
+             FILTER EXISTS { ?o <placed_by> ?cust }
+             FILTER NOT EXISTS { ?cust <rdf_type> <seg_BUILDING> }
+           }""",
+    )
+
+
+@q(
     "kg_bgp_bind",
     f"""WITH t AS ({_DM_TRIPLES_SQL})
        SELECT subj AS cust, obj AS nat,
@@ -2937,6 +2969,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_ntriples_roundtrip",
     "kg_path_closure",
     "kg_sparql_closure",
+    "kg_bgp_exists",
     "kg_bgp_bind",
     "kg_bgp_groupconcat",
     "kg_sparql_alt",
@@ -3020,4 +3053,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 105, f"registry must hold exactly 105 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 106, f"registry must hold exactly 106 entries, got {len(REGISTRY)}"

@@ -680,6 +680,20 @@ def answer_sparql(
             sols = sols.join(m.select(*shared).distinct(), on=shared, how="left_anti")
     for expr, bvar in r.binds:
         sols = sols.withColumn(bvar, _value_col(expr))
+    for neg, ex_tps, ex_filters in r.exists:
+        pat = eval_bgp(triples, ex_tps, **kw)
+        for fx in ex_filters:
+            pat = pat.filter(compile_filter(fx, pat.columns))
+        shared = sorted(set(sols.columns) & set(pat.columns))
+        if shared:
+            how = "left_anti" if neg else "left_semi"
+            sols = sols.join(pat.select(*shared).distinct(), on=shared, how=how)
+        else:
+            # uncorrelated pattern: a GLOBAL existence gate over all rows
+            k = "__exm"
+            marker = pat.limit(1).select(F.lit(1).alias(k))
+            sols = sols.join(F.broadcast(marker), how="left")
+            sols = sols.filter(F.col(k).isNull() if neg else F.col(k).isNotNull()).drop(k)
     for fx in r.filters:
         sols = sols.filter(compile_filter(fx, sols.columns))
     if r.query_form == "CONSTRUCT":

@@ -179,6 +179,11 @@ class ParseResult(NamedTuple):
     # evaluable BIND clauses (value-expr AST, fresh var), applied as
     # withColumn after the join frame is built
     binds: Tuple[tuple, ...] = ()
+    # top-level FILTER [NOT] EXISTS groups as (negated, tps, filters):
+    # semi/anti joins on the shared vars (pattern vars stay local, the
+    # spec's non-binding EXISTS scope); no-shared-vars patterns act as
+    # global existence gates
+    exists: Tuple[tuple, ...] = ()
     # path-alternative route: (subject Term, arms, object Term) when the
     # WHERE is exactly one quantifier-free 'p|q'-style path — evaluated
     # as the UNION of the arm chains (each arm a tuple of (inverse, Term)
@@ -238,6 +243,9 @@ class _Parser:
         self.alt_specs: List[tuple] = []
         # evaluable BIND clauses: (value-expr AST, fresh var name)
         self.binds: List[tuple] = []
+        # top-level FILTER [NOT] EXISTS groups: (negated, tp_start,
+        # tp_end, filters) spans — semi/anti joins at evaluation
+        self.exists_spans: List[tuple] = []
         # solution modifiers (top-level form only): ORDER BY specs as
         # (var, descending) pairs, LIMIT/OFFSET ints, GROUP BY vars, and
         # projection aggregates as (func, var|None for '*', distinct,
@@ -633,15 +641,49 @@ class _Parser:
             elif up == "FILTER":
                 self.simple = False  # stats: FILTER is a non-simple feature
                 self.next()
-                # evaluable subset first; anything else falls back to the
-                # skip-and-mark-complex path (backtracking on the token idx)
-                saved_i = self.i
-                try:
-                    group_filters.append(self.parse_filter_expr())
-                except ParseError:
-                    self.i = saved_i
+                # FILTER [NOT] EXISTS { ... }: captured as a span at depth
+                # 1 (semi/anti join at evaluation — pattern vars stay
+                # LOCAL, exactly SPARQL's non-binding EXISTS scope);
+                # elsewhere the group still parses for the stats contract
+                neg = False
+                if self.at_kw("NOT"):
+                    nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+                    if nxt is not None and nxt.kind == "KEYWORD" and nxt.text.upper() == "EXISTS":
+                        self.next()
+                        neg = True
+                look = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+                if (
+                    self.at_kw("EXISTS")
+                    and look is not None
+                    and look.kind == "PUNCT"
+                    and look.text == "{"
+                ):
+                    self.next()  # EXISTS
+                    t_start = len(self.tps)
+                    f_start = len(self.filters)
+                    self.parse_group()
+                    efilters = tuple(self.filters[f_start:])
+                    del self.filters[f_start:]
+                    if self._depth == 1:
+                        self.exists_spans.append(
+                            (neg, t_start, len(self.tps), efilters)
+                        )
+                    else:
+                        self.complex = True
+                elif neg:
+                    # NOT followed by something else: out of subset
                     self.complex = True
                     self.skip_filter_constraint()
+                else:
+                    # evaluable subset first; anything else falls back to
+                    # the skip-and-mark-complex path (token-idx backtrack)
+                    saved_i = self.i
+                    try:
+                        group_filters.append(self.parse_filter_expr())
+                    except ParseError:
+                        self.i = saved_i
+                        self.complex = True
+                        self.skip_filter_constraint()
             elif up == "BIND":
                 self.simple = False  # stats: BIND is a non-simple feature
                 self.next()
@@ -1302,8 +1344,8 @@ def parse_query(text: str) -> ParseResult:
         if not (
             p.optional_spans or p.minus_spans or p.union_arms
             or p.values_clause or p.binds or p.closure_specs or p.alt_specs
-            or p.describe_terms or p.describe_star or p.filters
-            or p.template is not None
+            or p.exists_spans or p.describe_terms or p.describe_star
+            or p.filters or p.template is not None
             or p.order_by or p.group_by or p.aggregates
             or p.limit is not None or p.offset is not None
         ):
@@ -1327,9 +1369,19 @@ def parse_query(text: str) -> ParseResult:
         # OPTIONAL+MINUS may not mix (their relative algebra order is not
         # represented on the flat list).
         spans = p.optional_spans + p.minus_spans
-        if spans:
+        exists_filters = tuple(
+            (neg, tuple(tps[s:e]), fx) for neg, s, e, fx in p.exists_spans
+        )
+        if p.exists_spans and (spans or p.union_arms):
+            # EXISTS shared vars could be optional-bound (NULL) — the
+            # semi/anti join would diverge from the correlated
+            # substitution semantics, so the mix demotes
+            p.complex = True
+        if spans or p.exists_spans:
             in_span = set()
             for s, e, _ in spans:
+                in_span.update(range(s, e))
+            for _, s, e, _ in p.exists_spans:
                 in_span.update(range(s, e))
             base = [tp for i, tp in enumerate(tps) if i not in in_span]
             optionals = tuple((tuple(tps[s:e]), fx) for s, e, fx in p.optional_spans)
@@ -1450,6 +1502,8 @@ def parse_query(text: str) -> ParseResult:
                 p.complex = True
         # exact-closure route: the whole WHERE is one quantified
         # single-pred path (its bounded expansion is the ONLY tps content)
+        if p.exists_spans and not base:
+            p.complex = True  # WHERE is only a FILTER EXISTS: no base BGP
         closure_ok = alt_ok = False
         if p.closure_specs or p.alt_specs:
             n_expansion = _Parser.MAX_PATH_DEPTH * (_Parser.MAX_PATH_DEPTH + 1) // 2
@@ -1461,6 +1515,7 @@ def parse_query(text: str) -> ParseResult:
                 and not p.union_arms
                 and vals is None
                 and not p.binds
+                and not p.exists_spans
             )
             closure_ok = (
                 _path_route_ok
@@ -1525,6 +1580,7 @@ def parse_query(text: str) -> ParseResult:
             describe_star=p.describe_star,
             minuses=minuses,
             binds=tuple(p.binds),
+            exists=exists_filters,
             order_by=tuple(p.order_by),
             limit=p.limit,
             offset=p.offset,

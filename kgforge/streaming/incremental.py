@@ -398,6 +398,10 @@ def run_incremental_bgp_view(
         and r.closure is None
         and r.path_alt is None
         and not r.binds
+        # EXISTS does NOT distribute over graph growth: a previously
+        # emitted (or withheld) solution can change status as the graph
+        # accumulates — out of the insert-only IVM setting
+        and not r.exists
     ):
         raise NotImplementedError(
             "incremental view maintenance needs a plain conjunctive "

@@ -408,6 +408,43 @@ def test_bind_subset_boundaries(t):
         assert r.parse_ok and not r.evaluable, q
 
 
+def test_filter_exists_and_not_exists(t):
+    q = "SELECT ?c ?n WHERE { ?c <in_nation> ?n FILTER NOT EXISTS { ?c <rdf_type> <seg_B> } }"
+    got = sorted(tuple(r) for r in answer_sparql(t, q).collect())
+    assert got == [("c1", "n5"), ("s1", "n5")]
+    q2 = "SELECT ?c WHERE { ?c <in_nation> ?n FILTER EXISTS { ?c <rdf_type> ?s } }"
+    assert sorted(r.c for r in answer_sparql(t, q2).collect()) == ["c1", "c2"]
+    # inner filter inside the EXISTS pattern
+    q3 = """SELECT ?c WHERE { ?c <in_nation> ?n
+            FILTER EXISTS { ?c <rdf_type> ?s FILTER(?s != "seg_B") } }"""
+    assert [r.c for r in answer_sparql(t, q3).collect()] == ["c1"]
+    # uncorrelated patterns: global gates
+    gate = "SELECT ?c WHERE { ?c <in_nation> ?n FILTER EXISTS { ?z <rdf_type> <seg_B> } }"
+    assert answer_sparql(t, gate).count() == 3
+    gate0 = "SELECT ?c WHERE { ?c <in_nation> ?n FILTER EXISTS { ?z <rdf_type> <nope> } }"
+    assert answer_sparql(t, gate0).count() == 0
+    gaten = "SELECT ?c WHERE { ?c <in_nation> ?n FILTER NOT EXISTS { ?z <rdf_type> <nope> } }"
+    assert answer_sparql(t, gaten).count() == 3
+
+
+def test_filter_exists_boundaries(t):
+    from kgforge.sparql.parser import parse_query
+
+    for q in (
+        # EXISTS + OPTIONAL: NULL-bound shared vars would diverge
+        "SELECT ?e WHERE { ?e <a> ?n OPTIONAL { ?e <b> ?s } FILTER NOT EXISTS { ?e <c> ?s } }",
+        # no base BGP
+        "SELECT ?e WHERE { FILTER EXISTS { ?e <a> ?n } }",
+        # nested below the main group
+        "SELECT ?e WHERE { { ?e <a> ?n FILTER EXISTS { ?e <b> ?s } } UNION { ?e <c> ?d } }",
+    ):
+        r = parse_query(q)
+        assert r.parse_ok and not r.evaluable, q
+    # stats contract: EXISTS pattern TPs still collected flat
+    r2 = parse_query("SELECT ?c WHERE { ?c <a> ?n FILTER EXISTS { ?c <b> ?s } }")
+    assert len(r2.tps) == 2 and len(r2.base_tps) == 1 and len(r2.exists) == 1
+
+
 def test_group_concat_and_sample(t):
     q = """SELECT ?c (GROUP_CONCAT(?o; SEPARATOR=", ") AS ?orders)
                   (SAMPLE(?o) AS ?one)
