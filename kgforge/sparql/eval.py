@@ -529,28 +529,40 @@ def answer_sparql(
     term_str: Callable[[Term], str] = _default_term_str,
 ) -> DataFrame:
     """Parse a SPARQL query string and answer it over the triple table —
-    the end-to-end surface (parser -> evaluator) for the conjunctive
-    subset: SELECT [DISTINCT] over a BGP, including prefixes, 'a',
-    predicate-object/object lists, bnodes, collections, and single-arm
-    sequence '/' / inverse '^' property paths (the parser's fresh-var
-    decomposition makes those plain conjunctive TPs).  ASK returns a
-    single-row (ask: boolean) frame.
+    the end-to-end surface (parser -> evaluator).  The evaluable subset
+    after the round-6 sessions:
 
-    Raises ValueError on parse rejects and NotImplementedError for parsed
-    queries whose semantics the flat TP list does not carry (OPTIONAL /
-    UNION / FILTER / MINUS / VALUES / BIND / sub-SELECT / multi-arm paths
-    '|' '+' '*' '?') — those have explicit programmatic combinators
-    (eval_optional / eval_union / eval_minus, path_closure in
-    operators/graph.py) rather than a silently-wrong conjunctive answer.
+      * forms: SELECT [DISTINCT], ASK (one (ask: boolean) row),
+        CONSTRUCT (templates incl. deterministic fresh bnodes, 'CONSTRUCT
+        WHERE' shorthand), DESCRIBE (explicit IRIs and/or WHERE-bound
+        vars, '*');
+      * BGPs with prefixes, 'a', predicate-object/object lists, bnodes,
+        collections; single-arm '/' and '^' property paths; quantified
+        single-predicate paths 'p+'/'p*' (EXACT, via iterative doubling);
+        quantifier-free alternatives 'p|q' (arm-chain unions);
+      * top-level OPTIONAL / UNION / MINUS / UNDEF-free VALUES / FILTER
+        (comparisons, &&/||/!, REGEX/CONTAINS/STRSTARTS/STRENDS) /
+        FILTER [NOT] EXISTS / BIND (CONCAT/UCASE/LCASE/STRLEN);
+      * aggregates COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT + GROUP BY,
+        ORDER BY / LIMIT / OFFSET in the spec's operation order.
+
+    EVERYTHING ELSE — and every combination whose algebra the captured
+    structure cannot represent exactly (nested OPTIONALs, base TPs after
+    a LeftJoin span, OPTIONAL+MINUS/EXISTS mixes, expression keys,
+    sub-SELECT, GRAPH/SERVICE, ...) — raises NotImplementedError rather
+    than returning a silently-wrong answer; parse rejects raise
+    ValueError.  The eval_* combinators and graph.path_closure remain the
+    programmatic escape hatches for demoted shapes.
     """
     r = parse_query(query_text)
     if not r.parse_ok:
         raise ValueError(f"SPARQL parse reject: {r.error}")
     if not r.evaluable:
         raise NotImplementedError(
-            "query parses but is outside the conjunctive-BGP evaluation "
-            "subset (OPTIONAL/UNION/FILTER/... or multi-arm property path); "
-            "use the eval_* combinators / path_closure for those"
+            "query parses but is outside the exactly-evaluable subset "
+            "(see answer_sparql docstring for the supported forms and the "
+            "demotion boundaries); use the eval_* combinators / "
+            "path_closure for the demoted shapes"
         )
     kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col, term_str=term_str)
     base = r.base_tps if r.base_tps is not None else r.tps

@@ -103,7 +103,7 @@ def test_out_of_subset_is_coded_reject(triples_path, capsys):
     )
     assert rc == 2
     err = capsys.readouterr().err.strip()
-    assert "conjunctive" in json.loads(err)["error"]
+    assert "evaluable subset" in json.loads(err)["error"]
 
 
 def test_ntriples_input(spark, tmpdir_path, capsys):
