@@ -97,6 +97,7 @@ EXTRA = [
     "kg_sparql_alt",
     "kg_bgp_incremental",
     "kg_bgp_exists",
+    "kg_sparql_zeroone",
 ]
 
 # 480k rows (~40MB, multi-file): large enough that files/sec reflects the

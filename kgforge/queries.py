@@ -2671,6 +2671,29 @@ def kg_bgp_groupconcat(spark, sf):
 
 
 @q(
+    "kg_sparql_zeroone",
+    f"""WITH e AS ({_HIER_TRIPLES_SQL}),
+       terms AS (SELECT subj AS t FROM e UNION SELECT obj FROM e)
+       SELECT DISTINCT * FROM (
+         SELECT subj AS part, obj AS anc FROM e
+         UNION ALL SELECT t, t FROM terms)""",
+)
+def kg_sparql_zeroone(spark, sf):
+    """SPARQL zero-or-one path 'p?' answered from TEXT (round 6): every
+    part with its immediate parent OR itself — single hops unioned with
+    the identity over every graph term (the zero-length arm binds all
+    terms, section 9.3), no iteration.  With this, every SPARQL 1.1 path
+    operator except negated sets and quantified sequences evaluates
+    exactly.  Full value oracle: hop-union-identity replay."""
+    from kgforge.sparql.eval import answer_sparql
+
+    return answer_sparql(
+        _hier_triples(spark, sf),
+        "SELECT ?part ?anc WHERE { ?part <sub_part>? ?anc }",
+    )
+
+
+@q(
     "kg_sparql_alt",
     f"""WITH t AS ({_DM_TRIPLES_SQL})
        SELECT subj AS ent, obj AS v FROM t WHERE pred = 'in_nation'
@@ -2972,6 +2995,7 @@ assert list(REGISTRY)[_DRIVER_SNAPSHOT:] == [
     "kg_bgp_exists",
     "kg_bgp_bind",
     "kg_bgp_groupconcat",
+    "kg_sparql_zeroone",
     "kg_sparql_alt",
     "text_vocab_topk",
     "text_length_stats",
@@ -3053,4 +3077,4 @@ for _k in _promoted:
     assert _k in list(REGISTRY)[:_DRIVER_SNAPSHOT], f"{_k} must be driver-recorded"
 for _k in _DEMOTE:
     assert _k in list(REGISTRY)[_DRIVER_SNAPSHOT:], f"{_k} must be an extra"
-assert len(REGISTRY) == 106, f"registry must hold exactly 106 entries, got {len(REGISTRY)}"
+assert len(REGISTRY) == 107, f"registry must hold exactly 107 entries, got {len(REGISTRY)}"

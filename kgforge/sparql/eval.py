@@ -590,11 +590,30 @@ def answer_sparql(
 
         s_t, p_t, inv, kind, o_t = r.closure
         pred_name = ("^" if inv else "") + term_str(p_t)
-        reach = path_closure(
-            triples, pred_name,
-            subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
-            include_zero=(kind == "*"),
-        ).select(F.col(subj_col).alias("__s"), F.col(obj_col).alias("__o"))
+        if kind == "?":
+            # zero-or-one: single hops UNION the identity over every graph
+            # term (the zero-length arm binds all terms, section 9.3) —
+            # no iteration needed
+            a, b = (obj_col, subj_col) if inv else (subj_col, obj_col)
+            hops = (
+                triples.filter(F.col(pred_col) == term_str(p_t))
+                .select(F.col(a).alias("__s"), F.col(b).alias("__o"))
+                .distinct()
+            )
+            terms_df = (
+                triples.select(F.col(subj_col).alias("__t"))
+                .union(triples.select(F.col(obj_col).alias("__t")))
+                .distinct()
+            )
+            reach = hops.unionByName(
+                terms_df.select(F.col("__t").alias("__s"), F.col("__t").alias("__o"))
+            ).distinct()
+        else:
+            reach = path_closure(
+                triples, pred_name,
+                subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
+                include_zero=(kind == "*"),
+            ).select(F.col(subj_col).alias("__s"), F.col(obj_col).alias("__o"))
         for term, col in ((s_t, "__s"), (o_t, "__o")):
             if _var_name(term) is None:
                 reach = reach.filter(F.col(col) == term_str(term))

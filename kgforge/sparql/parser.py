@@ -461,6 +461,14 @@ class _Parser:
             # longest-match as a VAR token, so objects like '?o' after the
             # quantified predicate are unaffected.
             self.next()
+            # exact zero-or-one capture (round 6): single-pred 'p?' routes
+            # to identity-union-single-hop at evaluation, same plumbing as
+            # the '+'/'*' closure route
+            if len(inner) == 1 and len(inner[0]) == 1:
+                p_inv, p_term = inner[0][0]
+                self._quant_path = (p_term, p_inv != inverse, "?")
+            else:
+                self._quant_path = "unsupported"
             inner = [[]] + inner
             if len(inner) > self.MAX_PATH_ALTS:
                 raise ParseError("[path_alts] too many property-path alternatives")
@@ -495,11 +503,19 @@ class _Parser:
             # depth expansions of one step — guards against a nested
             # quantifier inside a sequence/alternative being misattributed)
             qp = self._quant_path
-            pure_quant = (
-                isinstance(qp, tuple)
-                and len(alts) == self.MAX_PATH_DEPTH
-                and sorted(len(a) for a in alts) == list(range(1, self.MAX_PATH_DEPTH + 1))
-                and len({s for a in alts for s in a}) == 1
+            pure_quant = isinstance(qp, tuple) and (
+                (
+                    qp[2] in ("+", "*")
+                    and len(alts) == self.MAX_PATH_DEPTH
+                    and sorted(len(a) for a in alts)
+                    == list(range(1, self.MAX_PATH_DEPTH + 1))
+                    and len({s for a in alts for s in a}) == 1
+                )
+                or (
+                    qp[2] == "?"
+                    and len(alts) == 2
+                    and sorted(len(a) for a in alts) == [0, 1]
+                )
             )
             pure_alt = (
                 qp is None and len(alts) > 1 and all(len(a) >= 1 for a in alts)
@@ -1521,7 +1537,10 @@ def parse_query(text: str) -> ParseResult:
                 _path_route_ok
                 and len(p.closure_specs) == 1
                 and not p.alt_specs
-                and len(tps) == n_expansion
+                # '+'/'*' expand to the full depth ladder; '?' emits only
+                # its single-hop arm (the zero arm adds no TPs)
+                and len(tps)
+                == (1 if p.closure_specs[0][3] == "?" else n_expansion)
             )
             # 'p|q' route: the WHERE is exactly one quantifier-free
             # multi-arm path — answered as the union of its arm chains

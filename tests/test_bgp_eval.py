@@ -775,6 +775,30 @@ def test_quantified_path_inverse_star_and_modifiers(spark):
     assert [r.x for r in fil.collect()] == ["1", "2", "3"]
 
 
+def test_zero_or_one_path(spark):
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sorted(
+        tuple(r) for r in answer_sparql(t, "SELECT ?s ?o WHERE { ?s <p>? ?o }").collect()
+    )
+    terms = {v for row in rows for v in (row[0], row[2])}
+    assert got == sorted([("a", "b"), ("b", "c")] + [(z, z) for z in terms])
+    # constant endpoints and inverse
+    assert sorted(
+        r.o for r in answer_sparql(t, "SELECT ?o WHERE { <a> <p>? ?o }").collect()
+    ) == ["a", "b"]
+    assert sorted(
+        r.s for r in answer_sparql(t, "SELECT ?s WHERE { ?s ^<p>? <a> }").collect()
+    ) == ["a", "b"]
+    assert answer_sparql(t, "ASK { <x> <p>? <x> }").collect()[0].ask is True
+    assert answer_sparql(t, "ASK { <x> <p>? <y> }").collect()[0].ask is False
+    # mixed with other TPs: demoted
+    from kgforge.sparql.parser import parse_query
+
+    r = parse_query("SELECT ?s WHERE { ?s <p>? ?o . ?o <q> ?z }")
+    assert r.parse_ok and not r.evaluable
+
+
 def test_quantified_path_subset_boundaries(spark):
     from kgforge.sparql.parser import parse_query
 
