@@ -525,6 +525,37 @@ def lsh_topk(
     )
 
 
+def _round6_ge_cut(threshold: float) -> float:
+    """The smallest double x whose Spark `round(x, 6) >= threshold` holds.
+
+    Spark rounds doubles via java.math.BigDecimal HALF_UP over the
+    SHORTEST decimal repr (BigDecimal.valueOf -> Double.toString; Python's
+    repr produces the same shortest round-trip digits), and that mapping
+    is monotone in x — so the whole `round(cos, 6) >= threshold` decision
+    collapses to one comparison against this cut value.  Found by float
+    bisection between a known-False and known-True bracket."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+
+    def dec(x: float) -> bool:
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)) >= threshold
+
+    lo, hi = threshold - 2e-6, threshold + 2e-6
+    while dec(lo):
+        lo -= 1e-6
+    while not dec(hi):
+        hi += 1e-6
+    while True:
+        mid = (lo + hi) / 2.0
+        if mid == lo or mid == hi:
+            return hi
+        if dec(mid):
+            hi = mid
+        else:
+            lo = mid
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -575,22 +606,80 @@ def semantic_dedup(
 
     assigned = embeddings.select(
         F.col(id_col), F.col(vec_col), ivf_assign_col(vec_col, c).alias("sem_cluster")
-    ).localCheckpoint()  # assignment computed once; feeds both join sides
-    left = assigned.select(
-        F.col("sem_cluster"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
-    )
-    right = assigned.select(
-        F.col("sem_cluster"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
-    )
-    score = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    ).localCheckpoint()  # assignment computed once; feeds pairing + final join
+
+    # Within-cluster pair scoring (round 7, optimization): one vectorized
+    # NumPy/BLAS pass per cluster instead of the m^2-row self-join — the
+    # old plan materialized every (va, vb) pair row (2 x dim x 8 bytes
+    # each) and evaluated the dot/norm as interpreted higher-order
+    # functions per pair; the grouped pass moves only (id, vec) per MEMBER
+    # across the Python boundary and does the m^2 work as blockwise
+    # float64 matmuls (optimization guide section 4.2).  The pair SET is
+    # preserved bit-for-bit via a two-tier decision: the JVM plan decided
+    # `round(cos32, 6) >= threshold` where cos32 sums FLOAT32-rounded
+    # products (zip_with over the float column) into a double — a
+    # monotone function of the double cosine, so the whole decision is a
+    # single cut value (computed once, replaying java.math.BigDecimal
+    # HALF_UP over the shortest double repr).  The BLAS cosine differs
+    # from cos32 by < ~1e-6, so pairs farther than 1e-4 from the cut are
+    # decided directly and only the boundary band (a handful of pairs)
+    # replays the exact float32-product left-fold.  Memory per task is
+    # one cluster's (m x dim) matrix plus a bounded (block x m) tile —
+    # published SemDeDup sizing keeps m ~ 10^3; callers deduping skewed
+    # spaces should size n_centroids accordingly.
+    import math
+
+    import pandas as pd
+
+    thr = float(threshold)
+    cut = _round6_ge_cut(thr)
+
+    def _lfold(arr32: "np.ndarray") -> float:
+        # Spark's aggregate(..., 0.0D, acc + v): double left fold
+        s = 0.0
+        for p in arr32:
+            s += float(p)
+        return s
+
+    def _cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy()
+        v32 = np.stack(pdf["__vec"].to_numpy()).astype(np.float32)
+        v64 = v32.astype(np.float64)
+        n64 = np.sqrt((v64 * v64).sum(axis=1))
+        sq32 = v32 * v32  # float32 squares for the exact-band norms
+        out_a, out_b = [], []
+        block = max(1, int(8_000_000 // max(m, 1)))  # ~64 MB float64 tile
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, m, block):
+                i1 = min(i0 + block, m)
+                cos = (v64[i0:i1] @ v64.T) / np.outer(n64[i0:i1], n64)
+                tri = np.arange(m)[None, :] > (i0 + np.arange(i1 - i0))[:, None]
+                keep = (cos >= cut + 1e-4) & tri
+                band = (np.abs(cos - cut) < 1e-4) & tri
+                for bi, bj in zip(*np.nonzero(band)):
+                    gi, gj = i0 + bi, bj
+                    dot = _lfold(v32[gi] * v32[gj])
+                    den = math.sqrt(_lfold(sq32[gi])) * math.sqrt(_lfold(sq32[gj]))
+                    c32 = dot / den if den != 0.0 else float("nan")
+                    keep[bi, bj] = c32 >= cut
+                ki, kj = np.nonzero(keep)
+                out_a.append(ids[i0 + ki])
+                out_b.append(ids[kj])
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a).astype("int64"),
+             "b": np.concatenate(out_b).astype("int64")}
+        )
+
     pairs = (
-        left.join(right, "sem_cluster")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(score, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b")
+        assigned.select(
+            "sem_cluster", F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        )
+        .groupBy("sem_cluster")
+        .applyInPandas(_cluster_pairs, schema="a long, b long")
     )
     comp = connected_components(pairs)
     return assigned.join(

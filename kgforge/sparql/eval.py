@@ -609,10 +609,41 @@ def answer_sparql(
                 terms_df.select(F.col("__t").alias("__s"), F.col("__t").alias("__o"))
             ).distinct()
         else:
+            # ground-endpoint routing (round 7, VERDICT r6 item 1): a path
+            # endpoint is a known constant when the pattern term is ground
+            # OR a top-level conjunctive FILTER pins its var to a plain
+            # (non-numeric) literal; those closures run as a seeded
+            # frontier BFS over the constant's reachable set instead of
+            # the all-pairs closure filtered afterwards.  The filter stays
+            # in r.filters and re-applies below (idempotent on the seeded
+            # rows), so semantics are unchanged.
+            def _eq_pin(fx, var):
+                if fx[0] == "and":
+                    return _eq_pin(fx[1], var) or _eq_pin(fx[2], var)
+                if fx[0] == "cmp" and fx[1] == "=":
+                    for x, y in ((fx[2], fx[3]), (fx[3], fx[2])):
+                        if (
+                            x[0] == "var" and x[1] == var
+                            and y[0] == "lit" and y[2] != "num"
+                        ):
+                            return str(y[1])
+                return None
+
+            def _const_of(term):
+                v = _var_name(term)
+                if v is None:
+                    return term_str(term)
+                for fx in r.filters:
+                    c = _eq_pin(fx, v)
+                    if c is not None:
+                        return c
+                return None
+
             reach = path_closure(
                 triples, pred_name,
                 subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
                 include_zero=(kind == "*"),
+                src=_const_of(s_t), dst=_const_of(o_t),
             ).select(F.col(subj_col).alias("__s"), F.col(obj_col).alias("__o"))
         for term, col in ((s_t, "__s"), (o_t, "__o")):
             if _var_name(term) is None:
