@@ -565,18 +565,24 @@ def khop_sample(
     a DuckDB oracle can replay the exact choice (row_number over the same
     md5).  Vary ``salt`` per epoch for fresh samples.
 
-    Scale shape:
-      * the sampled adjacency is computed ONCE for the whole graph and
-        shared across seeds — per-src top-``fanout`` by hash via the same
-        TWO-LEVEL CAPPED MIN-K as the inverted-index heads (text.py:
-        postings): level 1 caps per (src, hash(dst) % n_salt) bucket,
-        level 2 merges <= n_salt partial heads — aggregation buffers stay
-        O(n_salt * fanout) even on celebrity hub nodes, where a window
-        row_number would sort the hub's whole edge list in one partition;
-      * each hop is then one equi-join of the (seed, node) frontier with
-        the sampled adjacency on the 8-byte node key + a DISTINCT to
-        collapse converging paths — frontier size is bounded by
-        seeds * fanout^hop, never by path multiplicities.
+    Scale shape (round 7: FRONTIER-RESTRICTED adjacency — the sampled
+    adjacency of a hop depends only on the per-src edge sets of nodes IN
+    the frontier, so the full-graph adjacency is never built):
+      * per hop, the edge list is first semi-joined to the frontier's
+        distinct node set (broadcast when the measured frontier is small —
+        it is bounded by seeds * fanout^hop, the caller's minibatch size),
+        THEN deduped and capped — the min-k aggregation runs over touched
+        srcs' edges only, instead of aggregating every src in the graph
+        per epoch (at the sf1.0 bench: ~33 touched srcs vs 360k);
+      * the per-src top-``fanout`` uses the same TWO-LEVEL CAPPED MIN-K as
+        the inverted-index heads (text.py:postings): level 1 caps per
+        (src, hash(dst) % n_salt) bucket, level 2 merges <= n_salt partial
+        heads — aggregation buffers stay O(n_salt * fanout) even on
+        celebrity hub nodes, where a window row_number would sort the
+        hub's whole edge list in one partition;
+      * each hop's sampled edges are localCheckpointed (bounded by
+        frontier * fanout), so hop h's lineage is never re-run by hop
+        h+1's frontier or the final union.
 
     ``seeds``: one-column DataFrame of seed node ids.  ``pred`` filters to
     one predicate's edges (None = every triple is an edge); ``direction``
@@ -588,33 +594,48 @@ def khop_sample(
     e = triples
     if pred is not None:
         e = e.filter(F.col(pred_col) == pred)
-    e = e.select(F.col(s_col).alias("src"), F.col(o_col).alias("dst")).distinct()
+    e_raw = e.select(F.col(s_col).alias("src"), F.col(o_col).alias("dst"))
     h = F.md5(F.concat_ws("|", F.col("src"), F.col("dst"), F.lit(salt)))
-    salted = e.select(
-        "src", F.struct(h.alias("h"), F.col("dst").alias("dst")).alias("hd"),
-        F.pmod(F.xxhash64("dst"), F.lit(n_salt)).alias("b"),
-    )
-    part = salted.groupBy("src", "b").agg(
-        F.slice(F.array_sort(F.collect_list("hd")), 1, fanout).alias("hds")
-    )
-    adj = (
-        part.groupBy("src")
-        .agg(
-            F.slice(F.array_sort(F.flatten(F.collect_list("hds"))), 1, fanout).alias("hds")
-        )
-        .select("src", F.explode("hds").alias("hd"))
-        .select("src", F.col("hd.dst").alias("dst"))
-    )
     seed_col = seeds.columns[0]
-    frontier = seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("node")).distinct()
+    frontier = (
+        seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hops = []
     for hop in range(1, k + 1):
+        srcs = frontier.select(F.col("node").alias("src")).distinct()
+        if frontier.count() <= 5_000_000:  # frontier is materialized: cheap
+            srcs = F.broadcast(srcs)
+        e_h = e_raw.join(srcs, "src", "left_semi").distinct()
+        salted = e_h.select(
+            "src", F.struct(h.alias("h"), F.col("dst").alias("dst")).alias("hd"),
+            F.pmod(F.xxhash64("dst"), F.lit(n_salt)).alias("b"),
+        )
+        part = salted.groupBy("src", "b").agg(
+            F.slice(F.array_sort(F.collect_list("hd")), 1, fanout).alias("hds")
+        )
+        adj = (
+            part.groupBy("src")
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("hds"))), 1, fanout
+                ).alias("hds")
+            )
+            .select("src", F.explode("hds").alias("hd"))
+            .select("src", F.col("hd.dst").alias("dst"))
+        )
         step = (
             frontier.join(adj, frontier.node == adj.src)
             .select("seed", F.lit(hop).alias("hop"), "src", "dst")
+            .localCheckpoint(eager=True)
         )
         hops.append(step)
-        frontier = step.select("seed", F.col("dst").alias("node")).distinct()
+        frontier = (
+            step.select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     out = hops[0]
     for s in hops[1:]:
         out = out.unionByName(s)
@@ -785,7 +806,15 @@ def negative_samples(
         ).cast("long")
         % n
     )
-    cand = drawn.withColumn("i", pick).join(F.broadcast(idx), "i").withColumn(
+    # measured-size broadcast (round 7, VERDICT r6 item 3): the entity
+    # dictionary of a corpus-scale KG is one of the LARGEST relations in
+    # the system — the old UNCONDITIONAL broadcast hint OOMs exactly when
+    # the operator matters.  The exact dictionary count is already on the
+    # driver (the offsets pass above), so the hint is applied only below
+    # a hard row cap; past it the lookup is a well-keyed shuffle join on
+    # the 8-byte dense index.
+    idx_b = F.broadcast(idx) if n <= 20_000_000 else idx
+    cand = drawn.withColumn("i", pick).join(idx_b, "i").withColumn(
         "neg_obj", F.col("e")
     ).drop("i", "e")
     cand = cand.filter(F.col("neg_obj") != F.col(obj_col))
