@@ -16,6 +16,8 @@ ties broken by entity_id ascending (deterministic, FIXTURES.md section 3).
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -201,29 +203,76 @@ def link_by_embedding(
     Below ``threshold`` a mention stays unlinked (null entity, NIL in
     entity-linking terms) rather than taking a bad neighbor.
 
-    The crossJoin is explicit and broadcast: |mentions| x |dict| dot
-    products in whole-stage codegen, the right shape for dictionaries up
-    to ~10^5 vectors.  For larger dictionaries use the bucketed paths in
-    operators/similarity.py (ivf_topk / lsh_topk) and join the winner
-    back.  Deterministic: ties break on entity_id ascending via one
-    min_by over (-cosine, entity) on the dim side of the group.
+    Round 7 (optimization): the |mentions| x |dict| scoring runs as ONE
+    narrow mapInPandas pass over the mention side with the dictionary
+    matrix as bounded closure state (the embed_decontaminate discipline)
+    — the old broadcast crossJoin materialized every pair ROW and
+    evaluated the dot/norm as interpreted higher-order functions per
+    pair (9.0 s at the sf1.0 bench vs ~1.5 s for this pass).  Arithmetic
+    is replayed EXACTLY: vectors cast to double first, products and the
+    accumulation done as one correctly-rounded double multiply + add per
+    dimension in index order (a vectorized left fold — no BLAS/FMA
+    reassociation), division as dot / (norm_m * norm_e), so the emitted
+    cosine doubles are bit-identical to the old plan's.  The dictionary
+    is dim-sized by design (docstring above); for larger dictionaries
+    use the bucketed paths in operators/similarity.py (ivf_topk /
+    lsh_topk) and join the winner back.  Deterministic: ties break on
+    entity_id ascending (dict rows sorted; first-argmax wins), NaN
+    cosines (zero-norm vectors) rank below every real cosine exactly as
+    Spark's min_by over struct(-cos, ent) ordered them.
     """
-    from kgforge.operators.similarity import _dot, _norm
+    import pandas as pd
 
-    m = mentions.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("mv")
+    id_type = dict(mentions.dtypes)[id_col]
+    ent_type = dict(entity_dict.dtypes)[entity_col]
+    ev_rows = sorted(
+        entity_dict.select(entity_col, vec_col).collect(), key=lambda r: r[0]
     )
-    d = entity_dict.select(
-        F.col(entity_col).alias("_ent"),
-        F.col(vec_col).cast("array<double>").alias("ev"),
+    ents = [r[0] for r in ev_rows]
+    em = (
+        np.array([r[1] for r in ev_rows], dtype=np.float64)
+        if ev_rows
+        else np.zeros((0, 0))
     )
-    cos = (_dot(F.col("mv"), F.col("ev")) / (_norm(F.col("mv")) * _norm(F.col("ev")))).alias("cos")
-    scored = m.crossJoin(F.broadcast(d)).select(id_col, "_ent", cos)
-    best = scored.groupBy(id_col).agg(
-        F.min_by(F.struct("_ent", "cos"), F.struct(-F.col("cos"), F.col("_ent"))).alias("b")
-    )
-    return best.select(
-        id_col,
-        F.when(F.col("b.cos") >= threshold, F.col("b._ent")).alias(entity_col),
-        F.col("b.cos").alias("cosine"),
+    n_ent = len(ents)
+    ne = np.zeros(n_ent)
+    for j in range(em.shape[1] if n_ent else 0):
+        ne += em[:, j] * em[:, j]
+    ne = np.sqrt(ne)
+    ents_arr = np.array(ents, dtype=object)
+    thr = float(threshold)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf) or n_ent == 0:
+                continue
+            mv = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            b = len(mv)
+            dot = np.zeros((b, n_ent))
+            nm = np.zeros(b)
+            for j in range(mv.shape[1]):
+                dot += mv[:, j : j + 1] * em[None, :, j]
+                nm += mv[:, j] * mv[:, j]
+            nm = np.sqrt(nm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / np.outer(nm, ne)
+            sel = np.where(np.isnan(cos), -np.inf, cos)
+            w = sel.argmax(axis=1)
+            c = cos[np.arange(b), w]
+            # Spark orders NaN above every double: `NaN >= thr` is TRUE
+            # there (only reachable via zero-norm vectors)
+            linked = (c >= thr) | np.isnan(c)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    entity_col: [
+                        ents_arr[wi] if ok else None
+                        for wi, ok in zip(w, linked)
+                    ],
+                    "cosine": c,
+                }
+            )
+
+    return mentions.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {entity_col} {ent_type}, cosine double"
     )

@@ -135,13 +135,25 @@ def read_ntriples(
 ) -> DataFrame:
     """Parse N-Triples text into (subj, pred, obj, obj_kind, lang, dtype).
 
-    Pure-codegen line parse (one regexp per captured field over
-    ``spark.read.text`` — splittable, predicate-pushable, no Python).
-    Comment lines ('#') and blank lines are skipped; malformed lines
-    surface with ``parse_ok=false`` so callers choose quarantine-vs-fail,
-    matching the pipeline's skip-and-count discipline (never a task
-    failure on one bad line).  ``strip_base`` removes a known IRI prefix
-    to recover the engine's plain-string ids."""
+    Pure-codegen line parse (over ``spark.read.text`` — splittable,
+    predicate-pushable, no Python).  Round 7 (optimization): the COMMON
+    shape this engine's own writer emits — ``<iri> <iri> <iri> .`` with
+    single spaces and no space inside a bracket — is detected with ONE
+    cheap anchored rlike and parsed by split + substring (no further
+    regex); only lines outside that shape (literals, bnodes, lang/dtype
+    tags, absolute IRIs with spaces, malformed input) pay the general
+    grammar chain, which evaluates the full line pattern once per
+    captured field (~11 regex passes/line — the old cost for every
+    line).  At the all-IRI 13.7M-line bench the read is text-scan-bound
+    either way (measured neutral); the fast path pays off on corpora
+    where the general chain actually runs per line.  Both
+    paths produce identical fields; the fast shape is a strict subset of
+    the grammar.  Comment lines ('#') and blank lines are skipped;
+    malformed lines surface with ``parse_ok=false`` so callers choose
+    quarantine-vs-fail, matching the pipeline's skip-and-count
+    discipline (never a task failure on one bad line).  ``strip_base``
+    removes a known IRI prefix to recover the engine's plain-string
+    ids."""
     lines = spark.read.text(path).filter(
         ~F.col("value").rlike(r"^\s*(#|$)")
     )
@@ -149,14 +161,25 @@ def read_ntriples(
     def g(i: int) -> Column:
         return F.regexp_extract("value", _LINE_RE, i)
 
-    matched = F.col("value").rlike(_LINE_RE)
-    subj = F.when(g(2) != "", g(2)).otherwise(g(1))
-    obj_is_iri = F.col("value").rlike(
+    fast = F.col("value").rlike(r"^<[^ >]*> <[^ >]*> <[^ >]*> \.$")
+    toks = F.split("value", " ")
+
+    def tok_inner(i: int) -> Column:
+        t = F.element_at(toks, i)
+        return t.substr(F.lit(2), F.length(t) - 2)
+
+    matched = fast | F.col("value").rlike(_LINE_RE)
+    subj = F.when(fast, tok_inner(1)).otherwise(
+        F.when(g(2) != "", g(2)).otherwise(g(1))
+    )
+    pred = F.when(fast, tok_inner(2)).otherwise(g(3))
+    obj_is_iri = fast | F.col("value").rlike(
         r'^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+<[^>]*>\s*\.\s*$'
     )
-    obj_is_bnode = F.col("value").rlike(
+    obj_is_bnode = ~fast & F.col("value").rlike(
         r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+_:\S+\s*\.\s*$"
     )
+    obj_iri = F.when(fast, tok_inner(3)).otherwise(g(4))
     strip = (
         (lambda c: F.when(c.startswith(strip_base), c.substr(F.lit(len(strip_base) + 1), F.length(c))).otherwise(c))
         if strip_base
@@ -165,8 +188,8 @@ def read_ntriples(
     return lines.select(
         matched.alias("parse_ok"),
         strip(subj).alias("subj"),
-        strip(g(3)).alias("pred"),
-        F.when(obj_is_iri, strip(g(4)))
+        strip(pred).alias("pred"),
+        F.when(obj_is_iri, strip(obj_iri))
         .when(obj_is_bnode, g(5))
         .otherwise(_unescape(g(6)))
         .alias("obj"),
@@ -174,7 +197,11 @@ def read_ntriples(
         .when(obj_is_bnode, F.lit("bnode"))
         .otherwise(F.lit("literal"))
         .alias("obj_kind"),
-        F.nullif(g(7), F.lit("")).alias("lang"),
-        F.nullif(g(8), F.lit("")).alias("dtype"),
+        F.when(fast, F.lit(None).cast("string")).otherwise(
+            F.nullif(g(7), F.lit(""))
+        ).alias("lang"),
+        F.when(fast, F.lit(None).cast("string")).otherwise(
+            F.nullif(g(8), F.lit(""))
+        ).alias("dtype"),
         F.col("value"),
     )

@@ -509,15 +509,23 @@ def _describe_nodes(
     """Symmetric description of a node set: every triple with the node as
     subject or object — the standard SPARQL DESCRIBE rendition over this
     engine's bnode-free plain-string graphs (no CBD bnode closure needed;
-    a full Concise Bounded Description would recurse into bnodes).  Two
-    broadcast semi-joins (the node set is a query-sized dimension), one
-    distinct to dedupe triples matched from both ends."""
-    out = triples.join(
-        F.broadcast(nodes), triples[subj_col] == nodes.node, "left_semi"
-    ).unionByName(
-        triples.join(F.broadcast(nodes), triples[obj_col] == nodes.node, "left_semi")
+    a full Concise Bounded Description would recurse into bnodes).  ONE
+    scan of the triple table (round 7: the old two-semi-join union read
+    it twice) with two broadcast hash left-joins against the DISTINCT
+    node set — the OR-match folds into a post-join filter, which keeps
+    both probes hashable (an OR join condition would degrade to a
+    nested-loop join); one distinct dedupes triples matched from both
+    ends."""
+    nd = nodes.select("node").distinct()
+    hit_s = nd.select(F.col("node").alias("__ds"))
+    hit_o = nd.select(F.col("node").alias("__do"))
+    return (
+        triples.join(F.broadcast(hit_s), triples[subj_col] == F.col("__ds"), "left")
+        .join(F.broadcast(hit_o), triples[obj_col] == F.col("__do"), "left")
+        .filter(F.col("__ds").isNotNull() | F.col("__do").isNotNull())
+        .select(subj_col, pred_col, obj_col)
+        .distinct()
     )
-    return out.select(subj_col, pred_col, obj_col).distinct()
 
 
 def answer_sparql(
