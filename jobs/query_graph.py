@@ -10,13 +10,18 @@ jobs/graph_stats.py describes it, and this job QUERIES it — the query goes
 in as SPARQL text, through the from-scratch parser (kgforge/sparql/
 parser.py) and the BGP compiler (kgforge/sparql/eval.py), and runs as a
 plain Catalyst join plan (constant positions prune the scan, joins keyed
-on shared variables).  Supported: SELECT [DISTINCT] / ASK over conjunctive
-BGPs — prefixes, 'a', predicate-object/object lists, blank nodes,
-collections, and single-arm '/' and '^' property paths.  OPTIONAL / UNION
-/ FILTER / multi-arm paths are clean NotImplementedError rejects (exit 2),
-never a silently-wrong conjunctive answer; '+'/'*' closures have the
-dedicated --closure mode (exact semantics via iterative doubling,
-graph.path_closure — not the parser's bounded-depth approximation).
+on shared variables).  Supported (ADVICE r6 low: this paragraph tracks
+answer_sparql's round-6 evaluable subset, not the pre-round-6 rejects):
+SELECT [DISTINCT] / ASK / CONSTRUCT / DESCRIBE over conjunctive BGPs —
+prefixes, 'a', predicate-object/object lists, blank nodes, collections,
+single-arm '/' and '^' paths, quantified 'p+'/'p*' (exact closure,
+ground endpoints seeded), 'p?' and 'p|q'; top-level OPTIONAL / UNION /
+MINUS / VALUES / BIND / FILTER (incl. [NOT] EXISTS); aggregates with
+GROUP BY and the ORDER BY / LIMIT / OFFSET modifiers.  Everything the
+captured algebra cannot represent exactly (nested OPTIONALs, sub-SELECT,
+expression keys, GRAPH/SERVICE, ...) stays a clean NotImplementedError
+reject (exit 2), never a silently-wrong answer; the --closure mode
+remains for driving graph.path_closure directly.
 
 Results go to --out as parquet (one column per projected variable) and/or
 print with --show N; one JSON metrics line goes to stdout either way.

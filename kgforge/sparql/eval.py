@@ -342,6 +342,21 @@ def eval_minus(
     return out.distinct() if distinct else out
 
 
+def _filter_ast_vars(ast: tuple) -> set:
+    """Every var name referenced by a FILTER AST (ADVICE r6 low: used to
+    detect vars absent from the solution frame before compiling)."""
+    kind = ast[0]
+    if kind in ("or", "and"):
+        return _filter_ast_vars(ast[1]) | _filter_ast_vars(ast[2])
+    if kind == "not":
+        return _filter_ast_vars(ast[1])
+    if kind == "cmp":
+        return {o[1] for o in (ast[2], ast[3]) if o[0] == "var"}
+    if kind == "call":
+        return {a[1] for a in ast[2] if a[0] == "var"}
+    return set()
+
+
 def compile_filter(ast: tuple, columns: Sequence[str]) -> "F.Column":
     """Compile a parser FILTER AST (parser.py:parse_filter_expr) into a
     Column.  SPARQL's error semantics map onto Spark's three-valued logic
@@ -580,9 +595,21 @@ def answer_sparql(
             [(term_str(t),) for t in r.describe_terms], "node string"
         )
         return _describe_nodes(triples, nodes, subj_col, pred_col, obj_col)
-    if r.query_form == "CONSTRUCT" and not r.optionals and not r.unions:
+    if (
+        r.query_form == "CONSTRUCT"
+        and not r.optionals
+        and not r.unions
+        # ADVICE r6 high: the early route joins the FLAT tps list
+        # conjunctively, which silently inverts MINUS / NOT EXISTS groups
+        # and drops BIND/VALUES — those shapes must take the generic path
+        # below, which compiles them correctly before instantiation
+        and not r.minuses
+        and not r.exists
+        and r.values is None
+        and not r.binds
+    ):
         return eval_construct(
-            triples, r.tps, template=r.template, filters=r.filters, **kw
+            triples, base, template=r.template, filters=r.filters, **kw
         )
     # solution frame: either ONE top-level UNION chain (NULL-padded union
     # of conjunctive arms, each with its arm-scoped filters), or the
@@ -616,6 +643,20 @@ def answer_sparql(
             reach = hops.unionByName(
                 terms_df.select(F.col("__t").alias("__s"), F.col("__t").alias("__o"))
             ).distinct()
+            # ADVICE r6 low: the zero-length arm holds for x = y
+            # INDEPENDENT of graph membership (SPARQL 1.1 section 9.3
+            # evaluates it over the query's terms too), so a constant
+            # endpoint absent from the graph still contributes its
+            # identity solution
+            consts = sorted(
+                {term_str(t) for t in (s_t, o_t) if _var_name(t) is None}
+            )
+            if consts:
+                reach = reach.unionByName(
+                    triples.sparkSession.createDataFrame(
+                        [(c, c) for c in consts], "__s string, __o string"
+                    )
+                ).distinct()
         else:
             # ground-endpoint routing (round 7, VERDICT r6 item 1): a path
             # endpoint is a known constant when the pattern term is ground
@@ -765,7 +806,15 @@ def answer_sparql(
             sols = sols.join(F.broadcast(marker), how="left")
             sols = sols.filter(F.col(k).isNull() if neg else F.col(k).isNotNull()).drop(k)
     for fx in r.filters:
-        sols = sols.filter(compile_filter(fx, sols.columns))
+        if _filter_ast_vars(fx) - set(sols.columns):
+            # ADVICE r6 low: a top-level FILTER referencing a var that is
+            # only bound inside a MINUS/EXISTS span is absent from the
+            # solution frame; SPARQL's unbound -> error -> eliminate
+            # semantics make every solution drop (constant-false), where
+            # compiling the column would raise AnalysisException
+            sols = sols.filter(F.lit(False))
+        else:
+            sols = sols.filter(compile_filter(fx, sols.columns))
     if r.query_form == "CONSTRUCT":
         return _instantiate_template(
             sols, [_coerce_tp(t) for t in (r.template if r.template is not None else r.tps)],
@@ -786,6 +835,13 @@ def answer_sparql(
         if iris:
             parts.append(
                 triples.sparkSession.createDataFrame(iris, "node string")
+            )
+        if not parts:
+            # ADVICE r6 medium: DESCRIBE of a var bound nowhere in the
+            # WHERE clause — SPARQL semantics are an empty description,
+            # not an IndexError
+            return triples.sparkSession.createDataFrame(
+                [], f"{subj_col} string, {pred_col} string, {obj_col} string"
             )
         nodes = parts[0]
         for part in parts[1:]:

@@ -915,3 +915,56 @@ def test_bgp_no_python_stage(spark, t):
         mode="formatted",
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------- round-7 ADVICE r6 correctness
+def test_construct_minus_not_inverted(t):
+    # ADVICE r6 high: the CONSTRUCT early route joined MINUS groups
+    # conjunctively, returning exactly the INVERTED result
+    got = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in answer_sparql(
+            t,
+            """CONSTRUCT { ?c <typed> ?n } WHERE {
+                 ?c <in_nation> ?n MINUS { ?c <rdf_type> <seg_A> } }""",
+        ).collect()
+    )
+    # c1 is seg_A -> excluded; c2 and s1 survive
+    assert got == [("c2", "typed", "n3"), ("s1", "typed", "n5")]
+
+
+def test_construct_bind_instantiates(t):
+    got = sorted(
+        (r.subj, r.pred, r.obj)
+        for r in answer_sparql(
+            t,
+            """CONSTRUCT { ?c <lbl> ?u } WHERE {
+                 ?c <rdf_type> <seg_A> BIND(UCASE(?c) AS ?u) }""",
+        ).collect()
+    )
+    assert got == [("c1", "lbl", "C1")]
+
+
+def test_describe_unbound_var_is_empty(t):
+    out = answer_sparql(t, "DESCRIBE ?x WHERE { ?s <self> ?o }")
+    assert out.count() == 0
+    assert set(out.columns) == {"subj", "pred", "obj"}
+
+
+def test_filter_var_bound_only_in_minus_eliminates(t):
+    out = answer_sparql(
+        t,
+        """SELECT ?c WHERE { ?c <in_nation> ?n
+             MINUS { ?c <rdf_type> ?s } FILTER(?s = "seg_A") }""",
+    )
+    assert out.count() == 0  # unbound -> error -> eliminate, not a crash
+
+
+def test_zeroone_ground_endpoint_identity(t):
+    assert (
+        answer_sparql(t, "ASK { <zzz> <self>? <zzz> }").collect()[0].ask is True
+    )
+    got = sorted(
+        r.o for r in answer_sparql(t, "SELECT ?o WHERE { <zzz> <self>? ?o }").collect()
+    )
+    assert got == ["zzz"]
