@@ -680,8 +680,21 @@ def semantic_dedup(
         )
         .groupBy("sem_cluster")
         .applyInPandas(_cluster_pairs, schema="a long, b long")
+        # materialized once: connected_components' edge checkpoint and the
+        # empty-set short-circuit below both read this, never re-running
+        # the grouped scoring pass
+        .localCheckpoint(eager=True)
     )
-    comp = connected_components(pairs)
+    if pairs.count() == 0:
+        # no near-duplicates at this threshold (common at high thresholds):
+        # every vector is its own group — skip the CC join machinery
+        # entirely (round 7: ~4 s of empty-graph label-propagation jobs)
+        id_type = dict(assigned.dtypes)[id_col]
+        comp = pairs.sparkSession.createDataFrame(
+            [], f"id {id_type}, component {id_type}"
+        )
+    else:
+        comp = connected_components(pairs)
     return assigned.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     ).select(
