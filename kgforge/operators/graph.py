@@ -744,6 +744,13 @@ def negative_samples(
         triples.select(F.col(subj_col).alias("e"))
         .union(triples.select(F.col(obj_col).alias("e")))
         .distinct()
+        # materialized BEFORE repartitionByRange (round 7): the range
+        # partitioner's boundary-sampling pass executes its child plan in
+        # full, so without this the 2x-triple-size union + distinct runs
+        # TWICE (once to sample boundaries, once to shuffle); the
+        # checkpoint makes the sampling pass read the dictionary-sized
+        # materialized rows instead
+        .localCheckpoint(eager=True)
     )
     # Dense global index WITHOUT a single-partition window (row_number over
     # an unpartitioned ORDER BY moves the whole dictionary to one task):
