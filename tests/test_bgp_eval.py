@@ -968,3 +968,30 @@ def test_zeroone_ground_endpoint_identity(t):
         r.o for r in answer_sparql(t, "SELECT ?o WHERE { <zzz> <self>? ?o }").collect()
     )
     assert got == ["zzz"]
+
+
+def test_closure_distributed_path_matches_local(spark, monkeypatch):
+    # round 7: small edge lists take the single-task NumPy kernel; force
+    # the distributed paths (doubling for var-var, frontier loop for
+    # seeded) by zeroing the local cap and assert identical results on a
+    # graph with a chain, a cycle, and an off-predicate edge
+    import kgforge.operators.graph as G
+
+    rows = [(str(i), "n", str(i + 1)) for i in range(1, 7)]
+    rows += [("10", "n", "11"), ("11", "n", "10"), ("a", "o", "b")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    local_all = sorted(map(tuple, path_closure(t, "n").collect()))
+    local_seed = sorted(
+        map(tuple, path_closure(t, "n", dst="4", include_zero=True).collect())
+    )
+    monkeypatch.setattr(G, "_TC_LOCAL_MAX_EDGES", 0)
+    dist_all = sorted(map(tuple, path_closure(t, "n").collect()))
+    dist_seed = sorted(
+        map(tuple, path_closure(t, "n", dst="4", include_zero=True).collect())
+    )
+    assert dist_all == local_all
+    assert dist_seed == local_seed
+    # seeded semantics sanity: every chain node below 4 reaches it, plus
+    # the '*' identity pair for the (present-in-graph) constant
+    assert ("4", "n*", "4") in dist_seed
+    assert ("1", "n*", "4") in dist_seed

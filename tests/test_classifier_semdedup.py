@@ -142,3 +142,23 @@ def test_embed_decontaminate_no_shuffle_plan(spark):
     ev = spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>")
     plan = physical_plan(similarity.embed_decontaminate(corpus, ev))
     assert "Exchange" not in plan  # one narrow corpus pass, zero shuffles
+
+
+def test_semantic_dedup_no_pairs_short_circuit(spark):
+    # round 7: with every vector well-separated the pair set is empty and
+    # the CC machinery is skipped — every row must still come back as its
+    # own keeper group
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), (v / np.linalg.norm(v)).astype("float32").tolist())
+        for i, v in enumerate(rng.standard_normal((40, 16)))
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        e, threshold=0.999999, n_centroids=4, sample_size=16
+    ).collect()
+    assert len(out) == 40
+    assert all(r.keep for r in out)
+    assert all(r.dup_group == r.vec_id for r in out)
