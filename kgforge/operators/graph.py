@@ -298,19 +298,29 @@ def path_compose(
     assert preds, "path needs at least one predicate"
     p = F.col(pred_col)
 
-    def hop(pred: str, a: str, b: str) -> DataFrame:
+    def hop(pred: str, a: str, b: str, dedup: bool = True) -> DataFrame:
         # SPARQL inverse step '^p' traverses p object->subject; the
         # predicate filter (and thus partition pruning) is identical, only
         # the endpoint roles swap
         inv = pred.startswith("^")
         s_col, o_col = (obj_col, subj_col) if inv else (subj_col, obj_col)
-        return (
+        out = (
             triples.filter(p == (pred[1:] if inv else pred))
             .select(F.col(s_col).alias(a), F.col(o_col).alias(b))
-            .distinct()
         )
+        return out.distinct() if dedup else out
 
-    cur = hop(preds[0], "s", "o")
+    # Round 7: the FIRST hop of a multi-step chain skips its DISTINCT —
+    # the step join's own DISTINCT yields the same pair set (a duplicate
+    # first-hop row can only produce duplicate (s, o2) pairs, which the
+    # step dedup removes), and the hop-level dedup was a full exchange of
+    # the chain's largest relation.  Duplicate TRIPLES (same (s,p,o) row
+    # twice — impossible in RDF set semantics, possible in a raw load)
+    # inflate only the join probe, never the result; every LATER hop and
+    # every step join keep their DISTINCT, so multi-path fan-in is still
+    # bounded per step exactly as before.  Single-predicate paths keep
+    # the dedup — there is no downstream distinct to subsume it.
+    cur = hop(preds[0], "s", "o", dedup=len(preds) == 1)
     for nxt in preds[1:]:
         cur = (
             cur.join(hop(nxt, "o", "o2"), "o")
