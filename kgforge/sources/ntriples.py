@@ -113,9 +113,23 @@ def ntriples_lines(
     )
 
 
-def write_ntriples(triples: DataFrame, path: str, **kw) -> None:
-    """Shard a triple table to ``path`` as N-Triples text files."""
-    ntriples_lines(triples, **kw).write.mode("overwrite").text(path)
+def write_ntriples(
+    triples: DataFrame, path: str, compression: str | None = "lz4", **kw
+) -> None:
+    """Shard a triple table to ``path`` as N-Triples text files.
+
+    Round 7 (optimization guide §6): shards are lz4-compressed by default —
+    IRI-heavy N-Triples compresses ~6x (1.1 GB -> 177 MB at the 13.7M-triple
+    scale), and interchange dumps ship compressed in practice (DBpedia
+    publishes .bz2).  ``spark.read.text`` decompresses by extension, so the
+    round-trip is unchanged; pass ``compression=None`` for plain ``.txt``
+    shards (e.g. for consumers that need byte-range splittable input —
+    compressed text files parallelize per FILE, one task each, so the
+    writer's shard count should stay >= cluster cores for big exports)."""
+    w = ntriples_lines(triples, **kw).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
 
 
 # one line = subject predicate object '.' — groups: 1 IRI subj, 2 bnode
