@@ -106,6 +106,19 @@ def pagerank(
     n = nodes.count()  # one scalar, loop-invariant — fine on the driver
     if n == 0:  # empty edge set: an empty (node, rank) frame, not a crash
         return nodes.select(F.col("id").alias("node"), F.lit(0.0).alias("rank"))
+    # Round 7 (guide §8, the _TC_LOCAL_MAX_EDGES discipline): a MEASURED
+    # tiny graph — the distinct edge list is already materialized, so the
+    # count is free — iterates on the driver in one NumPy pass instead of
+    # paying iters x (join + agg + crossJoin) tiny distributed jobs, which
+    # dominate wall for dictionary-sized graphs (the 25-node nation graph
+    # behind kg_pagerank: ~2-3 s of pure job scheduling).  Same update
+    # rule, float64 both ways; double SUMMATION ORDER differs (np.add.at
+    # vs Spark partial aggs) exactly as it already differs run-to-run
+    # between Spark's own partition orders, which is why the operator's
+    # contract has callers round before cross-engine comparison.  Past the
+    # cap the distributed loop is unchanged.
+    if e.count() <= _PR_LOCAL_MAX_EDGES:
+        return _pagerank_local_df(e, nodes, deg, n, iters, damping)
     ranks = nodes.select("id", (F.lit(1.0) / n).alias("r"))
     for it in range(iters):
         with_deg = ranks.join(deg, "id", "left")
@@ -148,6 +161,48 @@ def pagerank(
 import os as _os
 
 _TC_LOCAL_MAX_EDGES = int(_os.environ.get("KGFORGE_TC_LOCAL_MAX_EDGES", "4000000"))
+
+# Measured-edge-count cap below which PageRank iterates on the driver
+# (bounded collect: <= cap edge pairs + the node/degree vectors).  500k
+# edges is a few MB of driver state; past it the distributed loop runs.
+_PR_LOCAL_MAX_EDGES = int(_os.environ.get("KGFORGE_PR_LOCAL_MAX_EDGES", "500000"))
+
+
+def _pagerank_local_df(e, nodes, deg, n: int, iters: int, damping: float):
+    """Driver-side power iteration over a measured-tiny materialized graph.
+    Inputs are the SAME checkpointed relations the distributed loop uses;
+    the update rule is identical (uniform teleport + dangling-mass
+    redistribution), so the fixpoint matches up to double summation order
+    (see caller comment).  Output schema matches the distributed path:
+    (node <input id type>, rank double)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = e.sparkSession
+    ids = [r[0] for r in nodes.collect()]
+    pos = {v: i for i, v in enumerate(ids)}
+    er = e.collect()
+    src = np.fromiter((pos[r[0]] for r in er), dtype=np.int64, count=len(er))
+    dst = np.fromiter((pos[r[1]] for r in er), dtype=np.int64, count=len(er))
+    degv = np.zeros(n, dtype=np.float64)
+    for r in deg.collect():
+        degv[pos[r[0]]] = r[1]
+    dangling = degv == 0.0
+    r_vec = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(iters):
+        w = np.zeros(n, dtype=np.float64)
+        np.add.at(w, dst, r_vec[src] / degv[src])
+        dm = float(r_vec[dangling].sum())
+        r_vec = (1.0 - damping) / n + damping * (w + dm / n)
+    schema = StructType(
+        [
+            StructField("node", nodes.schema.fields[0].dataType, True),
+            StructField("rank", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, float(r_vec[i])) for i, v in enumerate(ids)], schema
+    )
 
 
 def _adj_arrays(src, dst, n):

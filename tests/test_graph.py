@@ -78,6 +78,19 @@ def test_pagerank_checkpoint_path_same_result(spark):
         assert a[v] == pytest.approx(b[v], abs=1e-12)
 
 
+def test_pagerank_distributed_path_matches_local(spark, monkeypatch):
+    # round 7: measured-tiny graphs iterate on the driver (NumPy kernel);
+    # force the distributed loop by zeroing the cap and assert both paths
+    # agree to double-rounding tolerance on a graph with duplicates,
+    # a cycle and a dangling node
+    local = {r.node: r.rank for r in graph.pagerank(_edges(spark, PAIRS), iters=5).collect()}
+    monkeypatch.setattr(graph, "_PR_LOCAL_MAX_EDGES", -1)
+    dist = {r.node: r.rank for r in graph.pagerank(_edges(spark, PAIRS), iters=5).collect()}
+    assert set(local) == set(dist)
+    for v in local:
+        assert local[v] == pytest.approx(dist[v], abs=1e-12)
+
+
 # -------------------------------------------------------------------- VoID
 
 
