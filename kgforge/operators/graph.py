@@ -93,8 +93,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        # one scan of the checkpointed edge list (round 7), not a
+        # two-branch union scanning it twice; same distinct id set
+        e.select(F.explode(F.array("src", "dst")).alias("id"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -483,8 +484,8 @@ def path_closure(
             n = n2
     if include_zero:
         terms = (
-            triples.select(F.col(subj_col).alias("t"))
-            .union(triples.select(F.col(obj_col).alias("t")))
+            # one scan of the triple derivation (round 7), not two branches
+            triples.select(F.explode(F.array(subj_col, obj_col)).alias("t"))
             .distinct()
         )
         reach = reach.union(terms.select(F.col("t").alias("s"), F.col("t").alias("o"))).distinct()
