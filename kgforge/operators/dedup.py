@@ -250,9 +250,8 @@ def _jaccard_verify(
     join is keyed on (doc id, shingle) so only COMMON shingles materialize —
     never the |sh(a)| x |sh(b)| cross-product per pair."""
     cand_ids = (
-        cand.select(F.col("a").alias(id_col))
-        .union(cand.select(F.col("b").alias(id_col)))
-        .distinct()
+        # one scan of the (materialized) pair relation, not two branches
+        cand.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
     )
     sh = word_shingles(docs.join(cand_ids, id_col, "left_semi"), n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

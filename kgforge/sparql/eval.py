@@ -636,9 +636,10 @@ def answer_sparql(
                 .distinct()
             )
             terms_df = (
-                triples.select(F.col(subj_col).alias("__t"))
-                .union(triples.select(F.col(obj_col).alias("__t")))
-                .distinct()
+                # one scan of the triple derivation (round 7), not two
+                triples.select(
+                    F.explode(F.array(subj_col, obj_col)).alias("__t")
+                ).distinct()
             )
             reach = hops.unionByName(
                 terms_df.select(F.col("__t").alias("__s"), F.col("__t").alias("__o"))
