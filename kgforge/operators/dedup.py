@@ -1262,8 +1262,17 @@ def connected_components(
     if method != "jump":
         raise ValueError(f"unknown connected-components method {method!r}")
     edges = (
-        pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
-        .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
+        # both edge directions from ONE scan of the pair relation (round
+        # 7): the two-branch union re-ran the pair lineage per direction
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(col_a).alias("src"), F.col(col_b).alias("dst")),
+                    F.struct(F.col(col_b).alias("src"), F.col(col_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()  # scanned every round: materialize once
     )
