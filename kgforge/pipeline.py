@@ -364,9 +364,21 @@ def run_stage2(
         ).collect()[0]
 
     def _w_fixture(raw):
+        # Key-pinned repartition BEFORE the dedup (round 7, guide §2.1/§6):
+        # the fixture relation is barely above the 64MB coalesce advisory,
+        # so AQE collapsed the distinct's reduce AND the write to ONE task
+        # (observed: a single 48MB file, ~2s serialized on an idle 32-core
+        # host — the longest leg of the post-raw barrier).  An explicit
+        # hash repartition on the dedup keys satisfies the aggregation's
+        # required distribution (no second exchange) and is exempt from
+        # AQE coalescing, so the dedup and the write run cluster-wide
+        # (measured 1.9 -> 0.8s; identical rows).  Partition count follows
+        # cluster parallelism, so per-file size keeps scaling with data.
+        n_out = raw.sparkSession.sparkContext.defaultParallelism
         fixture = (
             raw.select("subj", "pred", "obj", "content_sha256")
-            .distinct()
+            .repartition(n_out, "subj", "pred", "obj", "content_sha256")
+            .dropDuplicates()
             .observe(obs_fx, F.count(F.lit(1)).alias("n"))
         )
         cat.write_table(fixture, "triples_fixture")
