@@ -62,9 +62,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # honor the 64MB advisory size when coalescing instead of keeping
+        # honor the advisory size when coalescing instead of keeping
         # max parallelism: small-shuffle jobs collapse to few reduce tasks
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Round 7: coalesce targets COMPRESSED map-output bytes, while the
+        # deserialized work per reduce task is ~5-10x that, so the 64MB
+        # default advisory silently serialized every medium aggregation to
+        # ONE task once parallelismFirst=false stopped protecting
+        # parallelism (measured: a 6M-row groupBy ran 3.9-4.5s on one core
+        # vs 0.8-1.2s at 8m; per-predicate distinct-counts 5.5-7.0 ->
+        # 2.5-2.8s).  8m compressed ~ the 64-128MB deserialized-partition
+        # band the sizing guidance actually targets; sub-8m shuffles still
+        # collapse to one task, so the tiny-query win above is intact.
+        # Size-based, not core-count-based — holds at any scale; override
+        # via KGFORGE_ADVISORY_PARTITION_BYTES for clusters that prefer
+        # the stock 64m.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("KGFORGE_ADVISORY_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
